@@ -1,0 +1,104 @@
+"""ctypes bridge to the native ark decode core (tf_kaldi_speaker_tpu/native).
+
+Compiles the shared library on first use with g++ (cached next to the
+source). Falls back gracefully: every entry point returns None when the
+native core is unavailable, and callers use the pure-numpy codec instead.
+Set ``TFKS_DISABLE_NATIVE=1`` to force the numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_MAX_COLS = 4096  # generous bound on feature dim for the scratch buffer
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+_tls = threading.local()
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _load_failed
+    if os.environ.get("TFKS_DISABLE_NATIVE") == "1":
+        _load_failed = True
+        return None
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+    src = os.path.join(src_dir, "ark_decoder.cpp")
+    so = os.path.join(src_dir, "libarkdecode.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.tfks_decode_submat.restype = ctypes.c_int
+        lib.tfks_decode_submat.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.tfks_close_all.restype = ctypes.c_int
+        return lib
+    except Exception:
+        _load_failed = True
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is None and not _load_failed:
+            _lib = _build_and_load()
+    return _lib
+
+
+def read_submat_fast(
+    filename: str, offset: int, start: int, length: int
+) -> Optional[np.ndarray]:
+    """Decode rows [start, start+length) of the matrix at filename:offset.
+
+    Returns a float32 [length, cols] array, or None if the native core is
+    unavailable or reports a recoverable error (caller falls back to numpy).
+    """
+    lib = _get_lib()
+    if lib is None or start is None or length is None or length <= 0:
+        return None
+    buf = getattr(_tls, "buf", None)
+    if buf is None or buf.size < length * _MAX_COLS:
+        buf = np.empty(max(length, 2048) * _MAX_COLS, dtype=np.float32)
+        _tls.buf = buf
+    cols = lib.tfks_decode_submat(
+        filename.encode(),
+        int(offset),
+        int(start),
+        int(length),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        buf.size,
+    )
+    if cols <= 0:
+        return None
+    return buf[: length * cols].reshape(length, cols).copy()
+
+
+def close_all() -> None:
+    lib = _get_lib()
+    if lib is not None:
+        lib.tfks_close_all()
+
+
+def native_available() -> bool:
+    return _get_lib() is not None

@@ -1,0 +1,151 @@
+// Native ark decode core for the training data pipeline.
+//
+// The reference framework delegates all native work to external Kaldi C++
+// binaries; its own Python decode of compressed matrices (reference
+// dataset/kaldi_io.py:814-867) is the host-side hot loop of training.
+// This library re-provides that function natively: positioned partial
+// reads (pread, thread-safe, shared fd cache) + piecewise-linear uint8
+// dequantization, called from Python via ctypes.
+//
+// Exposed C ABI:
+//   int tfks_decode_submat(path, offset, start, length, out, out_capacity)
+//     -> ncols on success (out holds length*ncols floats, row-major)
+//     -> negative error code on failure (see TFKS_ERR_*)
+//   int tfks_close_all()  -> drop the fd cache (for tests / fork hygiene)
+
+#include <cstdint>
+#include <cstring>
+#include <fcntl.h>
+#include <mutex>
+#include <string>
+#include <unistd.h>
+#include <unordered_map>
+#include <vector>
+
+#define TFKS_ERR_OPEN -1
+#define TFKS_ERR_HEADER -2
+#define TFKS_ERR_RANGE -3
+#define TFKS_ERR_CAPACITY -4
+#define TFKS_ERR_IO -5
+
+namespace {
+
+std::mutex g_fd_mutex;
+std::unordered_map<std::string, int> g_fd_cache;
+
+int get_fd(const char *path) {
+  std::lock_guard<std::mutex> lock(g_fd_mutex);
+  auto it = g_fd_cache.find(path);
+  if (it != g_fd_cache.end()) return it->second;
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  g_fd_cache.emplace(path, fd);
+  return fd;
+}
+
+bool pread_full(int fd, void *buf, size_t n, int64_t off) {
+  uint8_t *p = static_cast<uint8_t *>(buf);
+  while (n > 0) {
+    ssize_t r = ::pread(fd, p, n, off);
+    if (r <= 0) return false;
+    p += r;
+    off += r;
+    n -= static_cast<size_t>(r);
+  }
+  return true;
+}
+
+constexpr float kU16Scale = 1.52590218966964e-05f;  // range / 65535
+
+struct GlobalHeader {
+  float min_value;
+  float range;
+  int32_t num_rows;
+  int32_t num_cols;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Decode rows [start, start+length) of the matrix whose '\0B' flag sits at
+// `offset` in `path`. Supports 'CM ' (per-column seeks: only the requested
+// bytes are read) and 'FM ' (contiguous row range). Output is row-major
+// float32 [length, ncols].
+int tfks_decode_submat(const char *path, int64_t offset, int32_t start,
+                       int32_t length, float *out, int64_t out_capacity) {
+  int fd = get_fd(path);
+  if (fd < 0) return TFKS_ERR_OPEN;
+
+  char head[5];
+  if (!pread_full(fd, head, 5, offset)) return TFKS_ERR_IO;
+  if (head[0] != '\0' || head[1] != 'B') return TFKS_ERR_HEADER;
+  int64_t pos = offset + 5;
+
+  if (head[2] == 'C' && head[3] == 'M' && head[4] == ' ') {
+    GlobalHeader gh;
+    if (!pread_full(fd, &gh, sizeof(gh), pos)) return TFKS_ERR_IO;
+    pos += sizeof(gh);
+    const int32_t rows = gh.num_rows, cols = gh.num_cols;
+    if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
+    if (static_cast<int64_t>(length) * cols > out_capacity) return TFKS_ERR_CAPACITY;
+
+    std::vector<uint16_t> col_headers(static_cast<size_t>(cols) * 4);
+    if (!pread_full(fd, col_headers.data(), col_headers.size() * 2, pos))
+      return TFKS_ERR_IO;
+    const int64_t data_pos = pos + static_cast<int64_t>(cols) * 8;
+
+    std::vector<uint8_t> colbuf(static_cast<size_t>(length));
+    const float gmin = gh.min_value, gstep = gh.range * kU16Scale;
+    for (int32_t c = 0; c < cols; ++c) {
+      const float p0 = gmin + gstep * col_headers[c * 4 + 0];
+      const float p25 = gmin + gstep * col_headers[c * 4 + 1];
+      const float p75 = gmin + gstep * col_headers[c * 4 + 2];
+      const float p100 = gmin + gstep * col_headers[c * 4 + 3];
+      const float s_lo = (p25 - p0) / 64.0f;
+      const float s_mid = (p75 - p25) / 128.0f;
+      const float s_hi = (p100 - p75) / 63.0f;
+      const int64_t col_off = data_pos + static_cast<int64_t>(c) * rows + start;
+      if (!pread_full(fd, colbuf.data(), static_cast<size_t>(length), col_off))
+        return TFKS_ERR_IO;
+      for (int32_t r = 0; r < length; ++r) {
+        const uint8_t v = colbuf[r];
+        float f;
+        if (v <= 64)
+          f = p0 + s_lo * v;
+        else if (v <= 192)
+          f = p25 + s_mid * (v - 64);
+        else
+          f = p75 + s_hi * (v - 192);
+        out[static_cast<int64_t>(r) * cols + c] = f;
+      }
+    }
+    return cols;
+  }
+
+  if (head[2] == 'F' && head[3] == 'M' && head[4] == ' ') {
+    // '\4' rows(int32) '\4' cols(int32), then row-major float32 data.
+    uint8_t dims[10];
+    if (!pread_full(fd, dims, 10, pos)) return TFKS_ERR_IO;
+    int32_t rows, cols;
+    std::memcpy(&rows, dims + 1, 4);
+    std::memcpy(&cols, dims + 6, 4);
+    if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
+    if (static_cast<int64_t>(length) * cols > out_capacity) return TFKS_ERR_CAPACITY;
+    const int64_t data_pos = pos + 10 + static_cast<int64_t>(start) * cols * 4;
+    if (!pread_full(fd, out, static_cast<size_t>(length) * cols * 4, data_pos))
+      return TFKS_ERR_IO;
+    return cols;
+  }
+
+  return TFKS_ERR_HEADER;
+}
+
+int tfks_close_all() {
+  std::lock_guard<std::mutex> lock(g_fd_mutex);
+  for (auto &kv : g_fd_cache) ::close(kv.second);
+  g_fd_cache.clear();
+  return 0;
+}
+
+}  // extern "C"
