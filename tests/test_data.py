@@ -1,0 +1,125 @@
+"""Data pipeline tests: sampler semantics, determinism, prefetch loaders."""
+
+import numpy as np
+import pytest
+
+from tf_kaldi_speaker_tpu.data import (
+    DataOutOfRange,
+    KaldiDataRandomQueue,
+    KaldiDataSeqQueue,
+    RandomChunkSampler,
+    SequentialChunkSampler,
+    bucket_lengths,
+    get_speaker_info,
+)
+
+
+def test_bucket_lengths_are_static_and_bounded():
+    b = bucket_lengths(200, 400, 8)
+    assert all(200 <= x <= 400 for x in b)
+    assert len(b) <= 8
+    assert all(x % 8 == 0 or x in (200, 400) for x in b)
+    assert bucket_lengths(100, 100) == [100]
+
+
+def test_get_speaker_info(fake_data):
+    spk2features, features2spk, spk2index = get_speaker_info(
+        fake_data["data"], fake_data["spklist"]
+    )
+    assert len(spk2index) == 6
+    assert sum(len(v) for v in spk2features.values()) == 24
+    for spk, feats in spk2features.items():
+        for f in feats:
+            assert features2spk[f] == spk
+
+
+def test_random_sampler_shapes_and_labels(fake_data):
+    s = RandomChunkSampler(
+        fake_data["data"], fake_data["spklist"], num_speakers=4, num_segments=2,
+        min_len=100, max_len=200, seed=7,
+    )
+    it = iter(s)
+    for _ in range(3):
+        feats, labels = next(it)
+        assert feats.shape[0] == 8 and feats.dtype == np.float32
+        assert 100 <= feats.shape[1] <= 200
+        assert feats.shape[2] == 24
+        # segments of the same speaker are adjacent
+        assert labels[0] == labels[1] and labels[2] == labels[3]
+        assert not np.allclose(feats[0], 0)
+    s.close()
+
+
+def test_random_sampler_deterministic(fake_data):
+    def take(seed):
+        s = RandomChunkSampler(
+            fake_data["data"], fake_data["spklist"], num_speakers=3,
+            min_len=100, max_len=150, seed=seed,
+        )
+        it = iter(s)
+        out = [next(it) for _ in range(2)]
+        s.close()
+        return out
+
+    a, b = take(5), take(5)
+    for (fa, la), (fb, lb) in zip(a, b):
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_array_equal(la, lb)
+    c = take(6)
+    assert not np.array_equal(a[0][1], c[0][1]) or not np.allclose(a[0][0], c[0][0])
+
+
+def test_sequential_sampler_one_pass(fake_data):
+    s = SequentialChunkSampler(
+        fake_data["data"], fake_data["spklist"], batch_size=5,
+        min_len=100, max_len=150, shuffle=False, seed=0,
+    )
+    batches = list(s)
+    assert len(batches) == s.num_batches == 24 // 5
+    for feats, labels in batches:
+        assert feats.shape[0] == 5
+    s.close()
+
+
+def test_random_queue_fetch(fake_data):
+    q = KaldiDataRandomQueue(
+        fake_data["data"], fake_data["spklist"], num_parallel=2, max_qsize=4,
+        num_speakers=4, num_segments=1, min_len=80, max_len=120,
+    )
+    assert q.num_total_speakers == 6
+    q.start()
+    for _ in range(5):
+        feats, labels = q.fetch()
+        assert feats.shape[0] == 4
+    q.stop()
+
+
+def test_seq_queue_raises_out_of_range(fake_data):
+    q = KaldiDataSeqQueue(
+        fake_data["data"], fake_data["spklist"], num_parallel=2, max_qsize=4,
+        batch_size=4, min_len=80, max_len=120,
+    )
+    q.start()
+    count = 0
+    with pytest.raises(DataOutOfRange):
+        while True:
+            q.fetch()
+            count += 1
+    assert count == 24 // 8 * 2  # two workers, each 12//4 batches
+    q.stop()
+
+
+def test_multi_sampler_aux_alignment(tmp_path):
+    # Aux features = main features (same ark); chunks must align exactly.
+    from tf_kaldi_speaker_tpu.data import MultiRandomChunkSampler
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    d = make_fake_data_dir(str(tmp_path / "mi"), num_speakers=4, utts_per_speaker=3)
+    s = MultiRandomChunkSampler(
+        d["data"], {"aux": d["data"]}, d["spklist"], num_speakers=3,
+        min_len=80, max_len=120, seed=1,
+    )
+    feats, labels = next(iter(s))
+    assert set(feats) == {"features", "aux"}
+    np.testing.assert_allclose(feats["features"], feats["aux"], atol=1e-6)
+    s.close()

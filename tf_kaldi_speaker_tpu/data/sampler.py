@@ -1,0 +1,268 @@
+"""Batch samplers: random N-speaker × M-segment chunks and one-pass sequential.
+
+Behavioral spec: reference dataset/data_loader.py:229-573 (batch_random /
+batch_sequence). TPU-first differences:
+
+- Per-batch lengths are drawn from a small *bucket set* spanning
+  [min_len, max_len] instead of randint, so XLA compiles a handful of static
+  shapes instead of one per distinct length. Batches are exactly
+  bucket-length (chunks are cut to the bucket), so there is NO padding and
+  batch-norm statistics match the reference's unpadded semantics.
+- Sampling is deterministic given (seed, worker_id) — the reference seeds
+  from os.urandom and is unreproducible.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..kio.reader import FeatureReader
+from .speaker_index import get_speaker_info, get_aux_speaker_info
+
+
+class DataOutOfRange(Exception):
+    """Raised by sequential samplers at end of data (parity with reference)."""
+
+
+def bucket_lengths(min_len: int, max_len: int, num_buckets: int = 8) -> List[int]:
+    """Static chunk lengths spanning [min_len, max_len], multiples of 8.
+
+    Multiples of 8 align the time axis with the TPU sublane tiling.
+    """
+    if max_len <= min_len:
+        return [int(min_len)]
+    pts = np.linspace(min_len, max_len, num_buckets)
+    out = sorted({int(np.clip(int(round(p / 8.0)) * 8, min_len, max_len)) for p in pts})
+    return out
+
+
+class RandomChunkSampler:
+    """Infinite random batches of num_speakers × num_segments chunks.
+
+    Yields (features [B, L, D] float32, labels [B] int32); L varies over the
+    bucket set. Speaker resampling when no utterance exceeds the batch length
+    follows reference data_loader.py:277-288.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        spklist: str,
+        num_speakers: int,
+        num_segments: int = 1,
+        min_len: int = 200,
+        max_len: int = 400,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_buckets: int = 8,
+        spk2features: Optional[Dict[int, List[str]]] = None,
+        num_total_speakers: Optional[int] = None,
+    ):
+        self.data_dir = data_dir
+        if spk2features is None:
+            spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
+            num_total_speakers = len(spk2index)
+        self.spk2features = spk2features
+        self.num_total_speakers = num_total_speakers
+        self.num_speakers = num_speakers
+        self.num_segments = num_segments
+        self.buckets = bucket_lengths(min_len, max_len, num_buckets)
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        self.reader: Optional[FeatureReader] = None
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self.reader is None:
+            self.reader = FeatureReader(self.data_dir)
+        reader, rng = self.reader, self.rng
+        speakers = list(self.spk2features.keys())
+        if len(speakers) < self.num_speakers:
+            speakers = speakers * (self.num_speakers // len(speakers) + 1)
+        B = self.num_speakers * self.num_segments
+        while True:
+            batch_length = rng.choice(self.buckets)
+            batch_speakers = rng.sample(speakers, self.num_speakers)
+            features = np.zeros((B, batch_length, reader.dim), dtype=np.float32)
+            labels = np.zeros((B,), dtype=np.int32)
+            for i in range(self.num_speakers):
+                spk = batch_speakers[i]
+                feature_list: List[str] = []
+                while not feature_list:
+                    feature_list = [
+                        feat
+                        for feat in self.spk2features[spk]
+                        if reader.utt2num_frames[feat.split(" ")[0]] > batch_length
+                    ]
+                    if not feature_list:
+                        spk = rng.choice(list(set(speakers) - set(batch_speakers)))
+                        batch_speakers[i] = spk
+                labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
+                if len(feature_list) < self.num_segments:
+                    feature_list = feature_list * (
+                        self.num_segments // len(feature_list) + 1
+                    )
+                for j, feat in enumerate(rng.sample(feature_list, self.num_segments)):
+                    features[i * self.num_segments + j], _ = reader.read_segment(
+                        feat, batch_length, shuffle=self.shuffle, rng=rng
+                    )
+            yield features, labels
+
+    def close(self) -> None:
+        if self.reader is not None:
+            self.reader.close()
+            self.reader = None
+
+
+class SequentialChunkSampler:
+    """One pass over a feature list in fixed-size batches (valid / dumps).
+
+    Batch length = bucket draw, shrunk to the shortest utterance in the
+    batch (reference batch_sequence, data_loader.py:447-461). Stops after
+    len(feature_list) // batch_size batches.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        spklist: str,
+        batch_size: int = 128,
+        min_len: int = 200,
+        max_len: int = 400,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_buckets: int = 8,
+        feature_list: Optional[Sequence[str]] = None,
+        features2spk: Optional[Dict[str, int]] = None,
+    ):
+        self.data_dir = data_dir
+        if feature_list is None:
+            spk2features, features2spk, _ = get_speaker_info(data_dir, spklist)
+            feature_list = [f for feats in spk2features.values() for f in feats]
+        self.feature_list = list(feature_list)
+        self.features2spk = features2spk
+        self.batch_size = batch_size
+        self.buckets = bucket_lengths(min_len, max_len, num_buckets)
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        if shuffle:
+            self.rng.shuffle(self.feature_list)
+        self.reader: Optional[FeatureReader] = None
+
+    @property
+    def num_batches(self) -> int:
+        return len(self.feature_list) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self.reader is None:
+            self.reader = FeatureReader(self.data_dir)
+        reader, rng = self.reader, self.rng
+        for i in range(self.num_batches):
+            batch = self.feature_list[i * self.batch_size : (i + 1) * self.batch_size]
+            batch_length = rng.choice(self.buckets)
+            for seg in batch:
+                batch_length = min(
+                    batch_length, reader.utt2num_frames[seg.split(" ")[0]]
+                )
+            features = np.zeros(
+                (self.batch_size, batch_length, reader.dim), dtype=np.float32
+            )
+            labels = np.zeros((self.batch_size,), dtype=np.int32)
+            for j, seg in enumerate(batch):
+                features[j], _ = reader.read_segment(
+                    seg, batch_length, shuffle=self.shuffle, rng=rng
+                )
+                labels[j] = self.features2spk[seg]
+            yield features, labels
+
+    def close(self) -> None:
+        if self.reader is not None:
+            self.reader.close()
+            self.reader = None
+
+
+class MultiRandomChunkSampler:
+    """Random sampler over a main + named auxiliary feature streams.
+
+    Yields (dict name -> [B, L, D_name], labels). Aux chunks start at the
+    SAME frame as the main chunk (reference data_loader.py:652-661).
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        aux_data: Dict[str, str],
+        spklist: str,
+        num_speakers: int,
+        num_segments: int = 1,
+        min_len: int = 200,
+        max_len: int = 400,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_buckets: int = 8,
+    ):
+        self.data_dir = data_dir
+        self.aux_data = aux_data
+        self.spk2features, _, spk2index = get_aux_speaker_info(data_dir, aux_data, spklist)
+        self.num_total_speakers = len(spk2index)
+        self.num_speakers = num_speakers
+        self.num_segments = num_segments
+        self.buckets = bucket_lengths(min_len, max_len, num_buckets)
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        self.readers: Optional[Dict[str, FeatureReader]] = None
+
+    def __iter__(self):
+        if self.readers is None:
+            self.readers = {"features": FeatureReader(self.data_dir)}
+            for name, d in self.aux_data.items():
+                self.readers[name] = FeatureReader(d)
+        rng = self.rng
+        main = self.readers["features"]
+        speakers = list(self.spk2features.keys())
+        if len(speakers) < self.num_speakers:
+            speakers = speakers * (self.num_speakers // len(speakers) + 1)
+        B = self.num_speakers * self.num_segments
+        while True:
+            batch_length = rng.choice(self.buckets)
+            batch_speakers = rng.sample(speakers, self.num_speakers)
+            features = {
+                name: np.zeros((B, batch_length, r.dim), dtype=np.float32)
+                for name, r in self.readers.items()
+            }
+            labels = np.zeros((B,), dtype=np.int32)
+            for i in range(self.num_speakers):
+                spk = batch_speakers[i]
+                cand: List[Dict[str, str]] = []
+                while not cand:
+                    cand = [
+                        fdict
+                        for fdict in self.spk2features[spk]
+                        if main.utt2num_frames[fdict["features"].split(" ")[0]]
+                        > batch_length
+                    ]
+                    if not cand:
+                        spk = rng.choice(list(set(speakers) - set(batch_speakers)))
+                        batch_speakers[i] = spk
+                labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
+                if len(cand) < self.num_segments:
+                    cand = cand * (self.num_segments // len(cand) + 1)
+                for j, fdict in enumerate(rng.sample(cand, self.num_segments)):
+                    row = i * self.num_segments + j
+                    mat, start = main.read_segment(
+                        fdict["features"], batch_length, shuffle=self.shuffle, rng=rng
+                    )
+                    features["features"][row] = mat
+                    for name in self.aux_data:
+                        features[name][row], _ = self.readers[name].read_segment(
+                            fdict[name], batch_length, start=start
+                        )
+            yield features, labels
+
+    def close(self) -> None:
+        if self.readers:
+            for r in self.readers.values():
+                r.close()
+            self.readers = None
