@@ -5,12 +5,18 @@ Must set env vars before jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU platform unconditionally; the
+# config update (post-import) wins over the env var it pins.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
