@@ -1,0 +1,192 @@
+"""Trainer end-to-end tests on the 8-device CPU mesh with synthetic data."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tf_kaldi_speaker_tpu.train import checkpoints
+from tf_kaldi_speaker_tpu.train.trainer import Trainer, l2_regularization
+from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+TINY = dict(
+    seed=0,
+    network_type="tdnn",
+    tdnn_layer_size=32,
+    num_nodes_pooling_layer=64,
+    num_nodes_last_layer=32,
+    pooling_type="statistics_pooling",
+    embedding_node="tdnn6_dense",
+    loss_func="additive_margin_softmax",
+    amsoftmax_m=0.2,
+    amsoftmax_lambda_min=0.0,
+    amsoftmax_lambda_base=1000,
+    amsoftmax_lambda_gamma=0.0001,
+    amsoftmax_lambda_power=5,
+    learning_rate=0.05,
+    optimizer="momentum",
+    momentum=0.9,
+    use_nesterov=True,
+    clip_gradient=True,
+    clip_gradient_norm=3.0,
+    weight_l2_regularizer=1e-4,
+    batchnorm_momentum=0.99,
+    num_epochs=2,
+    num_steps_per_epoch=8,
+    show_training_progress=4,
+    keep_checkpoint_max=5,
+    save_checkpoints_steps=8,
+    valid_max_iterations=4,
+    num_parallel_datasets=2,
+    max_queue_size=6,
+    num_speakers_per_batch=8,
+    num_segments_per_speaker=1,
+    min_segment_len=64,
+    max_segment_len=96,
+    batch_type="softmax",
+)
+
+
+@pytest.fixture(scope="module")
+def train_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer")
+    d = make_fake_data_dir(
+        str(root / "train"), num_speakers=8, utts_per_speaker=6, dim=20,
+        min_len=100, max_len=200,
+    )
+    return root, d
+
+
+def make_trainer(root, d, name="m1", **overrides):
+    params = ParamsPlain(**{**TINY, **overrides})
+    nnet = str(root / name / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    return t, params, nnet
+
+
+def test_train_one_epoch_and_checkpoint(train_env):
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d)
+    t.build("train", 20, params.loss_func, 8)
+    t.build("valid", 20, params.loss_func, 8)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert int(t.state.step) == 8
+    assert checkpoints.read_pointer(nnet) == 8
+
+    loss, emb, labels = t.valid(d["data"], d["spklist"], output_embeddings=True)
+    assert np.isfinite(loss)
+    assert emb.shape[0] == labels.shape[0] > 0
+
+
+def test_training_reduces_loss(train_env):
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d, name="m2", num_steps_per_epoch=30,
+                                   save_checkpoints_steps=30, loss_func="softmax")
+    t.build("train", 20, "softmax", 8)
+    t.build("valid", 20, "softmax", 8)
+    first = t.valid(d["data"], d["spklist"])[0]
+    t.train(d["data"], d["spklist"], learning_rate=0.1)
+    after = t.valid(d["data"], d["spklist"])[0]
+    assert after < first, (first, after)
+
+
+def test_resume_from_checkpoint(train_env):
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d, name="m3")
+    t.build("train", 20, params.loss_func, 8)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    w_before = np.asarray(
+        t.state.params["network"]["tdnn"]["tdnn1_conv"]["kernel"]
+    )
+
+    t2, _, _ = make_trainer(root, d, name="m3")
+    t2.build("train", 20, params.loss_func, 8)
+    step = t2.load()
+    assert step == 8
+    w_after = np.asarray(
+        t2.state.params["network"]["tdnn"]["tdnn1_conv"]["kernel"]
+    )
+    np.testing.assert_array_equal(w_before, w_after)
+
+
+def test_predict_embedding_node(train_env):
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d, name="m4")
+    t.build("train", 20, params.loss_func, 8)
+    t.build("predict", 20)
+    x = np.random.RandomState(0).randn(80, 20).astype(np.float32)
+    emb = t.predict(x)
+    assert emb.shape == (32,)  # tdnn6_dense with num_nodes 32
+    batch = t.predict(np.stack([x, x]))
+    assert batch.shape == (2, 32)
+    np.testing.assert_allclose(batch[0], emb, rtol=2e-3, atol=2e-5)
+
+
+def test_finetune_partial_restore_and_freeze(train_env):
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d, name="m5")
+    t.build("train", 20, params.loss_func, 8)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    w1_pre = np.asarray(t.state.params["network"]["tdnn"]["tdnn1_conv"]["kernel"])
+    w7_pre = np.asarray(t.state.params["network"]["tdnn"]["tdnn7_dense"]["kernel"])
+
+    t2, params2, _ = make_trainer(root, d, name="m5")
+    t2.build("train", 20, params.loss_func, 8,
+             noupdate_var_list=["tdnn/tdnn1_conv", "tdnn/tdnn2_conv"])
+    t2.get_finetune_model(noload_var_list=["tdnn/tdnn7_dense"])
+    # noload var was reinitialized
+    w7_post = np.asarray(t2.state.params["network"]["tdnn"]["tdnn7_dense"]["kernel"])
+    assert not np.allclose(w7_pre, w7_post)
+    # noupdate var stays fixed through training
+    np.testing.assert_array_equal(
+        w1_pre, np.asarray(t2.state.params["network"]["tdnn"]["tdnn1_conv"]["kernel"])
+    )
+    t2.train(d["data"], d["spklist"], learning_rate=0.05)
+    np.testing.assert_array_equal(
+        w1_pre, np.asarray(t2.state.params["network"]["tdnn"]["tdnn1_conv"]["kernel"])
+    )
+    # unfrozen vars moved
+    assert not np.allclose(
+        w7_post, np.asarray(t2.state.params["network"]["tdnn"]["tdnn7_dense"]["kernel"])
+    )
+
+
+def test_valid_margin_neutralization(train_env):
+    # Valid loss must differ from train loss computation (margin off).
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d, name="m6", amsoftmax_m=0.5)
+    t.build("train", 20, params.loss_func, 8)
+    t.build("valid", 20, params.loss_func, 8)
+    feats = np.random.RandomState(1).randn(8, 80, 20).astype(np.float32)
+    labels = np.arange(8, dtype=np.int32)
+    f, l = t._shard_batch(feats, labels)
+    valid_loss, _ = t._valid_step(t.state, f, l)
+    variables = t._variables(t.state)
+    train_loss, _ = t.network_model.apply(variables, f, l, 0, False)
+    assert float(valid_loss) < float(train_loss)
+
+
+def test_l2_regularization_paths():
+    params = {
+        "network": {"tdnn": {"c": {"kernel": np.ones((2, 2)), "bias": np.ones(2)}}},
+        "softmax": {"output_kernel": np.ones((2, 4))},
+    }
+    reg = float(l2_regularization(params, 0.1, 0.01))
+    assert reg == pytest.approx(0.5 * 0.1 * 4 + 0.5 * 0.01 * 8)
+
+
+def test_multichip_sharding_runs(train_env):
+    # The jitted step must actually shard over the 8 virtual devices.
+    root, d = train_env
+    assert jax.device_count() == 8
+    t, params, nnet = make_trainer(root, d, name="m7")
+    t.build("train", 20, params.loss_func, 8)
+    feats = np.random.RandomState(2).randn(16, 64, 20).astype(np.float32)
+    labels = np.tile(np.arange(8, dtype=np.int32), 2)
+    f, l = t._shard_batch(feats, labels)
+    assert len(f.sharding.device_set) == 8
+    state, metrics = t._train_step(t.state, f, l, 0.01)
+    assert np.isfinite(float(metrics["loss"]))

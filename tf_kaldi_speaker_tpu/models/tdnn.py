@@ -51,11 +51,12 @@ class TDNN(nn.Module):
             )
 
         x = features  # [B, L, D]
+        width = cfg.get("tdnn_layer_size", 512)
 
         # Frame-level layers 1-3: VALID 1-D convs, widths 5/5/7.
         for i, ksize in ((1, 5), (2, 5), (3, 7)):
             x = nn.Conv(
-                512, (ksize,), padding="VALID", kernel_init=kernel_init,
+                width, (ksize,), padding="VALID", kernel_init=kernel_init,
                 name=f"tdnn{i}_conv",
             )(x)
             endpoints[f"tdnn{i}_conv"] = x
@@ -71,7 +72,7 @@ class TDNN(nn.Module):
             mask = mask[:, TDNN_TOTAL_CONTEXT:]
 
         # Frame-level layers 4-5: position-wise dense.
-        x = nn.Dense(512, kernel_init=kernel_init, name="tdnn4_dense")(x)
+        x = nn.Dense(width, kernel_init=kernel_init, name="tdnn4_dense")(x)
         endpoints["tdnn4_dense"] = x
         x = bn("tdnn4_bn")(x)
         endpoints["tdnn4_bn"] = x
@@ -94,7 +95,7 @@ class TDNN(nn.Module):
         endpoints["pooling"] = x
 
         # Utterance-level layers.
-        x = nn.Dense(512, kernel_init=kernel_init, name="tdnn6_dense")(x)
+        x = nn.Dense(width, kernel_init=kernel_init, name="tdnn6_dense")(x)
         endpoints["tdnn6_dense"] = x
         x = bn("tdnn6_bn")(x)
         endpoints["tdnn6_bn"] = x

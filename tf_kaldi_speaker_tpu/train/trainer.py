@@ -1,0 +1,579 @@
+"""The TPU trainer: one pjit'd train step over a data-parallel mesh.
+
+Replaces the reference's feed_dict Trainer (model/trainer.py, 928 LoC of
+TF1 session management). Same public surface — build("train"/"valid"/
+"predict"), train(), valid(), predict(), train_tune_lr(), partial-restore
+fine-tuning — but the execution model is TPU-native:
+
+- The whole step (forward + margin loss + regularization + grads + optax
+  update + BN stat update) is ONE jitted function; the global batch is
+  sharded over the mesh's "data" axis, parameters are replicated, and XLA
+  inserts the gradient psum / cross-replica BN reductions automatically.
+- λ-annealed margins take the step as a traced scalar (the reference fed a
+  global_step placeholder).
+- Validation margin neutralization (trainer.py:260-303) is an argument
+  (margin_override / e2e loss swap), not graph surgery.
+- Checkpointing is flax msgpack + a TF-style pointer file
+  (train/checkpoints.py) so best/last selection works like make_checkpoint.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data import DataOutOfRange, KaldiDataRandomQueue, KaldiDataSeqQueue
+from ..losses import LossHead
+from ..models import EntireNetwork
+from ..parallel.mesh import DATA_AXIS, make_mesh
+from . import checkpoints
+
+log = logging.getLogger("tfks.trainer")
+
+VALID_MARGIN_NEUTRAL = {
+    # loss_type -> margin value that disables the margin at validation time
+    "asoftmax": 1,
+    "additive_margin_softmax": 0.0,
+    "additive_angular_margin_softmax": 0.0,
+}
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    loss_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class XVectorModel(nn.Module):
+    """Network + loss head in one module (one param tree, one apply)."""
+
+    config: Dict[str, Any]
+    loss_func: str
+    num_outputs: int
+
+    @nn.compact
+    def __call__(
+        self,
+        features,
+        labels,
+        step=0,
+        train: bool = False,
+        margin_override=None,
+        aux_enabled: bool = True,
+        mask=None,
+        loss_func_override: Optional[str] = None,
+    ):
+        out, endpoints = EntireNetwork(
+            config=self.config, network_type=self.config.get("network_type", "tdnn"),
+            name="network",
+        )(features, train=train, mask=mask)
+        loss_func = loss_func_override or self.loss_func
+        loss, ep = LossHead(
+            loss_func=loss_func, num_outputs=self.num_outputs, config=self.config,
+            name="softmax",
+        )(out, labels, step=step, train=train, margin_override=margin_override,
+          aux_enabled=aux_enabled)
+        endpoints.update(ep)
+        return loss, endpoints
+
+
+def l2_regularization(params, weight_scale: float, output_scale: float):
+    """TF-style kernel L2: scale * ||w||²/2 over conv/dense kernels and VLAD
+    centers; the loss-head output kernel uses ``output_weight_l2_regularizer``
+    when configured (reference loss.py:27-28, tdnn.py kernel_regularizer)."""
+    total = 0.0
+    for path, w in traverse_util.flatten_dict(params).items():
+        leaf = path[-1]
+        if leaf == "output_kernel":
+            total += 0.5 * output_scale * jnp.sum(jnp.square(w))
+        elif leaf in ("kernel", "vlad_centers"):
+            total += 0.5 * weight_scale * jnp.sum(jnp.square(w))
+    return total
+
+
+def make_optimizer(cfg: Dict[str, Any]) -> optax.GradientTransformation:
+    """sgd / momentum / adam (reference trainer.py:328-347), without the LR
+    scale — the per-step learning rate is applied in the train step so the
+    epoch driver can change it without rebuilding anything."""
+    name = cfg.get("optimizer", "sgd")
+    chain = []
+    if cfg.get("clip_gradient", False):
+        chain.append(optax.clip_by_global_norm(float(cfg["clip_gradient_norm"])))
+    if name == "sgd":
+        pass
+    elif name == "momentum":
+        chain.append(
+            optax.trace(decay=float(cfg["momentum"]), nesterov=cfg.get("use_nesterov", False))
+        )
+    elif name == "adam":
+        chain.append(optax.scale_by_adam())
+    else:
+        raise ValueError("Optimizer %s is not supported" % name)
+    return optax.chain(*chain) if chain else optax.identity()
+
+
+def freeze_mask(params, noupdate_var_list: Optional[List[str]]):
+    """1/0 pytree: 0 where the param path contains any listed substring
+    (reference set_trainable_variables semantics, trainer.py:728-773)."""
+    if not noupdate_var_list:
+        return None
+    flat = {}
+    for path, w in traverse_util.flatten_dict(params).items():
+        name = "/".join(path)
+        frozen = any(sub in name for sub in noupdate_var_list)
+        flat[path] = jnp.zeros((), w.dtype) if frozen else jnp.ones((), w.dtype)
+    return traverse_util.unflatten_dict(flat)
+
+
+def _revert_frozen_stats(new_stats, old_stats, noupdate_var_list):
+    """Keep BN statistics of frozen layers unchanged (the reference drops
+    their update ops, trainer.py:379-403)."""
+    if not noupdate_var_list:
+        return new_stats
+    new_flat = traverse_util.flatten_dict(new_stats)
+    old_flat = traverse_util.flatten_dict(old_stats)
+    for path in new_flat:
+        name = "/".join(path)
+        if any(sub in name for sub in noupdate_var_list):
+            new_flat[path] = old_flat[path]
+    return traverse_util.unflatten_dict(new_flat)
+
+
+class Trainer:
+    """Owns model assembly, the jitted steps, and the checkpoint store."""
+
+    def __init__(
+        self,
+        params,
+        model_dir: str,
+        dim: Optional[int] = None,
+        num_speakers: Optional[int] = None,
+        mesh=None,
+        single_cpu: bool = False,
+    ):
+        self.params = params
+        self.model = model_dir  # <exp>/nnet
+        os.makedirs(model_dir, exist_ok=True)
+        self.dim = dim
+        self.num_speakers = num_speakers
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.rep = NamedSharding(self.mesh, P())
+        self.bsh = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        self.network_model: Optional[XVectorModel] = None
+        self.state: Optional[TrainState] = None
+        self.tx = None
+        self.loss_type: Optional[str] = None
+        self.noupdate_var_list: Optional[List[str]] = None
+        self._train_step = None
+        self._valid_step = None
+        self._predict_fns: Dict[str, Any] = {}
+        self.is_built = False
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+    def build(
+        self,
+        mode: str,
+        dim: Optional[int] = None,
+        loss_type: Optional[str] = None,
+        num_speakers: Optional[int] = None,
+        noupdate_var_list: Optional[List[str]] = None,
+    ) -> None:
+        assert mode in ("train", "valid", "predict")
+        if dim is not None:
+            self.dim = dim
+        if num_speakers is not None:
+            self.num_speakers = num_speakers
+        if loss_type is not None:
+            self.loss_type = loss_type
+        if self.loss_type is None:
+            self.loss_type = self.params.dict.get("loss_func", "softmax")
+        self.noupdate_var_list = noupdate_var_list
+
+        if self.network_model is None:
+            self.network_model = XVectorModel(
+                config=self.params.dict,
+                loss_func=self.loss_type,
+                num_outputs=self.num_speakers or 1,
+            )
+
+        if mode == "predict":
+            self._build_predict()
+            return
+        if self.state is None:
+            self._init_state()
+        if mode == "train":
+            self._build_train()
+        else:
+            self._build_valid()
+        self.is_built = True
+
+    def _sample_batch(self):
+        b = max(2, self.mesh.shape[DATA_AXIS])
+        feats = jnp.zeros((b, 64, self.dim), jnp.float32)
+        labels = jnp.zeros((b,), jnp.int32)
+        return feats, labels
+
+    def _init_state(self) -> None:
+        feats, labels = self._sample_batch()
+        variables = self.network_model.init(
+            jax.random.PRNGKey(int(self.params.dict.get("seed", 0))),
+            feats, labels, 0, True,
+        )
+        self.tx = make_optimizer(self.params.dict)
+        params = variables["params"]
+        state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            loss_stats=variables.get("loss_stats", {}),
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.state = jax.device_put(state, self.rep)
+
+    def _variables(self, state: TrainState) -> Dict[str, Any]:
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        if state.loss_stats:
+            v["loss_stats"] = state.loss_stats
+        return v
+
+    def _build_train(self) -> None:
+        cfg = self.params.dict
+        wreg = float(cfg.get("weight_l2_regularizer", 0.0))
+        out_wreg = float(cfg.get("output_weight_l2_regularizer", wreg))
+        tx = self.tx if self.tx is not None else make_optimizer(cfg)
+        self.tx = tx
+        mask = freeze_mask(self.state.params, self.noupdate_var_list)
+        noupdate = self.noupdate_var_list
+
+        def step_fn(state: TrainState, features, labels, lr):
+            def loss_fn(params):
+                mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
+                (loss, endpoints), updates = self.network_model.apply(
+                    {"params": params, "batch_stats": state.batch_stats,
+                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
+                    features, labels, state.step, True, mutable=mutable,
+                )
+                reg = l2_regularization(params, wreg, out_wreg)
+                penalty = endpoints.get("attention_penalty", 0.0)
+                total = loss + reg + penalty
+                logits = endpoints.get("logits")
+                acc = (
+                    jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+                    if logits is not None
+                    else jnp.float32(0.0)
+                )
+                return total, (loss, reg, penalty, acc, updates)
+
+            grads, (loss, reg, penalty, acc, updates) = jax.grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            upd, opt_state = tx.update(grads, state.opt_state, state.params)
+            if mask is not None:
+                upd = jax.tree.map(lambda u, m: u * m, upd, mask)
+            upd = jax.tree.map(lambda u: -lr * u, upd)
+            params = optax.apply_updates(state.params, upd)
+            new_bs = _revert_frozen_stats(
+                updates.get("batch_stats", state.batch_stats), state.batch_stats, noupdate
+            )
+            new_state = state.replace(
+                params=params,
+                batch_stats=new_bs,
+                loss_stats=updates.get("loss_stats", state.loss_stats),
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            metrics = {
+                "loss": loss,
+                "regularization_loss": reg,
+                "penalty_loss": penalty,
+                "accuracy": acc,
+                "total_loss": loss + reg + penalty,
+            }
+            return new_state, metrics
+
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(self.rep, self.bsh, self.bsh, self.rep),
+            out_shardings=(self.rep, self.rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_valid(self) -> None:
+        loss_override = (
+            "e2e_valid_loss" if self.loss_type == "angular_triplet_loss" else None
+        )
+        margin_override = VALID_MARGIN_NEUTRAL.get(self.loss_type)
+
+        def valid_fn(state: TrainState, features, labels):
+            loss, endpoints = self.network_model.apply(
+                self._variables(state),
+                features, labels, state.step, False,
+                margin_override=margin_override,
+                aux_enabled=False,
+                loss_func_override=loss_override,
+            )
+            return loss, endpoints["output"]
+
+        self._valid_step = jax.jit(
+            valid_fn,
+            in_shardings=(self.rep, self.bsh, self.bsh),
+            out_shardings=(self.rep, self.bsh),
+        )
+
+    def _build_predict(self) -> None:
+        node = self.params.dict.get("embedding_node", "tdnn6_dense")
+
+        def predict_fn(variables, features):
+            net = EntireNetwork(
+                config=self.params.dict,
+                network_type=self.params.dict.get("network_type", "tdnn"),
+            )
+            _, endpoints = net.apply(variables, features, False)
+            return endpoints[node]
+
+        self._predict_raw = predict_fn
+        self._predict_jit = jax.jit(predict_fn)
+
+    # ------------------------------------------------------------------
+    # Checkpoints
+    # ------------------------------------------------------------------
+    def save(self, step: int) -> None:
+        checkpoints.save_checkpoint(
+            self.model, self.state, step,
+            keep_max=int(self.params.dict.get("keep_checkpoint_max", 0)),
+        )
+
+    def load(self, step: Optional[int] = None) -> int:
+        """Restore train state; returns the restored step (0 if none)."""
+        try:
+            if self.state is None:
+                if self.network_model is None:
+                    self.build("train", self.dim, None, self.num_speakers)
+                else:
+                    self._init_state()
+            state, step = checkpoints.load_checkpoint(self.model, self.state, step)
+            self.state = jax.device_put(state, self.rep)
+            return int(step)
+        except FileNotFoundError:
+            return 0
+
+    def get_finetune_model(self, noload_var_list: Optional[List[str]]) -> None:
+        """Partial restore: reinitialize variables matching noload_var_list,
+        keep the rest from the checkpoint (reference trainer.py:775-819)."""
+        restored_step = self.load()
+        if not noload_var_list:
+            return
+        fresh = self.network_model.init(
+            jax.random.PRNGKey(int(self.params.dict.get("seed", 0)) + 1),
+            *self._sample_batch(), 0, True,
+        )
+
+        def merge(tree, fresh_tree):
+            flat = traverse_util.flatten_dict(tree)
+            fresh_flat = traverse_util.flatten_dict(fresh_tree)
+            for path in flat:
+                name = "/".join(path)
+                if any(sub in name for sub in noload_var_list):
+                    flat[path] = fresh_flat[path]
+            return traverse_util.unflatten_dict(flat)
+
+        params = merge(self.state.params, fresh["params"])
+        bs = merge(self.state.batch_stats, fresh.get("batch_stats", {}))
+        self.state = self.state.replace(
+            params=params, batch_stats=bs, opt_state=self.tx.init(params)
+        )
+        self.save(0)
+        log.info("Fine-tune init from step %d; reinitialized %s", restored_step, noload_var_list)
+
+    # ------------------------------------------------------------------
+    # Loops
+    # ------------------------------------------------------------------
+    def _shard_batch(self, features: np.ndarray, labels: np.ndarray):
+        n = self.mesh.shape[DATA_AXIS]
+        b = features.shape[0]
+        if b % n != 0:
+            pad = n - b % n
+            features = np.concatenate([features, np.tile(features[-1:], (pad, 1, 1))], 0)
+            labels = np.concatenate([labels, np.tile(labels[-1:], pad)], 0)
+        return (
+            jax.device_put(features, self.bsh),
+            jax.device_put(labels, self.bsh),
+        )
+
+    def train(self, data_dir: str, spklist: str, learning_rate: float, aux_data=None) -> None:
+        """One epoch of num_steps_per_epoch steps (reference trainer.py:451-520)."""
+        cfg = self.params.dict
+        num_steps = int(cfg["num_steps_per_epoch"])
+        show = int(cfg.get("show_training_progress", 100))
+        save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        loader = KaldiDataRandomQueue(
+            data_dir, spklist,
+            num_parallel=int(cfg.get("num_parallel_datasets", 4)),
+            max_qsize=int(cfg.get("max_queue_size", 10)),
+            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_segments=int(cfg.get("num_segments_per_speaker", 1)),
+            min_len=int(cfg.get("min_segment_len", 200)),
+            max_len=int(cfg.get("max_segment_len", 400)),
+            seed=int(cfg.get("seed", 0)) + int(self.state.step),
+        ).start()
+        lr = jnp.float32(learning_rate)
+        t0 = time.time()
+        try:
+            for local_step in range(num_steps):
+                features, labels = loader.fetch()
+                features, labels = self._shard_batch(features, labels)
+                self.state, metrics = self._train_step(self.state, features, labels, lr)
+                gstep = int(self.state.step)
+                if show and local_step % show == 0:
+                    m = jax.device_get(metrics)
+                    log.info(
+                        "step %d: loss %.4f reg %.4f acc %.3f (%.2f steps/s)",
+                        gstep, m["loss"], m["regularization_loss"], m["accuracy"],
+                        (local_step + 1) / (time.time() - t0),
+                    )
+                if save_every and gstep % save_every == 0:
+                    self.save(gstep)
+        finally:
+            loader.stop()
+        self.save(int(self.state.step))
+
+    def train_tune_lr(self, data_dir: str, spklist: str, tune_period: int = 100) -> None:
+        """Exponential LR sweep 1e-5 · 1.15^k (reference trainer.py:522-590);
+        writes ``learning_rate_tuning`` (k, lr, loss) for plotting."""
+        cfg = self.params.dict
+        loader = KaldiDataRandomQueue(
+            data_dir, spklist,
+            num_parallel=int(cfg.get("num_parallel_datasets", 4)),
+            max_qsize=int(cfg.get("max_queue_size", 10)),
+            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_segments=int(cfg.get("num_segments_per_speaker", 1)),
+            min_len=int(cfg.get("min_segment_len", 200)),
+            max_len=int(cfg.get("max_segment_len", 400)),
+            seed=int(cfg.get("seed", 0)),
+        ).start()
+        max_sweeps = 100
+        with open(os.path.join(os.path.dirname(self.model), "learning_rate_tuning"), "w") as fp:
+            try:
+                for k in range(max_sweeps):
+                    lr = 1e-5 * (1.15 ** k)
+                    losses = []
+                    for _ in range(tune_period):
+                        features, labels = loader.fetch()
+                        features, labels = self._shard_batch(features, labels)
+                        self.state, metrics = self._train_step(
+                            self.state, features, labels, jnp.float32(lr)
+                        )
+                        losses.append(float(metrics["loss"]))
+                    mean_loss = float(np.mean(losses))
+                    fp.write("%d %.8f %f\n" % (k, lr, mean_loss))
+                    fp.flush()
+                    log.info("lr sweep %d: lr=%.2e loss=%.4f", k, lr, mean_loss)
+                    if not np.isfinite(mean_loss) or mean_loss > 1e4:
+                        break
+            finally:
+                loader.stop()
+
+    def valid(
+        self,
+        data_dir: str,
+        spklist: str,
+        batch_type: str = "softmax",
+        output_embeddings: bool = False,
+        aux_data=None,
+    ) -> Tuple[float, Optional[np.ndarray], Optional[np.ndarray]]:
+        """Validation: optional embedding dump pass + streamed loss pass
+        (reference trainer.py:592-706). Returns (loss, embeddings, labels)."""
+        cfg = self.params.dict
+        embeddings, labels_out = None, None
+        if output_embeddings:
+            seq = KaldiDataSeqQueue(
+                data_dir, spklist, num_parallel=2,
+                batch_size=int(cfg.get("num_speakers_per_batch", 64))
+                * int(cfg.get("num_segments_per_speaker", 1)),
+                min_len=int(cfg.get("min_segment_len", 200)),
+                max_len=int(cfg.get("max_segment_len", 400)),
+                shuffle=False,
+            ).start()
+            embs, labs = [], []
+            try:
+                while True:
+                    features, labels = seq.fetch()
+                    b = features.shape[0]
+                    f, l = self._shard_batch(features, labels)
+                    _, emb = self._valid_step(self.state, f, l)
+                    embs.append(np.asarray(emb)[:b])
+                    labs.append(labels)
+            except DataOutOfRange:
+                pass
+            finally:
+                seq.stop()
+            embeddings = np.concatenate(embs, 0) if embs else np.zeros((0, 1))
+            labels_out = np.concatenate(labs, 0) if labs else np.zeros((0,), np.int32)
+
+        max_iter = int(cfg.get("valid_max_iterations", 100))
+        if batch_type == "softmax":
+            loader = KaldiDataSeqQueue(
+                data_dir, spklist, num_parallel=2,
+                batch_size=int(cfg.get("num_speakers_per_batch", 64))
+                * int(cfg.get("num_segments_per_speaker", 1)),
+                min_len=int(cfg.get("min_segment_len", 200)),
+                max_len=int(cfg.get("max_segment_len", 400)),
+                shuffle=True,
+            ).start()
+        elif batch_type == "end2end":
+            loader = KaldiDataRandomQueue(
+                data_dir, spklist, num_parallel=2,
+                num_speakers=int(cfg["num_valid_speakers_per_batch"]),
+                num_segments=int(cfg["num_valid_segments_per_speaker"]),
+                min_len=int(cfg.get("min_segment_len", 200)),
+                max_len=int(cfg.get("max_segment_len", 400)),
+            ).start()
+        else:
+            raise ValueError("Unknown batch_type %s" % batch_type)
+        losses = []
+        try:
+            for _ in range(max_iter):
+                features, labels = loader.fetch()
+                f, l = self._shard_batch(features, labels)
+                loss, _ = self._valid_step(self.state, f, l)
+                losses.append(float(loss))
+        except DataOutOfRange:
+            pass
+        finally:
+            loader.stop()
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        return mean_loss, embeddings, labels_out
+
+    def predict(self, features: np.ndarray) -> np.ndarray:
+        """Embed a batch [B, L, D] (or one utterance [L, D])."""
+        rank2 = features.ndim == 2
+        if rank2:
+            features = features[None]
+        # The train state scopes the network under "network"; the predict
+        # graph is the bare EntireNetwork, so slice that subtree out.
+        variables = {
+            "params": self.state.params["network"],
+            "batch_stats": self.state.batch_stats.get("network", {}),
+        }
+        out = np.asarray(self._predict_jit(variables, jnp.asarray(features)))
+        return out[0] if rank2 else out
+
+    def close(self) -> None:
+        pass
