@@ -1,0 +1,262 @@
+"""Extraction + backend tests: CMVN/VAD parity, masked-batch exactness,
+full train→extract→score e2e on synthetic data."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tf_kaldi_speaker_tpu.backend.metrics import (
+    compute_cos_pairwise_eer,
+    compute_eer,
+    min_dcf08,
+    min_dcf10,
+)
+from tf_kaldi_speaker_tpu.backend.scoring import (
+    LDA,
+    cosine_score_trials,
+    length_norm,
+    speaker_means,
+    subtract_global_mean,
+)
+from tf_kaldi_speaker_tpu.ops.cmvn import sliding_cmvn, sliding_cmvn_jax
+from tf_kaldi_speaker_tpu.ops.vad import compute_vad_energy, select_voiced_frames
+
+
+def test_sliding_cmvn_reference_window():
+    # Window larger than T: global mean subtraction.
+    x = np.random.RandomState(0).randn(50, 4).astype(np.float32)
+    out = sliding_cmvn(x, window=300)
+    np.testing.assert_allclose(out, x - x.mean(0), atol=1e-5)
+
+
+def test_sliding_cmvn_bruteforce():
+    rng = np.random.RandomState(1)
+    x = rng.randn(200, 3).astype(np.float32)
+    window, got = 50, sliding_cmvn(np.copy(x), window=50)
+    for t in [0, 10, 100, 150, 199]:
+        start = t - window // 2
+        end = start + window
+        if start < 0:
+            end -= start
+            start = 0
+        if end > 200:
+            start -= end - 200
+            end = 200
+            start = max(start, 0)
+        np.testing.assert_allclose(
+            got[t], x[t] - x[start:end].mean(0), atol=1e-4, err_msg=str(t)
+        )
+
+
+def test_sliding_cmvn_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    x = np.random.RandomState(2).randn(2, 120, 5).astype(np.float32)
+    got = np.asarray(sliding_cmvn_jax(jnp.asarray(x), window=40))
+    for b in range(2):
+        np.testing.assert_allclose(got[b], sliding_cmvn(x[b], window=40), atol=1e-4)
+
+
+def test_vad_and_selection():
+    rng = np.random.RandomState(3)
+    x = rng.randn(100, 10).astype(np.float32)
+    x[:50, 0] = 20.0   # high energy
+    x[50:, 0] = -20.0  # silence
+    vad = compute_vad_energy(x)
+    assert vad[:50].all() and not vad[50:].any()
+    kept = select_voiced_frames(x, vad)
+    assert kept.shape[0] == 50
+    # context voting smooths isolated flips
+    x[25, 0] = -20.0
+    vad2 = compute_vad_energy(x, frames_context=2, proportion_threshold=0.6)
+    assert vad2[25] == 1.0
+
+
+def test_eer_metrics_sanity():
+    rng = np.random.RandomState(4)
+    target = rng.randn(500) + 2.0
+    nontarget = rng.randn(500)
+    scores = np.concatenate([target, nontarget])
+    labels = np.concatenate([np.ones(500), np.zeros(500)])
+    eer, _ = compute_eer(scores, labels)
+    assert 0.05 < eer < 0.3
+    assert 0 <= min_dcf10(scores, labels) <= 1.0
+    assert min_dcf08(scores, labels) < 0.1 * 10  # unnormalized SRE08 cost
+    # perfect separation -> 0 EER
+    eer0, _ = compute_eer(np.concatenate([np.ones(10), np.zeros(10)]),
+                          np.concatenate([np.ones(10), np.zeros(10)]))
+    assert eer0 < 0.05
+
+
+def test_cos_pairwise_eer_separable():
+    rng = np.random.RandomState(5)
+    means = rng.randn(4, 16) * 5
+    embs = np.concatenate([means[i] + 0.1 * rng.randn(20, 16) for i in range(4)])
+    labels = np.repeat(np.arange(4), 20)
+    assert compute_cos_pairwise_eer(embs, labels) < 0.05
+
+
+def test_length_norm_and_mean():
+    x = np.random.RandomState(6).randn(10, 8)
+    y = length_norm(x)
+    np.testing.assert_allclose(np.linalg.norm(y, axis=1), np.sqrt(8), rtol=1e-9)
+    centered, mean = subtract_global_mean(x)
+    np.testing.assert_allclose(centered.mean(0), 0, atol=1e-12)
+
+
+def test_lda_improves_separation():
+    rng = np.random.RandomState(7)
+    n_class, per = 10, 30
+    means = rng.randn(n_class, 20) * 3
+    noise_dir = rng.randn(20, 20)
+    x = np.concatenate(
+        [means[i] + rng.randn(per, 20) @ noise_dir * 0.3 for i in range(n_class)]
+    )
+    labels = np.repeat(np.arange(n_class), per)
+    lda = LDA(dim_out=8).fit(x, labels)
+    proj = lda.transform_vecs(x)
+    assert proj.shape == (n_class * per, 8)
+    eer_before = compute_cos_pairwise_eer(x, labels)
+    eer_after = compute_cos_pairwise_eer(proj, labels)
+    assert eer_after <= eer_before + 0.02
+
+
+def test_speaker_means_and_trials():
+    keys = ["a1", "a2", "b1"]
+    embs = np.array([[1.0, 0], [3.0, 0], [0, 2.0]])
+    utt2spk = {"a1": "A", "a2": "A", "b1": "B"}
+    spks, means, counts = speaker_means(keys, embs, utt2spk)
+    assert spks == ["A", "B"] and counts == {"A": 2, "B": 1}
+    np.testing.assert_allclose(means[0], [2.0, 0])
+    scores = cosine_score_trials(
+        {"A": means[0], "B": means[1]},
+        {"a1": embs[0], "b1": embs[2]},
+        [("A", "a1"), ("A", "b1"), ("B", "b1")],
+    )
+    np.testing.assert_allclose(scores, [1.0, 0.0, 1.0], atol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# End-to-end: train a tiny model via the CLI, extract, score.
+# ----------------------------------------------------------------------
+
+TINY_CONFIG = {
+    "seed": 0,
+    "network_type": "tdnn",
+    "tdnn_layer_size": 32,
+    "num_nodes_pooling_layer": 64,
+    "num_nodes_last_layer": 32,
+    "pooling_type": "statistics_pooling",
+    "embedding_node": "tdnn6_dense",
+    "loss_func": "softmax",
+    "learning_rate": 0.1,
+    "optimizer": "momentum",
+    "momentum": 0.9,
+    "weight_l2_regularizer": 1e-4,
+    "batchnorm_momentum": 0.9,
+    "num_epochs": 3,
+    "num_steps_per_epoch": 25,
+    "reduce_lr_epochs": 2,
+    "early_stop_epochs": 6,
+    "min_learning_rate": 1e-5,
+    "show_training_progress": 10,
+    "keep_checkpoint_max": 3,
+    "save_checkpoints_steps": 25,
+    "valid_max_iterations": 3,
+    "num_parallel_datasets": 2,
+    "max_queue_size": 6,
+    "num_speakers_per_batch": 8,
+    "num_segments_per_speaker": 1,
+    "min_segment_len": 64,
+    "max_segment_len": 96,
+    "batch_type": "softmax",
+}
+
+
+@pytest.mark.slow
+def test_cli_train_extract_score(tmp_path):
+    import json
+
+    from tf_kaldi_speaker_tpu.cli import extract as extract_cli
+    from tf_kaldi_speaker_tpu.cli import train as train_cli
+    from tf_kaldi_speaker_tpu.kio import read_vec_flt_ark
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    train_d = make_fake_data_dir(
+        str(tmp_path / "train"), num_speakers=8, utts_per_speaker=6, dim=20,
+        min_len=100, max_len=200, seed=0,
+    )
+    valid_d = make_fake_data_dir(
+        str(tmp_path / "valid"), num_speakers=8, utts_per_speaker=3, dim=20,
+        min_len=100, max_len=200, seed=1,
+    )
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(TINY_CONFIG, f)
+    model_dir = str(tmp_path / "exp")
+
+    rc = train_cli.main([
+        "--config", cfg_path,
+        train_d["data"], train_d["spklist"],
+        valid_d["data"], valid_d["spklist"],
+        model_dir,
+    ])
+    assert rc == 0
+    nnet = os.path.join(model_dir, "nnet")
+    assert os.path.exists(os.path.join(nnet, "checkpoint"))
+    assert os.path.exists(os.path.join(nnet, "valid_loss"))
+    assert os.path.exists(os.path.join(nnet, "learning_rate"))
+    assert os.path.isdir(os.path.join(model_dir, "codes"))
+
+    out_ark = str(tmp_path / "xvector.ark")
+    rc = extract_cli.main([
+        "--min-chunk-size", "10", model_dir,
+        "ark:" + os.path.join(train_d["data"], "feats.ark"),
+        "ark:" + out_ark,
+    ])
+    assert rc == 0
+    embs = dict(read_vec_flt_ark(out_ark))
+    assert len(embs) == 48  # 8 spk × 6 utts
+    keys = sorted(embs)
+    X = np.stack([embs[k] for k in keys])
+    labels = np.array([int(k[3:6]) for k in keys])
+    eer = compute_cos_pairwise_eer(X, labels)
+    # Synthetic data is linearly separable; a briefly-trained tiny model
+    # must do far better than chance (~0.5).
+    assert eer < 0.25, eer
+
+
+def test_extractor_masked_batch_equals_single(tmp_path):
+    """Padding+mask in a bucketed batch must equal per-utterance forward."""
+    import json
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    params = ParamsPlain(**TINY_CONFIG)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, "softmax", 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    ex = Extractor(str(tmp_path / "m"), min_chunk_size=10, batch_size=4)
+    rng = np.random.RandomState(8)
+    utts = {"u%d" % i: rng.randn(40 + 13 * i, 20).astype(np.float32) for i in range(6)}
+    batched = dict(ex.embed_stream(iter(utts.items())))
+    for k, f in utts.items():
+        single = ex.embed_utterance(f)
+        np.testing.assert_allclose(batched[k], single, rtol=2e-3, atol=2e-4)
+
+    # chunked long-utterance path
+    long_feat = rng.randn(260, 20).astype(np.float32)
+    ex2 = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100, batch_size=4)
+    emb = ex2.embed_utterance(long_feat)
+    assert emb.shape == (32,) and np.isfinite(emb).all()

@@ -1,0 +1,78 @@
+"""Embedding extraction CLI: ark/pipe in → ark of x-vectors out.
+
+Behavioral spec: reference egs/voxceleb/v1/nnet/lib/extract.py, with the
+nj-way CPU job farm replaced by one batched TPU program (SURVEY.md §7.6).
+Supports on-the-fly sliding CMVN + energy-VAD frame selection (``--cmvn``,
+``--vad``), replacing the reference's Kaldi feature pipe
+``apply-cmvn-sliding ... | select-voiced-frames ... |``.
+
+Usage:
+    python -m tf_kaldi_speaker_tpu.cli.extract [--node tdnn6_dense] \
+        [--normalize] [--cmvn] [--vad] model_dir rspecifier wspecifier
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from ..extract.extractor import Extractor
+from ..kio import open_or_fd, read_mat_ark, write_vec_flt
+from ..ops.cmvn import sliding_cmvn
+from ..ops.vad import compute_vad_energy, select_voiced_frames
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--node", default="", help="embedding node override")
+    parser.add_argument("--normalize", action="store_true", help="L2-normalize output")
+    parser.add_argument("--chunk-size", type=int, default=10000)
+    parser.add_argument("--min-chunk-size", type=int, default=25)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--cmvn", action="store_true", help="sliding CMVN (window 300)")
+    parser.add_argument("--cmn-window", type=int, default=300)
+    parser.add_argument("--vad", action="store_true", help="energy VAD frame selection")
+    parser.add_argument("model_dir")
+    parser.add_argument("rspecifier")
+    parser.add_argument("wspecifier")
+    args = parser.parse_args(argv)
+
+    extractor = Extractor(
+        args.model_dir,
+        node=args.node or None,
+        batch_size=args.batch_size,
+        chunk_size=args.chunk_size,
+        min_chunk_size=args.min_chunk_size,
+        normalize=args.normalize,
+    )
+
+    def stream():
+        for key, feature in read_mat_ark(args.rspecifier):
+            if args.vad:
+                vad = compute_vad_energy(feature)
+                feature = select_voiced_frames(feature, vad)
+                if feature.shape[0] == 0:
+                    logging.info("Key %s: no voiced frames, skip.", key)
+                    continue
+            if args.cmvn:
+                feature = sliding_cmvn(feature, window=args.cmn_window)
+            yield key, feature
+
+    fp_out = open_or_fd(args.wspecifier, "wb")
+    count = 0
+    for key, embedding in extractor.embed_stream(stream()):
+        if args.normalize:
+            import numpy as np
+
+            embedding = embedding / np.sqrt(np.sum(np.square(embedding)))
+        write_vec_flt(fp_out, embedding.astype("float32"), key=key)
+        count += 1
+    fp_out.close()
+    logging.info("Extracted %d embeddings.", count)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

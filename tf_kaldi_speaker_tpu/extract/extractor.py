@@ -1,0 +1,166 @@
+"""Batched TPU embedding extraction with length bucketing.
+
+Replaces the reference's nj×single-CPU extraction jobs (extract.py +
+run_extract_embeddings.sh) with ONE device program: utterances are grouped
+into geometric length buckets, padded + masked (masked pooling makes padded
+forward == unpadded forward exactly, see models/pooling.py), and embedded in
+large batches. Very long utterances keep the reference's semantics
+bit-for-bit: split into 50%-overlapping windows of ``chunk_size``, embed,
+length-weighted average, optional L2 norm (extract.py:69-93).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import EntireNetwork
+from ..train import checkpoints
+from ..utils.params import Params
+
+log = logging.getLogger("tfks.extract")
+
+
+def make_length_buckets(min_len: int, max_len: int, ratio: float = 1.27) -> List[int]:
+    """Geometric grid of pad-to lengths, multiples of 8."""
+    out = []
+    x = float(max(min_len, 8))
+    while x < max_len:
+        out.append(int(np.ceil(x / 8.0) * 8))
+        x *= ratio
+    out.append(int(np.ceil(max_len / 8.0) * 8))
+    return sorted(set(out))
+
+
+class Extractor:
+    """Loads a trained model dir and embeds utterances in device batches."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        node: Optional[str] = None,
+        batch_size: int = 32,
+        chunk_size: int = 10000,
+        min_chunk_size: int = 25,
+        normalize: bool = False,
+    ):
+        nnet_dir = os.path.join(model_dir, "nnet")
+        if not os.path.isdir(nnet_dir):
+            nnet_dir = model_dir  # allow passing the nnet dir directly
+        self.params = Params(os.path.join(nnet_dir, "config.json"))
+        if node:
+            self.params.dict["embedding_node"] = node
+        self.node = self.params.dict.get("embedding_node", "tdnn6_dense")
+        with open(os.path.join(nnet_dir, "feature_dim")) as f:
+            self.dim = int(f.read().strip())
+        self.batch_size = batch_size
+        self.chunk_size = chunk_size
+        self.min_chunk_size = min_chunk_size
+        self.normalize = normalize
+        self.buckets = make_length_buckets(min_chunk_size, chunk_size)
+
+        raw, step = checkpoints.load_checkpoint(nnet_dir)
+        log.info("Loaded checkpoint step %d from %s (node %s)", step, nnet_dir, self.node)
+        self.variables = {
+            "params": raw["params"]["network"],
+            "batch_stats": raw.get("batch_stats", {}).get("network", {}),
+        }
+        self.net = EntireNetwork(
+            config=self.params.dict,
+            network_type=self.params.dict.get("network_type", "tdnn"),
+        )
+
+        def fwd(variables, feats, mask):
+            _, endpoints = self.net.apply(variables, feats, False, mask=mask)
+            return endpoints[self.node]
+
+        self._fwd = jax.jit(fwd)
+
+    # ------------------------------------------------------------------
+    def _embed_batch(self, feats: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = self._fwd(self.variables, jnp.asarray(feats), jnp.asarray(mask))
+        return np.asarray(out)
+
+    def _bucket_for(self, length: int) -> int:
+        for b in self.buckets:
+            if length <= b:
+                return b
+        return self.buckets[-1]
+
+    def embed_stream(
+        self, stream: Iterable[Tuple[str, np.ndarray]]
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """Yield (key, embedding) for a stream of (key, features [T, D]).
+
+        Ordering note: results are emitted as buckets fill, i.e. not in input
+        order; callers that need order should collect into a dict.
+        """
+        pending: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+
+        def flush(bucket: int):
+            items = pending.pop(bucket, [])
+            if not items:
+                return
+            b = len(items)
+            feats = np.zeros((self.batch_size, bucket, self.dim), np.float32)
+            mask = np.zeros((self.batch_size, bucket), np.float32)
+            for i, (_, f) in enumerate(items):
+                feats[i, : f.shape[0]] = f
+                mask[i, : f.shape[0]] = 1.0
+            emb = self._embed_batch(feats, mask)
+            for i, (key, _) in enumerate(items):
+                yield key, emb[i]
+
+        for key, feature in stream:
+            T = feature.shape[0]
+            if T < self.min_chunk_size:
+                log.info("Key %s length too short, %d < %d, skip.", key, T, self.min_chunk_size)
+                continue
+            if T > self.chunk_size:
+                yield key, self._embed_long(key, feature)
+                continue
+            bucket = self._bucket_for(T)
+            pending.setdefault(bucket, []).append((key, feature))
+            if len(pending[bucket]) == self.batch_size:
+                yield from flush(bucket)
+        for bucket in sorted(pending):
+            yield from flush(bucket)
+
+    def _embed_long(self, key: str, feature: np.ndarray) -> np.ndarray:
+        """50%-overlap chunking + length-weighted average (extract.py:69-93)."""
+        T = feature.shape[0]
+        half = self.chunk_size // 2
+        num_chunks = int(np.ceil(float(T - self.chunk_size) / half)) + 1
+        log.info("Key %s length %d > %d, split to %d chunks.", key, T, self.chunk_size, num_chunks)
+        chunks, lengths = [], []
+        for i in range(num_chunks):
+            start = i * half
+            this = self.chunk_size if T - start > self.chunk_size else T - start
+            lengths.append(this)
+            chunks.append(feature[start : start + this])
+        embs = []
+        for c in chunks:
+            bucket = self._bucket_for(c.shape[0])
+            feats = np.zeros((1, bucket, self.dim), np.float32)
+            mask = np.zeros((1, bucket), np.float32)
+            feats[0, : c.shape[0]] = c
+            mask[0, : c.shape[0]] = 1.0
+            embs.append(self._embed_batch(feats, mask)[0])
+        embs = np.stack(embs)
+        lengths = np.asarray(lengths, np.float64)[:, None]
+        if self.normalize:
+            embs = embs / np.sqrt(np.sum(np.square(embs), axis=1, keepdims=True))
+        return (np.sum(embs * lengths, axis=0) / np.sum(lengths)).astype(np.float32)
+
+    def embed_utterance(self, feature: np.ndarray) -> np.ndarray:
+        """Single-utterance path (same numbers as embed_stream)."""
+        out = list(self.embed_stream([("utt", feature)]))
+        assert out, "utterance shorter than min_chunk_size"
+        emb = out[0][1]
+        return emb
