@@ -1,0 +1,245 @@
+"""Two-covariance PLDA: estimation, scoring, unsupervised adaptation.
+
+Replaces the Kaldi binaries used by the reference recipes
+(``ivector-compute-plda``, ``ivector-plda-scoring``, ``ivector-adapt-plda``,
+``ivector-copy-plda`` — egs/voxceleb/v1/run.sh:383-401, egs/sre/v1/run.sh:406-470).
+
+Model (Kaldi plda.h conventions): class means y ~ N(mu, Phi_b); examples
+x | y ~ N(y, Phi_w). Scoring works in the simultaneously-diagonalized space
+(A Phi_w Aᵀ = I, A Phi_b Aᵀ = diag(Psi)); the verification log-likelihood
+ratio for a test vector against an n-example enrollment mean follows
+Kaldi's Plda::LogLikelihoodRatio closed form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+M_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclass
+class Plda:
+    mean: np.ndarray        # [D] global mean (original space)
+    transform: np.ndarray   # [D, D] diagonalizing transform A
+    psi: np.ndarray         # [D] between-class variances in transformed space
+
+    @property
+    def dim(self) -> int:
+        return self.mean.shape[0]
+
+    # ------------------------------------------------------------------
+    def transform_ivector(self, x: np.ndarray, num_examples: int = 1,
+                          simple_length_norm: bool = False) -> Tuple[np.ndarray, float]:
+        """Project into the diagonalized space with Kaldi's length scaling.
+
+        The normalization factor makes ||scaled x||² ≈ dim under the model
+        (Plda::TransformIvector / GetNormalizationFactor).
+        """
+        u = self.transform @ (np.asarray(x, np.float64) - self.mean)
+        if simple_length_norm:
+            factor = np.sqrt(self.dim) / max(np.linalg.norm(u), 1e-12)
+        else:
+            inv_covar = 1.0 / (self.psi + 1.0 / num_examples)
+            factor = np.sqrt(self.dim / max(inv_covar @ (u * u), 1e-12))
+        return u * factor, float(factor)
+
+    def log_likelihood_ratio(
+        self, transformed_enroll: np.ndarray, num_enroll: int, transformed_test: np.ndarray
+    ) -> float:
+        """Kaldi Plda::LogLikelihoodRatio.
+
+        Given the mean of n enrollment vectors ū and a test vector t (both
+        already transformed):
+            H_same:  t ~ N( nΨ/(nΨ+I) ū,  I + Ψ/(nΨ+I) )
+            H_diff:  t ~ N( 0,            I + Ψ )
+        """
+        n = num_enroll
+        psi = self.psi
+        mean = (n * psi) / (n * psi + 1.0) * transformed_enroll
+        var_given = 1.0 + psi / (n * psi + 1.0)
+        logdet_given = np.sum(np.log(var_given))
+        sqdiff = (transformed_test - mean) ** 2
+        loglike_given = -0.5 * (logdet_given + M_LOG_2PI * self.dim + np.sum(sqdiff / var_given))
+
+        var_without = 1.0 + psi
+        logdet_without = np.sum(np.log(var_without))
+        sq = transformed_test**2
+        loglike_without = -0.5 * (logdet_without + M_LOG_2PI * self.dim + np.sum(sq / var_without))
+        return float(loglike_given - loglike_without)
+
+    def score_trials(
+        self,
+        enroll: Dict[str, np.ndarray],
+        enroll_counts: Dict[str, int],
+        test: Dict[str, np.ndarray],
+        trials: Iterable[Tuple[str, str]],
+        simple_length_norm: bool = False,
+    ) -> np.ndarray:
+        """Batch trial scoring (ivector-plda-scoring), vectorized over trials."""
+        e_keys = sorted(enroll)
+        t_keys = sorted(test)
+        e_idx = {k: i for i, k in enumerate(e_keys)}
+        t_idx = {k: i for i, k in enumerate(t_keys)}
+        E = np.stack([
+            self.transform_ivector(enroll[k], enroll_counts.get(k, 1), simple_length_norm)[0]
+            for k in e_keys
+        ])
+        T = np.stack([
+            self.transform_ivector(test[k], 1, simple_length_norm)[0] for k in t_keys
+        ])
+        counts = np.array([enroll_counts.get(k, 1) for k in e_keys], np.float64)
+
+        psi = self.psi[None, :]
+        n = counts[:, None]
+        mean_coef = (n * psi) / (n * psi + 1.0)        # [E, D]
+        var_given = 1.0 + psi / (n * psi + 1.0)        # [E, D]
+        logdet_given = np.sum(np.log(var_given), axis=1)
+        var_without = 1.0 + self.psi
+        logdet_without = np.sum(np.log(var_without))
+
+        scores = []
+        for e_key, t_key in trials:
+            i, j = e_idx[e_key], t_idx[t_key]
+            mean = mean_coef[i] * E[i]
+            sq = (T[j] - mean) ** 2
+            lg = -0.5 * (logdet_given[i] + M_LOG_2PI * self.dim + np.sum(sq / var_given[i]))
+            lw = -0.5 * (logdet_without + M_LOG_2PI * self.dim + np.sum(T[j] ** 2 / var_without))
+            scores.append(lg - lw)
+        return np.asarray(scores)
+
+    # ------------------------------------------------------------------
+    def smooth_within_class_covariance(self, factor: float) -> "Plda":
+        """Kaldi Plda::SmoothWithinClassCovariance: add factor × within to
+        within; rescale so within stays identity."""
+        assert 0.0 <= factor
+        scale = 1.0 + factor
+        psi = self.psi / scale
+        transform = self.transform / np.sqrt(scale)
+        return Plda(mean=self.mean.copy(), transform=transform, psi=psi)
+
+    def adapt(
+        self,
+        adaptation_vectors: np.ndarray,
+        mean_diff_scale: float = 1.0,
+        within_covar_scale: float = 0.3,
+        between_covar_scale: float = 0.7,
+    ) -> "Plda":
+        """Unsupervised domain adaptation (Kaldi PldaUnsupervisedAdaptor /
+        ivector-adapt-plda, used by the SRE16 recipe at sre run.sh:447-470).
+
+        Excess variance of the adaptation data (over the model's total
+        variance) along each principal direction is distributed to the
+        within/between covariances with the configured scales; the mean
+        shift is absorbed into the model mean.
+        """
+        x = np.asarray(adaptation_vectors, np.float64)
+        data_mean = x.mean(axis=0)
+        xc = x - data_mean
+        data_cov = xc.T @ xc / x.shape[0]
+        # mean update: absorb (scaled) domain mean shift
+        new_mean = self.mean + mean_diff_scale * (data_mean - self.mean)
+
+        # Work in the PLDA-transformed space where within=I, between=diag(psi).
+        T = self.transform
+        cov_proj = T @ data_cov @ T.T
+        evals, evecs = np.linalg.eigh(cov_proj)  # data variance along P dirs
+        psi_proj = evecs.T @ np.diag(self.psi) @ evecs
+
+        within_add = np.zeros_like(cov_proj)
+        between_add = np.zeros_like(cov_proj)
+        for i in range(self.dim):
+            model_var = 1.0 + psi_proj[i, i]
+            excess = max(evals[i] - model_var, 0.0)
+            d = evecs[:, i : i + 1]
+            within_add += within_covar_scale * excess * (d @ d.T)
+            between_add += between_covar_scale * excess * (d @ d.T)
+
+        within = np.eye(self.dim) + within_add
+        between = np.diag(self.psi) + between_add
+        # Re-diagonalize: W^{-1/2}, then eigendecompose between.
+        wvals, wvecs = np.linalg.eigh(within)
+        wvals = np.maximum(wvals, 1e-10)
+        w_half_inv = wvecs @ np.diag(wvals**-0.5) @ wvecs.T
+        b2 = w_half_inv @ between @ w_half_inv.T
+        bvals, bvecs = np.linalg.eigh(b2)
+        order = np.argsort(bvals)[::-1]
+        new_psi = np.maximum(bvals[order], 0.0)
+        new_transform = bvecs[:, order].T @ w_half_inv @ T
+        return Plda(mean=new_mean, transform=new_transform, psi=new_psi)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        np.savez(path, mean=self.mean, transform=self.transform, psi=self.psi)
+
+    @classmethod
+    def load(cls, path: str) -> "Plda":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return cls(mean=z["mean"], transform=z["transform"], psi=z["psi"])
+
+
+def train_plda(
+    vectors: np.ndarray,
+    labels: Sequence,
+    num_em_iters: int = 10,
+) -> Plda:
+    """Estimate a PLDA model by EM (ivector-compute-plda equivalent).
+
+    Args:
+        vectors: [N, D] training vectors (typically length-normalized,
+            LDA-projected x-vectors).
+        labels: [N] class (speaker) ids.
+    """
+    x = np.asarray(vectors, np.float64)
+    labels = np.asarray(labels)
+    classes = np.unique(labels)
+    dim = x.shape[1]
+    mean = x.mean(axis=0)
+    xc = x - mean
+
+    # Per-class sufficient statistics.
+    counts = np.array([np.sum(labels == c) for c in classes], np.float64)
+    sums = np.stack([xc[labels == c].sum(axis=0) for c in classes])
+    total_scatter = xc.T @ xc
+
+    # Init from empirical between/within scatter.
+    class_means = sums / counts[:, None]
+    within = np.zeros((dim, dim))
+    for i, c in enumerate(classes):
+        d = xc[labels == c] - class_means[i]
+        within += d.T @ d
+    n_total = x.shape[0]
+    phi_w = within / n_total + 1e-6 * np.eye(dim)
+    phi_b = (class_means * counts[:, None]).T @ class_means / n_total + 1e-6 * np.eye(dim)
+
+    for _ in range(num_em_iters):
+        inv_w = np.linalg.inv(phi_w)
+        inv_b = np.linalg.inv(phi_b)
+        new_b = np.zeros((dim, dim))
+        e_wsum = np.zeros((dim, dim))
+        for i in range(len(classes)):
+            n = counts[i]
+            prec = inv_b + n * inv_w
+            cov_post = np.linalg.inv(prec)
+            m_post = cov_post @ (inv_w @ sums[i])
+            new_b += cov_post + np.outer(m_post, m_post)
+            # within-stats: E[(x - y)(x - y)ᵀ] summed over the class
+            e_wsum += n * cov_post - np.outer(m_post, sums[i]) - np.outer(sums[i], m_post) + n * np.outer(m_post, m_post)
+        phi_b = new_b / len(classes)
+        phi_w = (total_scatter + e_wsum) / n_total
+        phi_b = 0.5 * (phi_b + phi_b.T) + 1e-8 * np.eye(dim)
+        phi_w = 0.5 * (phi_w + phi_w.T) + 1e-8 * np.eye(dim)
+
+    # Simultaneous diagonalization: A phi_w Aᵀ = I, A phi_b Aᵀ = diag(psi).
+    wvals, wvecs = np.linalg.eigh(phi_w)
+    wvals = np.maximum(wvals, 1e-10)
+    w_half_inv = wvecs @ np.diag(wvals**-0.5) @ wvecs.T
+    b2 = w_half_inv @ phi_b @ w_half_inv.T
+    bvals, bvecs = np.linalg.eigh(b2)
+    order = np.argsort(bvals)[::-1]
+    psi = np.maximum(bvals[order], 0.0)
+    transform = bvecs[:, order].T @ w_half_inv
+    return Plda(mean=mean, transform=transform, psi=psi)
