@@ -170,7 +170,9 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
         self.dim = dim
         self.num_speakers = num_speakers
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            mesh = make_mesh(model_parallel=int(params.dict.get("model_parallel", 1)))
+        self.mesh = mesh
         self.rep = NamedSharding(self.mesh, P())
         self.bsh = NamedSharding(self.mesh, P(DATA_AXIS))
 
@@ -237,15 +239,20 @@ class Trainer:
             feats, labels, 0, True,
         )
         self.tx = make_optimizer(self.params.dict)
-        params = variables["params"]
+        # Apply the sharding rules (sharded speaker-softmax when the mesh has
+        # a model axis); the optimizer state inherits the param shardings
+        # because its init is elementwise over the placed params.
+        from ..parallel.sharding_rules import shard_params
+
+        params = shard_params(variables["params"], self.mesh)
         state = TrainState(
             params=params,
-            batch_stats=variables.get("batch_stats", {}),
-            loss_stats=variables.get("loss_stats", {}),
+            batch_stats=jax.device_put(variables.get("batch_stats", {}), self.rep),
+            loss_stats=jax.device_put(variables.get("loss_stats", {}), self.rep),
             opt_state=self.tx.init(params),
-            step=jnp.zeros((), jnp.int32),
+            step=jax.device_put(jnp.zeros((), jnp.int32), self.rep),
         )
-        self.state = jax.device_put(state, self.rep)
+        self.state = state
 
     def _variables(self, state: TrainState) -> Dict[str, Any]:
         v = {"params": state.params, "batch_stats": state.batch_stats}
@@ -308,10 +315,11 @@ class Trainer:
             }
             return new_state, metrics
 
+        # State shardings are inherited from the placed arrays (replicated
+        # trunk, rule-sharded softmax kernel); only the batch is pinned.
         self._train_step = jax.jit(
             step_fn,
-            in_shardings=(self.rep, self.bsh, self.bsh, self.rep),
-            out_shardings=(self.rep, self.rep),
+            in_shardings=(None, self.bsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
 
@@ -333,7 +341,7 @@ class Trainer:
 
         self._valid_step = jax.jit(
             valid_fn,
-            in_shardings=(self.rep, self.bsh, self.bsh),
+            in_shardings=(None, self.bsh, self.bsh),
             out_shardings=(self.rep, self.bsh),
         )
 
@@ -369,7 +377,15 @@ class Trainer:
                 else:
                     self._init_state()
             state, step = checkpoints.load_checkpoint(self.model, self.state, step)
-            self.state = jax.device_put(state, self.rep)
+            from ..parallel.sharding_rules import shard_params
+
+            self.state = state.replace(
+                params=shard_params(state.params, self.mesh),
+                batch_stats=jax.device_put(state.batch_stats, self.rep),
+                loss_stats=jax.device_put(state.loss_stats, self.rep),
+                opt_state=jax.device_put(state.opt_state, self.rep),
+                step=jax.device_put(state.step, self.rep),
+            )
             return int(step)
         except FileNotFoundError:
             return 0
