@@ -266,3 +266,79 @@ class MultiRandomChunkSampler:
             for r in self.readers.values():
                 r.close()
             self.readers = None
+
+
+class MultiSequentialChunkSampler:
+    """One-pass multi-stream loader (reference KaldiMultiDataSeqQueue,
+    data_loader.py:775-826): dict-of-features batches, aux chunks cut at the
+    same start frame as the main chunk."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        aux_data: Dict[str, str],
+        spklist: str,
+        batch_size: int = 128,
+        min_len: int = 200,
+        max_len: int = 400,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_buckets: int = 8,
+        feature_list=None,
+        features2spk=None,
+    ):
+        self.data_dir = data_dir
+        self.aux_data = aux_data
+        if feature_list is None:
+            spk2features, features2spk, _ = get_aux_speaker_info(data_dir, aux_data, spklist)
+            feature_list = [f for feats in spk2features.values() for f in feats]
+        self.feature_list = list(feature_list)
+        self.features2spk = features2spk
+        self.batch_size = batch_size
+        self.buckets = bucket_lengths(min_len, max_len, num_buckets)
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        if shuffle:
+            self.rng.shuffle(self.feature_list)
+        self.readers: Optional[Dict[str, FeatureReader]] = None
+
+    @property
+    def num_batches(self) -> int:
+        return len(self.feature_list) // self.batch_size
+
+    def __iter__(self):
+        if self.readers is None:
+            self.readers = {"features": FeatureReader(self.data_dir)}
+            for name, d in self.aux_data.items():
+                self.readers[name] = FeatureReader(d)
+        rng = self.rng
+        main = self.readers["features"]
+        for i in range(self.num_batches):
+            batch = self.feature_list[i * self.batch_size : (i + 1) * self.batch_size]
+            batch_length = rng.choice(self.buckets)
+            for fdict in batch:
+                batch_length = min(
+                    batch_length, main.utt2num_frames[fdict["features"].split(" ")[0]]
+                )
+            features = {
+                name: np.zeros((self.batch_size, batch_length, r.dim), dtype=np.float32)
+                for name, r in self.readers.items()
+            }
+            labels = np.zeros((self.batch_size,), dtype=np.int32)
+            for j, fdict in enumerate(batch):
+                mat, start = main.read_segment(
+                    fdict["features"], batch_length, shuffle=self.shuffle, rng=rng
+                )
+                features["features"][j] = mat
+                for name in self.aux_data:
+                    features[name][j], _ = self.readers[name].read_segment(
+                        fdict[name], batch_length, start=start
+                    )
+                labels[j] = self.features2spk[fdict["features"]]
+            yield features, labels
+
+    def close(self) -> None:
+        if self.readers:
+            for r in self.readers.values():
+                r.close()
+            self.readers = None

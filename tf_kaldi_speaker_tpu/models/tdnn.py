@@ -50,6 +50,19 @@ class TDNN(nn.Module):
                 use_running_average=not train, momentum=bn_momentum, name=name
             )
 
+        if aux_features:
+            # Multi-input support (reference model/trainer_mi.py): aux streams
+            # are exposed as endpoints (usable as attention/vlad taps via
+            # e.g. att_key_input="aux_bnf") and optionally concatenated onto
+            # the input along the feature axis (``aux_concat_input`` config).
+            for aux_name, aux in aux_features.items():
+                endpoints[f"aux_{aux_name}"] = aux
+            concat = cfg.get("aux_concat_input", [])
+            if concat:
+                features = jnp.concatenate(
+                    [features] + [aux_features[n] for n in concat], axis=-1
+                )
+
         x = features  # [B, L, D]
         width = cfg.get("tdnn_layer_size", 512)
 

@@ -76,11 +76,12 @@ class XVectorModel(nn.Module):
         aux_enabled: bool = True,
         mask=None,
         loss_func_override: Optional[str] = None,
+        aux_features=None,
     ):
         out, endpoints = EntireNetwork(
             config=self.config, network_type=self.config.get("network_type", "tdnn"),
             name="network",
-        )(features, train=train, mask=mask)
+        )(features, train=train, mask=mask, aux_features=aux_features)
         loss_func = loss_func_override or self.loss_func
         loss, ep = LossHead(
             loss_func=loss_func, num_outputs=self.num_outputs, config=self.config,

@@ -1,0 +1,287 @@
+"""Multi-input trainer: main features + named auxiliary feature streams.
+
+Behavioral spec: reference model/trainer_mi.py (TrainerMultiInput) — the
+network receives a dict of aux streams (bottleneck/linguistic features),
+cut at the same start frame as the main chunk. ``aux_feature_dim`` (dict
+name -> dim) must be configured; streams reach the network as endpoints
+``aux_<name>`` plus optional input concatenation (models/tdnn.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    DataOutOfRange,
+    KaldiMultiDataRandomQueue,
+    KaldiMultiDataSeqQueue,
+)
+from .trainer import Trainer
+
+log = logging.getLogger("tfks.trainer_mi")
+
+
+class TrainerMultiInput(Trainer):
+    def __init__(self, params, model_dir, dim=None, num_speakers=None, mesh=None, **kw):
+        assert "aux_feature_dim" in params.dict, (
+            "The dim of auxiliary features must be specified as a dict."
+        )
+        super().__init__(params, model_dir, dim=dim, num_speakers=num_speakers, mesh=mesh, **kw)
+        self.aux_dims: Dict[str, int] = dict(params.aux_feature_dim)
+
+    # ------------------------------------------------------------------
+    def _sample_batch(self):
+        b = max(2, self.mesh.shape["data"])
+        feats = jnp.zeros((b, 64, self.dim), jnp.float32)
+        labels = jnp.zeros((b,), jnp.int32)
+        return feats, labels
+
+    def _init_state(self) -> None:
+        feats, labels = self._sample_batch()
+        aux = {
+            name: jnp.zeros((feats.shape[0], feats.shape[1], d), jnp.float32)
+            for name, d in self.aux_dims.items()
+        }
+        variables = self.network_model.init(
+            jax.random.PRNGKey(int(self.params.dict.get("seed", 0))),
+            feats, labels, 0, True, aux_features=aux,
+        )
+        from ..parallel.sharding_rules import shard_params
+        from .trainer import TrainState, make_optimizer
+
+        self.tx = make_optimizer(self.params.dict)
+        params = shard_params(variables["params"], self.mesh)
+        self.state = TrainState(
+            params=params,
+            batch_stats=jax.device_put(variables.get("batch_stats", {}), self.rep),
+            loss_stats=jax.device_put(variables.get("loss_stats", {}), self.rep),
+            opt_state=self.tx.init(params),
+            step=jax.device_put(jnp.zeros((), jnp.int32), self.rep),
+        )
+
+    def _build_train(self) -> None:
+        from flax import traverse_util
+
+        import optax
+
+        from .trainer import _revert_frozen_stats, freeze_mask, l2_regularization, make_optimizer
+
+        cfg = self.params.dict
+        wreg = float(cfg.get("weight_l2_regularizer", 0.0))
+        out_wreg = float(cfg.get("output_weight_l2_regularizer", wreg))
+        tx = self.tx if self.tx is not None else make_optimizer(cfg)
+        self.tx = tx
+        mask = freeze_mask(self.state.params, self.noupdate_var_list)
+        noupdate = self.noupdate_var_list
+
+        def step_fn(state, features, aux_features, labels, lr):
+            def loss_fn(params):
+                mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
+                (loss, endpoints), updates = self.network_model.apply(
+                    {"params": params, "batch_stats": state.batch_stats,
+                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
+                    features, labels, state.step, True, mutable=mutable,
+                    aux_features=aux_features,
+                )
+                reg = l2_regularization(params, wreg, out_wreg)
+                penalty = endpoints.get("attention_penalty", 0.0)
+                return loss + reg + penalty, (loss, reg, penalty, updates)
+
+            grads, (loss, reg, penalty, updates) = jax.grad(loss_fn, has_aux=True)(state.params)
+            upd, opt_state = tx.update(grads, state.opt_state, state.params)
+            if mask is not None:
+                upd = jax.tree.map(lambda u, m: u * m, upd, mask)
+            upd = jax.tree.map(lambda u: -lr * u, upd)
+            params = optax.apply_updates(state.params, upd)
+            new_bs = _revert_frozen_stats(
+                updates.get("batch_stats", state.batch_stats), state.batch_stats, noupdate
+            )
+            new_state = state.replace(
+                params=params,
+                batch_stats=new_bs,
+                loss_stats=updates.get("loss_stats", state.loss_stats),
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            return new_state, {"loss": loss, "regularization_loss": reg, "penalty_loss": penalty}
+
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_valid(self) -> None:
+        from .trainer import VALID_MARGIN_NEUTRAL
+
+        loss_override = (
+            "e2e_valid_loss" if self.loss_type == "angular_triplet_loss" else None
+        )
+        margin_override = VALID_MARGIN_NEUTRAL.get(self.loss_type)
+
+        def valid_fn(state, features, aux_features, labels):
+            loss, endpoints = self.network_model.apply(
+                self._variables(state),
+                features, labels, state.step, False,
+                margin_override=margin_override, aux_enabled=False,
+                loss_func_override=loss_override, aux_features=aux_features,
+            )
+            return loss, endpoints["output"]
+
+        self._valid_step = jax.jit(
+            valid_fn, in_shardings=(None, self.bsh, self.bsh, self.bsh)
+        )
+
+    def _build_predict(self) -> None:
+        from ..models import EntireNetwork
+
+        node = self.params.dict.get("embedding_node", "tdnn6_dense")
+
+        def predict_fn(variables, features, aux_features):
+            net = EntireNetwork(
+                config=self.params.dict,
+                network_type=self.params.dict.get("network_type", "tdnn"),
+            )
+            _, endpoints = net.apply(variables, features, False, aux_features=aux_features)
+            return endpoints[node]
+
+        self._predict_jit = jax.jit(predict_fn)
+
+    # ------------------------------------------------------------------
+    def _split_main_aux(self, features: Dict[str, np.ndarray]):
+        main = features["features"]
+        aux = {k: v for k, v in features.items() if k != "features"}
+        return main, aux
+
+    def _shard_multi(self, features, labels):
+        main, aux = self._split_main_aux(features)
+        n = self.mesh.shape["data"]
+        b = main.shape[0]
+        if b % n != 0:
+            pad = n - b % n
+            main = np.concatenate([main, np.tile(main[-1:], (pad, 1, 1))], 0)
+            aux = {k: np.concatenate([v, np.tile(v[-1:], (pad, 1, 1))], 0) for k, v in aux.items()}
+            labels = np.concatenate([labels, np.tile(labels[-1:], pad)], 0)
+        return (
+            jax.device_put(main, self.bsh),
+            {k: jax.device_put(v, self.bsh) for k, v in aux.items()},
+            jax.device_put(labels, self.bsh),
+        )
+
+    def train(self, data_dir, spklist, learning_rate, aux_data=None) -> None:
+        cfg = self.params.dict
+        num_steps = int(cfg["num_steps_per_epoch"])
+        show = int(cfg.get("show_training_progress", 100))
+        save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        loader = KaldiMultiDataRandomQueue(
+            data_dir, aux_data, spklist,
+            num_parallel=int(cfg.get("num_parallel_datasets", 4)),
+            max_qsize=int(cfg.get("max_queue_size", 10)),
+            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_segments=int(cfg.get("num_segments_per_speaker", 1)),
+            min_len=int(cfg.get("min_segment_len", 200)),
+            max_len=int(cfg.get("max_segment_len", 400)),
+            seed=int(cfg.get("seed", 0)) + int(self.state.step),
+        ).start()
+        lr = jnp.float32(learning_rate)
+        t0 = time.time()
+        try:
+            for local_step in range(num_steps):
+                features, labels = loader.fetch()
+                main, aux, l = self._shard_multi(features, labels)
+                self.state, metrics = self._train_step(self.state, main, aux, l, lr)
+                gstep = int(self.state.step)
+                if show and local_step % show == 0:
+                    m = jax.device_get(metrics)
+                    log.info("step %d: loss %.4f (%.2f steps/s)", gstep, m["loss"],
+                             (local_step + 1) / (time.time() - t0))
+                if save_every and gstep % save_every == 0:
+                    self.save(gstep)
+        finally:
+            loader.stop()
+        self.save(int(self.state.step))
+
+    def valid(
+        self, data_dir, spklist, batch_type="softmax", output_embeddings=False, aux_data=None
+    ) -> Tuple[float, Optional[np.ndarray], Optional[np.ndarray]]:
+        cfg = self.params.dict
+        embeddings, labels_out = None, None
+        batch_size = int(cfg.get("num_speakers_per_batch", 64)) * int(
+            cfg.get("num_segments_per_speaker", 1)
+        )
+        if output_embeddings:
+            seq = KaldiMultiDataSeqQueue(
+                data_dir, aux_data, spklist, num_parallel=2, batch_size=batch_size,
+                min_len=int(cfg.get("min_segment_len", 200)),
+                max_len=int(cfg.get("max_segment_len", 400)), shuffle=False,
+            ).start()
+            embs, labs = [], []
+            try:
+                while True:
+                    features, labels = seq.fetch()
+                    b = labels.shape[0]
+                    main, aux, l = self._shard_multi(features, labels)
+                    _, emb = self._valid_step(self.state, main, aux, l)
+                    embs.append(np.asarray(emb)[:b])
+                    labs.append(labels)
+            except DataOutOfRange:
+                pass
+            finally:
+                seq.stop()
+            embeddings = np.concatenate(embs, 0) if embs else np.zeros((0, 1))
+            labels_out = np.concatenate(labs, 0) if labs else np.zeros((0,), np.int32)
+
+        max_iter = int(cfg.get("valid_max_iterations", 100))
+        if batch_type == "softmax":
+            loader = KaldiMultiDataSeqQueue(
+                data_dir, aux_data, spklist, num_parallel=2, batch_size=batch_size,
+                min_len=int(cfg.get("min_segment_len", 200)),
+                max_len=int(cfg.get("max_segment_len", 400)), shuffle=True,
+            ).start()
+        else:
+            loader = KaldiMultiDataRandomQueue(
+                data_dir, aux_data, spklist, num_parallel=2,
+                num_speakers=int(cfg["num_valid_speakers_per_batch"]),
+                num_segments=int(cfg["num_valid_segments_per_speaker"]),
+                min_len=int(cfg.get("min_segment_len", 200)),
+                max_len=int(cfg.get("max_segment_len", 400)),
+            ).start()
+        losses = []
+        try:
+            for _ in range(max_iter):
+                features, labels = loader.fetch()
+                main, aux, l = self._shard_multi(features, labels)
+                loss, _ = self._valid_step(self.state, main, aux, l)
+                losses.append(float(loss))
+        except DataOutOfRange:
+            pass
+        finally:
+            loader.stop()
+        return (float(np.mean(losses)) if losses else float("nan")), embeddings, labels_out
+
+    def predict(self, features, aux_features=None):
+        """features [B, L, D] or [L, D]; aux_features dict matching ranks.
+
+        Rank checking mirrors reference trainer_mi.py:590-619.
+        """
+        rank2 = features.ndim == 2
+        if rank2:
+            features = features[None]
+            aux_features = {k: v[None] for k, v in (aux_features or {}).items()}
+        for name, v in (aux_features or {}).items():
+            assert v.ndim == 3 and v.shape[1] == features.shape[1], name
+        variables = {
+            "params": self.state.params["network"],
+            "batch_stats": self.state.batch_stats.get("network", {}),
+        }
+        out = np.asarray(
+            self._predict_jit(variables, jnp.asarray(features),
+                              {k: jnp.asarray(v) for k, v in (aux_features or {}).items()})
+        )
+        return out[0] if rank2 else out
