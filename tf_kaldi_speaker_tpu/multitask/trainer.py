@@ -1,0 +1,357 @@
+"""Multitask trainer: joint speaker+phone training loop.
+
+Behavioral spec: reference model/multitask_v1/base_v1.py (BaseMT) — train
+with weighted spk+phn losses, valid with both losses + accuracies
+(base_v1.py:245-378), dual predict heads (:871-948), per-class
+training-example statistics (:950-995). Reuses the base Trainer's
+checkpoint/sharding machinery.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import DATA_AXIS
+from ..train.trainer import (
+    TrainState,
+    Trainer,
+    VALID_MARGIN_NEUTRAL,
+    _revert_frozen_stats,
+    freeze_mask,
+    l2_regularization,
+    make_optimizer,
+)
+from .common import make_phone_masks
+from .data_v2 import KaldiDataRandomQueueV2, KaldiDataSeqQueueV2
+from .model import MultitaskModel
+
+log = logging.getLogger("tfks.trainer_mt")
+
+
+class TrainerMultiTask(Trainer):
+    def __init__(self, params, model_dir, dim=None, num_speakers=None,
+                 num_phones=None, mesh=None, **kw):
+        super().__init__(params, model_dir, dim=dim, num_speakers=num_speakers,
+                         mesh=mesh, **kw)
+        self.num_phones = num_phones
+        self.lc = int(params.dict["phone_left_context"])
+        self.rc = int(params.dict["phone_right_context"])
+        self.num_frames_per_utt = int(params.dict.get("num_frames_per_utt", 10))
+        self._mask_rng = np.random.RandomState(int(params.dict.get("seed", 0)))
+        # Per-class example counters (base_v1.py:950-995).
+        self.speaker_egs = None
+        self.phone_egs = None
+
+    # ------------------------------------------------------------------
+    def build(self, mode, dim=None, loss_type=None, num_speakers=None,
+              num_phones=None, noupdate_var_list=None):
+        assert mode in ("train", "valid", "predict")
+        if dim is not None:
+            self.dim = dim
+        if num_speakers is not None:
+            self.num_speakers = num_speakers
+        if num_phones is not None:
+            self.num_phones = num_phones
+        self.noupdate_var_list = noupdate_var_list
+        self.loss_type = self.params.dict.get("spk_loss_type", "softmax")
+        if self.network_model is None:
+            self.network_model = MultitaskModel(
+                config=self.params.dict,
+                num_speakers=self.num_speakers,
+                num_phones=self.num_phones,
+            )
+        if mode == "predict":
+            self._build_predict()
+            return
+        if self.state is None:
+            self._init_state()
+        if mode == "train":
+            self._build_train()
+        else:
+            self._build_valid()
+        self.is_built = True
+
+    def _sample_inputs(self):
+        b = max(2, self.mesh.shape[DATA_AXIS])
+        L = 32
+        feats = jnp.zeros((b, L + self.lc + self.rc, self.dim), jnp.float32)
+        spk = jnp.zeros((b,), jnp.int32)
+        phn = jnp.zeros((b, L), jnp.int32)
+        length = jnp.full((b,), L, jnp.int32)
+        idx = jnp.zeros((b, self.num_frames_per_utt), jnp.int32)
+        return feats, spk, phn, length, idx
+
+    def _init_state(self) -> None:
+        from ..parallel.sharding_rules import shard_params
+
+        variables = self.network_model.init(
+            jax.random.PRNGKey(int(self.params.dict.get("seed", 0))),
+            *self._sample_inputs(), 0, True,
+        )
+        self.tx = make_optimizer(self.params.dict)
+        params = shard_params(variables["params"], self.mesh)
+        self.state = TrainState(
+            params=params,
+            batch_stats=jax.device_put(variables.get("batch_stats", {}), self.rep),
+            loss_stats=jax.device_put(variables.get("loss_stats", {}), self.rep),
+            opt_state=self.tx.init(params),
+            step=jax.device_put(jnp.zeros((), jnp.int32), self.rep),
+        )
+
+    def _build_train(self) -> None:
+        cfg = self.params.dict
+        wreg = float(cfg.get("weight_l2_regularizer", 0.0))
+        out_wreg = float(cfg.get("output_weight_l2_regularizer", wreg))
+        tx = self.tx if self.tx is not None else make_optimizer(cfg)
+        self.tx = tx
+        mask = freeze_mask(self.state.params, self.noupdate_var_list)
+        noupdate = self.noupdate_var_list
+
+        def step_fn(state, feats, spk, phn, length, idx, lr):
+            def loss_fn(params):
+                mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
+                (loss, endpoints), updates = self.network_model.apply(
+                    {"params": params, "batch_stats": state.batch_stats,
+                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
+                    feats, spk, phn, length, idx, state.step, True, mutable=mutable,
+                )
+                reg = l2_regularization(params, wreg, out_wreg)
+                total = loss + reg
+                spk_logits = endpoints.get("spk_logits")
+                phn_logits = endpoints.get("phn_logits")
+                spk_acc = (
+                    jnp.mean((jnp.argmax(spk_logits, -1) == spk).astype(jnp.float32))
+                    if spk_logits is not None else jnp.float32(0)
+                )
+                phn_acc = (
+                    jnp.mean(
+                        (jnp.argmax(phn_logits, -1) == endpoints["phn_labels_subset"]).astype(jnp.float32)
+                    )
+                    if phn_logits is not None else jnp.float32(0)
+                )
+                return total, (endpoints["spk_loss"], endpoints["phn_loss"], reg,
+                               spk_acc, phn_acc, updates)
+
+            grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+            spk_loss, phn_loss, reg, spk_acc, phn_acc, updates = aux
+            upd, opt_state = tx.update(grads, state.opt_state, state.params)
+            if mask is not None:
+                upd = jax.tree.map(lambda u, m: u * m, upd, mask)
+            upd = jax.tree.map(lambda u: -lr * u, upd)
+            params = optax.apply_updates(state.params, upd)
+            new_bs = _revert_frozen_stats(
+                updates.get("batch_stats", state.batch_stats), state.batch_stats, noupdate
+            )
+            new_state = state.replace(
+                params=params, batch_stats=new_bs,
+                loss_stats=updates.get("loss_stats", state.loss_stats),
+                opt_state=opt_state, step=state.step + 1,
+            )
+            metrics = {
+                "spk_loss": spk_loss, "phn_loss": phn_loss,
+                "regularization_loss": reg,
+                "spk_accuracy": spk_acc, "phn_accuracy": phn_acc,
+                "loss": spk_loss + phn_loss,
+            }
+            return new_state, metrics
+
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_valid(self) -> None:
+        margin_override = VALID_MARGIN_NEUTRAL.get(
+            self.params.dict.get("spk_loss_type", "softmax")
+        )
+
+        def valid_fn(state, feats, spk, phn, length, idx):
+            loss, endpoints = self.network_model.apply(
+                self._variables(state),
+                feats, spk, phn, length, idx, state.step, False,
+                spk_margin_override=margin_override, aux_enabled=False,
+            )
+            spk_acc = jnp.mean(
+                (jnp.argmax(endpoints["spk_logits"], -1) == spk).astype(jnp.float32)
+            ) if "spk_logits" in endpoints else jnp.float32(0)
+            phn_acc = jnp.mean(
+                (jnp.argmax(endpoints["phn_logits"], -1)
+                 == endpoints["phn_labels_subset"]).astype(jnp.float32)
+            ) if "phn_logits" in endpoints else jnp.float32(0)
+            return (endpoints["spk_loss"], endpoints["phn_loss"],
+                    spk_acc, phn_acc, endpoints["mu_zs"])
+
+        self._valid_step = jax.jit(
+            valid_fn,
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh, self.bsh),
+        )
+
+    def _build_predict(self) -> None:
+        def spk_fn(variables, feats, length):
+            return self.network_model.apply(
+                variables, feats, length, method=MultitaskModel.predict_speaker
+            )
+
+        def phn_fn(variables, feats):
+            return self.network_model.apply(
+                variables, feats, method=MultitaskModel.predict_phone
+            )
+
+        self._predict_spk_jit = jax.jit(spk_fn)
+        self._predict_phn_jit = jax.jit(phn_fn)
+
+    # ------------------------------------------------------------------
+    def _loader_kwargs(self):
+        cfg = self.params.dict
+        return dict(
+            left_context=self.lc, right_context=self.rc,
+            min_len=int(cfg.get("min_segment_len", 200)),
+            max_len=int(cfg.get("max_segment_len", 400)),
+        )
+
+    def _shard_mt(self, feats, vad, ali, length, labels, resample):
+        n = self.mesh.shape[DATA_AXIS]
+        b = feats.shape[0]
+        if b % n != 0:
+            pad = n - b % n
+
+            def padrep(x, reps):
+                return np.concatenate([x, np.tile(x[-1:], reps)], 0)
+
+            feats = padrep(feats, (pad, 1, 1))
+            ali = padrep(ali, (pad, 1))
+            length = padrep(length, pad)
+            labels = padrep(labels, pad)
+            resample = padrep(resample, pad)
+        idx = make_phone_masks(length, resample, self.num_frames_per_utt, self._mask_rng)
+        put = lambda x: jax.device_put(x, self.bsh)
+        return put(feats), put(labels), put(ali), put(length), put(idx)
+
+    def train(self, data_dir: str, ali_dir: str, spklist: str, learning_rate: float) -> None:
+        cfg = self.params.dict
+        num_steps = int(cfg["num_steps_per_epoch"])
+        show = int(cfg.get("show_training_progress", 100))
+        save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        loader = KaldiDataRandomQueueV2(
+            data_dir, ali_dir, spklist,
+            num_parallel=int(cfg.get("num_parallel_datasets", 2)),
+            max_qsize=int(cfg.get("max_queue_size", 10)),
+            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_segments=int(cfg.get("num_segments_per_speaker", 1)),
+            seed=int(cfg.get("seed", 0)) + int(self.state.step),
+            **self._loader_kwargs(),
+        ).start()
+        lr = jnp.float32(learning_rate)
+        t0 = time.time()
+        if self.speaker_egs is None:
+            self.speaker_egs = np.zeros(self.num_speakers, np.int64)
+            self.phone_egs = np.zeros(self.num_phones, np.int64)
+        try:
+            for local_step in range(num_steps):
+                feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
+                np.add.at(self.speaker_egs, labels, 1)
+                np.add.at(self.phone_egs, ali.reshape(-1), 1)
+                f, s, a, ln, idx = self._shard_mt(feats, vad, ali, length, labels, resample)
+                self.state, metrics = self._train_step(self.state, f, s, a, ln, idx, lr)
+                gstep = int(self.state.step)
+                if show and local_step % show == 0:
+                    m = jax.device_get(metrics)
+                    log.info(
+                        "step %d: spk %.4f phn %.4f acc %.3f/%.3f (%.2f steps/s)",
+                        gstep, m["spk_loss"], m["phn_loss"],
+                        m["spk_accuracy"], m["phn_accuracy"],
+                        (local_step + 1) / (time.time() - t0),
+                    )
+                if save_every and gstep % save_every == 0:
+                    self.save(gstep)
+        finally:
+            loader.stop()
+        self.save(int(self.state.step))
+        self._dump_egs_stats()
+
+    def _dump_egs_stats(self):
+        """Per-class training-example counts (base_v1.py:950-995)."""
+        root = os.path.dirname(self.model)
+        with open(os.path.join(root, "speaker_egs"), "w") as f:
+            for i, c in enumerate(self.speaker_egs):
+                f.write("%d %d\n" % (i, c))
+        with open(os.path.join(root, "phone_egs"), "w") as f:
+            for i, c in enumerate(self.phone_egs):
+                f.write("%d %d\n" % (i, c))
+
+    def valid(self, data_dir: str, ali_dir: str, spklist: str,
+              output_embeddings: bool = False) -> Tuple[float, float, Optional[np.ndarray], Optional[np.ndarray]]:
+        cfg = self.params.dict
+        batch_size = int(cfg.get("num_speakers_per_batch", 64)) * int(
+            cfg.get("num_segments_per_speaker", 1)
+        )
+        loader = KaldiDataSeqQueueV2(
+            data_dir, ali_dir, spklist, num_parallel=1, batch_size=batch_size,
+            shuffle=not output_embeddings, **self._loader_kwargs(),
+        ).start()
+        spk_losses, phn_losses, embs, labs = [], [], [], []
+        max_iter = int(cfg.get("valid_max_iterations", 100))
+        it = 0
+        from ..data import DataOutOfRange
+
+        try:
+            while it < max_iter:
+                feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
+                b = labels.shape[0]
+                f, s, a, ln, idx = self._shard_mt(feats, vad, ali, length, labels, resample)
+                spk_loss, phn_loss, sa, pa, emb = self._valid_step(self.state, f, s, a, ln, idx)
+                spk_losses.append(float(spk_loss))
+                phn_losses.append(float(phn_loss))
+                if output_embeddings:
+                    embs.append(np.asarray(emb)[:b])
+                    labs.append(labels)
+                it += 1
+        except DataOutOfRange:
+            pass
+        finally:
+            loader.stop()
+        spk_mean = float(np.mean(spk_losses)) if spk_losses else float("nan")
+        phn_mean = float(np.mean(phn_losses)) if phn_losses else float("nan")
+        embeddings = np.concatenate(embs, 0) if embs else None
+        labels_out = np.concatenate(labs, 0) if labs else None
+        return spk_mean, phn_mean, embeddings, labels_out
+
+    # ------------------------------------------------------------------
+    def predict_speaker(self, features: np.ndarray, feat_length=None) -> np.ndarray:
+        """features [L, D] or [B, L, D] — UNEXPANDED; edges are tiled here."""
+        rank2 = features.ndim == 2
+        if rank2:
+            features = features[None]
+        b, L, d = features.shape
+        expanded = np.concatenate(
+            [np.tile(features[:, :1], (1, self.lc, 1)), features,
+             np.tile(features[:, -1:], (1, self.rc, 1))], axis=1
+        )
+        length = np.full((b,), L, np.int32) if feat_length is None else np.asarray(feat_length, np.int32)
+        variables = self._variables(self.state)
+        out = np.asarray(
+            self._predict_spk_jit(variables, jnp.asarray(expanded), jnp.asarray(length))
+        )
+        return out[0] if rank2 else out
+
+    def predict_phone(self, features: np.ndarray) -> np.ndarray:
+        """Per-frame phone log-posteriors for [L, D] or [B, L, D] inputs."""
+        rank2 = features.ndim == 2
+        if rank2:
+            features = features[None]
+        expanded = np.concatenate(
+            [np.tile(features[:, :1], (1, self.lc, 1)), features,
+             np.tile(features[:, -1:], (1, self.rc, 1))], axis=1
+        )
+        variables = self._variables(self.state)
+        out = np.asarray(self._predict_phn_jit(variables, jnp.asarray(expanded)))
+        return out[0] if rank2 else out
