@@ -1,0 +1,38 @@
+"""Scoring backend: cosine/LDA/PLDA, EER/minDCF/DET metrics."""
+
+from .metrics import (
+    compute_cos_pairwise_eer,
+    compute_eer,
+    compute_min_dcf,
+    det_curve,
+    min_dcf08,
+    min_dcf10,
+    min_dcf12,
+)
+from .plda import Plda, train_plda
+from .scoring import (
+    LDA,
+    cosine_score_trials,
+    length_norm,
+    read_trials,
+    speaker_means,
+    subtract_global_mean,
+)
+
+__all__ = [
+    "LDA",
+    "Plda",
+    "compute_cos_pairwise_eer",
+    "compute_eer",
+    "compute_min_dcf",
+    "cosine_score_trials",
+    "det_curve",
+    "length_norm",
+    "min_dcf08",
+    "min_dcf10",
+    "min_dcf12",
+    "read_trials",
+    "speaker_means",
+    "subtract_global_mean",
+    "train_plda",
+]

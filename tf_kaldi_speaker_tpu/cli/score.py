@@ -1,0 +1,139 @@
+"""Trial scoring CLI: cosine or PLDA backend + EER/minDCF report.
+
+Replaces the reference's scoring glue (egs/voxceleb/v1/run.sh:344-427,
+eval_cos.sh / eval_plda.sh): ivector post-processing (speaker means, mean
+subtraction, length norm, optional LDA), trial scoring, and metrics
+(compute-eer, minDCF08/10 from DETware).
+
+Usage (cosine):
+    python -m tf_kaldi_speaker_tpu.cli.score --backend cosine \
+        --enroll-scp enroll.scp --test-scp test.scp --trials trials \
+        --scores scores.txt
+Usage (PLDA, trained on a labeled train set):
+    python -m tf_kaldi_speaker_tpu.cli.score --backend plda \
+        --train-scp train.scp --train-utt2spk utt2spk --lda-dim 150 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Dict
+
+import numpy as np
+
+from ..backend import (
+    LDA,
+    compute_eer,
+    length_norm,
+    min_dcf08,
+    min_dcf10,
+    read_trials,
+    speaker_means,
+    subtract_global_mean,
+    train_plda,
+)
+from ..kio import read_vec_flt_scp
+
+
+def _load_scp(path: str) -> Dict[str, np.ndarray]:
+    return {k: np.asarray(v, np.float64) for k, v in read_vec_flt_scp(path)}
+
+
+def _load_utt2spk(path: str) -> Dict[str, str]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            u, s = line.split()[:2]
+            out[u] = s
+    return out
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--backend", choices=["cosine", "plda"], default="cosine")
+    parser.add_argument("--enroll-scp", required=True, help="enrollment x-vectors (scp)")
+    parser.add_argument("--enroll-utt2spk", default=None,
+                        help="average enrollment utts per speaker first (ivector-mean)")
+    parser.add_argument("--test-scp", required=True)
+    parser.add_argument("--trials", required=True, help="'enroll test target|nontarget'")
+    parser.add_argument("--scores", default=None, help="write scores here")
+    parser.add_argument("--train-scp", default=None, help="PLDA/LDA training vectors")
+    parser.add_argument("--train-utt2spk", default=None)
+    parser.add_argument("--lda-dim", type=int, default=0, help="apply LDA before PLDA")
+    parser.add_argument("--plda-smoothing", type=float, default=0.0)
+    parser.add_argument("--adapt-scp", default=None, help="unsupervised PLDA adaptation vectors")
+    parser.add_argument("--simple-length-norm", action="store_true")
+    args = parser.parse_args(argv)
+
+    enroll = _load_scp(args.enroll_scp)
+    test = _load_scp(args.test_scp)
+    trials, targets = read_trials(args.trials)
+
+    enroll_counts = {k: 1 for k in enroll}
+    if args.enroll_utt2spk:
+        utt2spk = _load_utt2spk(args.enroll_utt2spk)
+        keys = list(enroll)
+        spks, means, counts = speaker_means(keys, np.stack([enroll[k] for k in keys]), utt2spk)
+        enroll = dict(zip(spks, means))
+        enroll_counts = counts
+
+    if args.backend == "cosine":
+        from ..backend import cosine_score_trials
+
+        scores = cosine_score_trials(enroll, test, trials)
+    else:
+        assert args.train_scp and args.train_utt2spk, "PLDA needs labeled training vectors"
+        train = _load_scp(args.train_scp)
+        utt2spk = _load_utt2spk(args.train_utt2spk)
+        keys = sorted(train)
+        x = np.stack([train[k] for k in keys])
+        labels = np.asarray([utt2spk[k] for k in keys])
+
+        # Kaldi-style preprocessing: global mean + length norm (+ LDA).
+        x, mean = subtract_global_mean(x)
+        lda = None
+        if args.lda_dim > 0:
+            lda = LDA(args.lda_dim).fit(x, labels)
+            x = lda.transform_vecs(x + mean)  # LDA holds its own mean
+        x = length_norm(x)
+        plda = train_plda(x, labels)
+        if args.plda_smoothing > 0:
+            plda = plda.smooth_within_class_covariance(args.plda_smoothing)
+
+        def prep(d):
+            out = {}
+            for k, v in d.items():
+                v = v - mean if lda is None else v
+                if lda is not None:
+                    v = lda.transform_vecs(v[None])[0]
+                out[k] = length_norm(v[None])[0]
+            return out
+
+        enroll_p, test_p = prep(enroll), prep(test)
+        if args.adapt_scp:
+            adapt = prep(_load_scp(args.adapt_scp))
+            plda = plda.adapt(np.stack(list(adapt.values())))
+        scores = plda.score_trials(
+            enroll_p, enroll_counts, test_p, trials,
+            simple_length_norm=args.simple_length_norm,
+        )
+
+    if args.scores:
+        with open(args.scores, "w") as f:
+            for (e, t), s in zip(trials, scores):
+                f.write("%s %s %f\n" % (e, t, s))
+
+    eer, thresh = compute_eer(scores, targets)
+    dcf08 = min_dcf08(scores, targets)
+    dcf10 = min_dcf10(scores, targets)
+    print("EER: %.4f%%" % (eer * 100.0))
+    print("minDCF08: %.4f" % dcf08)
+    print("minDCF10: %.4f" % dcf10)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,7 +56,7 @@ def floor_sqrt(variance: jnp.ndarray) -> jnp.ndarray:
 class StatisticsPooling(nn.Module):
     """[mean ‖ stddev] pooling (reference pooling.py:9-34, masked v2 :9-40)."""
 
-    config: Optional[Dict[str, Any]] = None  # unused; uniform pooling ctor
+    config: Optional[Dict[str, Any]] = None
 
     @nn.compact
     def __call__(
@@ -66,6 +66,15 @@ class StatisticsPooling(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        if (self.config or {}).get("use_fused_pooling", False):
+            # Single-pass fused Pallas kernel (ops/pooling_pallas.py): one HBM
+            # read instead of two. Uses E[x²]-E[x]² (vs the reference's
+            # two-pass form) — equal in exact arithmetic.
+            from ..ops.pooling_pallas import masked_stats_pooling
+
+            if mask is None:
+                mask = jnp.ones(features.shape[:2], features.dtype)
+            return masked_stats_pooling(features, mask)
         mean, var = masked_moments(features, mask)
         return jnp.concatenate([mean, floor_sqrt(var)], axis=1)
 
