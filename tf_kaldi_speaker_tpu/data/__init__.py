@@ -35,6 +35,7 @@ class KaldiDataRandomQueue(PrefetchLoader):
         shuffle: bool = True,
         seed: int = 0,
         num_buckets: int = 8,
+        raw_codes: bool = False,
     ):
         spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
         self.num_total_speakers = len(spk2index)
@@ -52,6 +53,7 @@ class KaldiDataRandomQueue(PrefetchLoader):
                 num_buckets,
                 spk2features=spk2features,
                 num_total_speakers=self.num_total_speakers,
+                raw_codes=raw_codes,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

@@ -60,6 +60,7 @@ class RandomChunkSampler:
         num_buckets: int = 8,
         spk2features: Optional[Dict[int, List[str]]] = None,
         num_total_speakers: Optional[int] = None,
+        raw_codes: bool = False,
     ):
         self.data_dir = data_dir
         if spk2features is None:
@@ -72,6 +73,7 @@ class RandomChunkSampler:
         self.buckets = bucket_lengths(min_len, max_len, num_buckets)
         self.shuffle = shuffle
         self.rng = random.Random(seed)
+        self.raw_codes = raw_codes
         self.reader: Optional[FeatureReader] = None
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -85,7 +87,13 @@ class RandomChunkSampler:
         while True:
             batch_length = rng.choice(self.buckets)
             batch_speakers = rng.sample(speakers, self.num_speakers)
-            features = np.zeros((B, batch_length, reader.dim), dtype=np.float32)
+            if self.raw_codes:
+                # Decode-on-device path: ship uint8 codes + per-column headers.
+                features = np.zeros((B, batch_length, reader.dim), dtype=np.uint8)
+                headers = np.zeros((B, 4, reader.dim), dtype=np.float32)
+            else:
+                features = np.zeros((B, batch_length, reader.dim), dtype=np.float32)
+                headers = None
             labels = np.zeros((B,), dtype=np.int32)
             for i in range(self.num_speakers):
                 spk = batch_speakers[i]
@@ -105,10 +113,21 @@ class RandomChunkSampler:
                         self.num_segments // len(feature_list) + 1
                     )
                 for j, feat in enumerate(rng.sample(feature_list, self.num_segments)):
-                    features[i * self.num_segments + j], _ = reader.read_segment(
-                        feat, batch_length, shuffle=self.shuffle, rng=rng
-                    )
-            yield features, labels
+                    row = i * self.num_segments + j
+                    if self.raw_codes:
+                        codes, p, _ = reader.read_segment_codes(
+                            feat, batch_length, shuffle=self.shuffle, rng=rng
+                        )
+                        features[row] = codes
+                        headers[row] = p
+                    else:
+                        features[row], _ = reader.read_segment(
+                            feat, batch_length, shuffle=self.shuffle, rng=rng
+                        )
+            if self.raw_codes:
+                yield features, headers, labels
+            else:
+                yield features, labels
 
     def close(self) -> None:
         if self.reader is not None:

@@ -117,6 +117,38 @@ def _read_compressed_mat(fd, fmt: str, start: int | None = None,
     return _decode_cm_data(data, p)
 
 
+def _read_compressed_codes(fd, fmt: str, start: int | None = None,
+                           length: int | None = None):
+    """Like _read_compressed_mat but WITHOUT dequantization.
+
+    Returns (codes uint8 [length, cols], headers float32 [4, cols]) for the
+    decode-on-device input path (ops/cm_dequant_pallas.py): the host ships
+    1 byte/element and the TPU's VPU applies the piecewise mapping.
+    """
+    if fmt != "CM ":
+        raise UnknownMatrixHeader("Compressed format %r not supported" % fmt)
+    gmin, grange, rows, cols = np.frombuffer(fd.read(16), dtype=_GLOBAL_HEADER, count=1)[0]
+    headers_u16 = np.frombuffer(fd.read(int(cols) * 8), dtype=_COL_HEADER).reshape(cols, 4)
+    p = _u16_to_float(headers_u16, gmin, grange)  # [cols, 4]
+
+    start = 0 if start is None else int(start)
+    length = int(rows) - start if length is None else int(length)
+    if rows < start + length:
+        raise ValueError("Not enough frames for codes read")
+    if start == 0 and length == int(rows):
+        data = np.frombuffer(fd.read(int(cols) * int(rows)), dtype=np.uint8)
+        data = data.reshape(cols, rows)
+    else:
+        data = np.empty((cols, length), dtype=np.uint8)
+        col_left = 0
+        for i in range(int(cols)):
+            fd.seek(col_left + start, 1)
+            data[i] = np.frombuffer(fd.read(length), dtype=np.uint8)
+            col_left = int(rows) - (start + length)
+        fd.seek(col_left, 1)
+    return np.ascontiguousarray(data.T), np.ascontiguousarray(p.T.astype(np.float32))
+
+
 def compress_matrix(mat: np.ndarray) -> bytes:
     """Encode a float matrix into Kaldi 'CM ' bytes (excluding the \\0B flag).
 

@@ -106,6 +106,30 @@ class FeatureReader:
             return ark._read_mat_binary(fd), start
         return ark._read_submat_binary(fd, start, length), start
 
+    def read_segment_codes(
+        self,
+        segment: str,
+        length: Optional[int] = None,
+        shuffle: bool = False,
+        start: Optional[int] = None,
+        rng: Optional[random.Random] = None,
+    ):
+        """Raw compressed codes for decode-on-device: (codes [L, D] uint8,
+        headers [4, D] float32, start). Requires a compressed ('CM ') ark."""
+        utt, rxfile = segment.split(" ")
+        filename, offset = rxfile.rsplit(":", 1)
+        if length is not None and start is None:
+            n = self.utt2num_frames[utt]
+            length = min(length, n)
+            r = rng if rng is not None else random
+            start = r.randint(0, n - length) if shuffle else 0
+        fd = self._fd_at(filename, int(offset))
+        if fd.read(2).decode() != "\0B":
+            raise IOError("Cannot read features from %s" % segment)
+        fmt = fd.read(3).decode()
+        codes, headers = ark._read_compressed_codes(fd, fmt, start, length)
+        return codes, headers, start
+
 
 class FeatureReaderV2:
     """Joint feature + VAD + alignment segment reader (multitask training).

@@ -324,6 +324,20 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        def step_fn_raw(state, codes, headers, labels, lr):
+            # Decode-on-device: dequantize the compressed ark codes on the
+            # VPU (ops/cm_dequant_pallas.py) fused into the train step.
+            from ..ops.cm_dequant_pallas import cm_dequantize
+
+            features = cm_dequantize(codes, headers)
+            return step_fn(state, features, labels, lr)
+
+        self._train_step_raw = jax.jit(
+            step_fn_raw,
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
+
     def _build_valid(self) -> None:
         loss_override = (
             "e2e_valid_loss" if self.loss_type == "angular_triplet_loss" else None
@@ -440,6 +454,7 @@ class Trainer:
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))
         save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        device_decode = bool(cfg.get("device_decode", False))
         loader = KaldiDataRandomQueue(
             data_dir, spklist,
             num_parallel=int(cfg.get("num_parallel_datasets", 4)),
@@ -449,14 +464,24 @@ class Trainer:
             min_len=int(cfg.get("min_segment_len", 200)),
             max_len=int(cfg.get("max_segment_len", 400)),
             seed=int(cfg.get("seed", 0)) + int(self.state.step),
+            raw_codes=device_decode,
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
         try:
             for local_step in range(num_steps):
-                features, labels = loader.fetch()
-                features, labels = self._shard_batch(features, labels)
-                self.state, metrics = self._train_step(self.state, features, labels, lr)
+                if device_decode:
+                    codes, headers, labels = loader.fetch()
+                    codes = jax.device_put(codes, self.bsh)
+                    headers = jax.device_put(headers, self.bsh)
+                    labels = jax.device_put(labels, self.bsh)
+                    self.state, metrics = self._train_step_raw(
+                        self.state, codes, headers, labels, lr
+                    )
+                else:
+                    features, labels = loader.fetch()
+                    features, labels = self._shard_batch(features, labels)
+                    self.state, metrics = self._train_step(self.state, features, labels, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:
                     m = jax.device_get(metrics)
