@@ -1,0 +1,84 @@
+#!/usr/bin/env bash
+# NIST SRE x-vector recipe (8 kHz) — TPU-native pipeline.
+#
+# Mirrors the staged reference egs/sre/v1/run.sh: train on SRE04-08 + SWBD,
+# score SRE10/SRE16 with a PLDA backend; SRE16 adds unsupervised PLDA
+# adaptation on the unlabeled major-language partition (reference
+# run.sh:447-470 → cli.score --adapt-scp).
+# Inputs under $data_root: {swbd_sre,sre10_enroll,sre10_test,sre16_major,
+# sre16_enroll,sre16_test}/wav.scp (+ utt2spk), trial files per eval set.
+set -euo pipefail
+
+stage=${stage:-0}
+data_root=${data_root:-data}
+exp=${exp:-exp_sre}
+config=${config:-recipes/sre/v1/nnet_conf/tdnn_amsoftmax_m0.15.json}
+model=${model:-$exp/xvector_sre}
+py="python -m"
+
+if [ $stage -le 1 ]; then
+  echo "=== stage 1: 23-dim 8 kHz MFCC + VAD"
+  for name in swbd_sre sre16_major sre10_enroll sre10_test sre16_enroll sre16_test; do
+    $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
+      --sample-rate 8000 --num-ceps 23 --num-mel-bins 23 \
+      --low-freq 20 --high-freq 3700 \
+      "$data_root/$name/wav.scp" "$data_root/$name/mfcc"
+    cp "$data_root/$name/utt2spk" "$data_root/$name/mfcc/utt2spk" 2>/dev/null || true
+    $py tf_kaldi_speaker_tpu.cli.compute_vad \
+      "$data_root/$name/mfcc/feats.scp" "$data_root/$name/mfcc"
+  done
+fi
+
+if [ $stage -le 2 ]; then
+  echo "=== stage 2: egs prep + filtering + split"
+  $py tf_kaldi_speaker_tpu.cli.prepare_feats \
+    "$data_root/swbd_sre/mfcc" "$data_root/swbd_sre/egs"
+  cp "$data_root/swbd_sre/mfcc/utt2spk" "$data_root/swbd_sre/egs/utt2spk"
+  $py tf_kaldi_speaker_tpu.cli.filter_egs_dir --min-len 200 --min-num-utts 8 \
+    --valid-speakers 200 --valid-utts 5 \
+    "$data_root/swbd_sre/egs" "$data_root/split"
+fi
+
+if [ $stage -le 3 ]; then
+  echo "=== stage 3: train"
+  $py tf_kaldi_speaker_tpu.cli.train --config "$config" \
+    "$data_root/split/train" "$data_root/split/train/spklist" \
+    "$data_root/split/valid" "$data_root/split/train/spklist" \
+    "$model"
+fi
+
+if [ $stage -le 4 ]; then
+  echo "=== stage 4: extract embeddings"
+  $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint -1 "$model"
+  for name in swbd_sre sre16_major sre10_enroll sre10_test sre16_enroll sre16_test; do
+    $py tf_kaldi_speaker_tpu.cli.extract --cmvn --vad \
+      "$model" "scp:$data_root/$name/mfcc/feats.scp" \
+      "ark,scp:$exp/xvectors_$name.ark,$exp/xvectors_$name.scp"
+  done
+fi
+
+if [ $stage -le 5 ]; then
+  echo "=== stage 5: SRE10 PLDA scoring"
+  $py tf_kaldi_speaker_tpu.cli.score --backend plda \
+    --enroll-scp "$exp/xvectors_sre10_enroll.scp" \
+    --enroll-utt2spk "$data_root/sre10_enroll/utt2spk" \
+    --test-scp "$exp/xvectors_sre10_test.scp" \
+    --trials "$data_root/sre10_test/trials" \
+    --train-scp "$exp/xvectors_swbd_sre.scp" \
+    --train-utt2spk "$data_root/swbd_sre/mfcc/utt2spk" \
+    --lda-dim 150 --scores "$exp/scores_sre10.txt"
+fi
+
+if [ $stage -le 6 ]; then
+  echo "=== stage 6: SRE16 PLDA scoring with domain adaptation"
+  $py tf_kaldi_speaker_tpu.cli.score --backend plda \
+    --enroll-scp "$exp/xvectors_sre16_enroll.scp" \
+    --enroll-utt2spk "$data_root/sre16_enroll/utt2spk" \
+    --test-scp "$exp/xvectors_sre16_test.scp" \
+    --trials "$data_root/sre16_test/trials" \
+    --train-scp "$exp/xvectors_swbd_sre.scp" \
+    --train-utt2spk "$data_root/swbd_sre/mfcc/utt2spk" \
+    --lda-dim 150 \
+    --adapt-scp "$exp/xvectors_sre16_major.scp" \
+    --scores "$exp/scores_sre16.txt"
+fi

@@ -18,7 +18,8 @@ import logging
 import sys
 
 from ..extract.extractor import Extractor
-from ..kio import open_or_fd, read_mat_ark, write_vec_flt
+from ..kio import read_mat_ark
+from ..kio.ark import ArkScpWriter
 from ..ops.cmvn import sliding_cmvn
 from ..ops.vad import compute_vad_energy, select_voiced_frames
 
@@ -60,16 +61,16 @@ def main(argv=None) -> int:
                 feature = sliding_cmvn(feature, window=args.cmn_window)
             yield key, feature
 
-    fp_out = open_or_fd(args.wspecifier, "wb")
+    writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
     for key, embedding in extractor.embed_stream(stream()):
         if args.normalize:
             import numpy as np
 
             embedding = embedding / np.sqrt(np.sum(np.square(embedding)))
-        write_vec_flt(fp_out, embedding.astype("float32"), key=key)
+        writer.write(key, embedding.astype("float32"))
         count += 1
-    fp_out.close()
+    writer.close()
     logging.info("Extracted %d embeddings.", count)
     return 0
 

@@ -18,7 +18,8 @@ import sys
 
 import numpy as np
 
-from ..kio import open_or_fd, read_mat_ark, write_vec_flt
+from ..kio import read_mat_ark
+from ..kio.ark import ArkScpWriter
 from ..train.trainer_mi import TrainerMultiInput
 from ..utils import bookkeeping as bk
 from ..utils.params import Params
@@ -57,7 +58,7 @@ def main(argv=None) -> int:
         name, rspec = part.split(":", 1)
         aux_iters[name] = read_mat_ark(rspec)
 
-    fp_out = open_or_fd(args.wspecifier, "wb")
+    writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
     for key, feature in read_mat_ark(args.rspecifier):
         aux = {}
@@ -74,9 +75,9 @@ def main(argv=None) -> int:
         embedding = trainer.predict(feature.astype(np.float32), aux)
         if args.normalize:
             embedding = embedding / np.sqrt(np.sum(np.square(embedding)))
-        write_vec_flt(fp_out, embedding.astype(np.float32), key=key)
+        writer.write(key, embedding.astype(np.float32))
         count += 1
-    fp_out.close()
+    writer.close()
     logging.info("Extracted %d embeddings.", count)
     return 0
 

@@ -18,7 +18,8 @@ import sys
 
 import numpy as np
 
-from ..kio import open_or_fd, read_mat_ark, write_vec_flt
+from ..kio import read_mat_ark
+from ..kio.ark import ArkScpWriter
 from ..multitask import TrainerMultiTask
 from ..utils import bookkeeping as bk
 from ..utils.params import Params
@@ -54,7 +55,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     trainer = load_mt_trainer(args.model_dir, args.node)
-    fp_out = open_or_fd(args.wspecifier, "wb")
+    writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
     for key, feature in read_mat_ark(args.rspecifier):
         T = feature.shape[0]
@@ -78,9 +79,9 @@ def main(argv=None) -> int:
             embedding = trainer.predict_speaker(feature.astype(np.float32))
         if args.normalize:
             embedding = embedding / np.sqrt(np.sum(np.square(embedding)))
-        write_vec_flt(fp_out, embedding.astype(np.float32), key=key)
+        writer.write(key, embedding.astype(np.float32))
         count += 1
-    fp_out.close()
+    writer.close()
     logging.info("Extracted %d embeddings.", count)
     return 0
 

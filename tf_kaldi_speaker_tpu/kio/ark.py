@@ -547,3 +547,46 @@ def read_post_ark(file_or_fd):
     finally:
         if fd is not file_or_fd:
             fd.close()
+
+
+class ArkScpWriter:
+    """Keyed ark writer with Kaldi 'ark,scp:ark,scp' wspecifier support.
+
+    ``wspecifier`` may be "ark:foo.ark", "ark,scp:foo.ark,foo.scp", a bare
+    path, or an output pipe "| cmd"; the scp (when requested) records
+    ``key ark:offset`` entries pointing at each object's binary flag.
+    """
+
+    def __init__(self, wspecifier: str, kind: str = "vec"):
+        assert kind in ("vec", "mat")
+        self.kind = kind
+        self.scp_fd = None
+        self.ark_path = None
+        spec = wspecifier
+        if spec.startswith("ark,scp:"):
+            ark_path, scp_path = spec[len("ark,scp:"):].split(",", 1)
+            self.ark_path = ark_path
+            self.fd = open(ark_path, "wb")
+            self.scp_fd = open(scp_path, "w")
+        else:
+            if spec.startswith("ark:"):
+                spec = spec[4:]
+                if not (spec.startswith("|") or spec.endswith("|")):
+                    self.ark_path = spec
+            self.fd = open_or_fd("ark:" + spec if not spec.startswith("|") else spec, "wb")
+
+    def write(self, key: str, value: np.ndarray, compress: bool = False) -> None:
+        offset = None
+        if self.scp_fd is not None:
+            offset = self.fd.tell() + len(key) + 1
+        if self.kind == "vec":
+            write_vec_flt(self.fd, value, key=key)
+        else:
+            write_mat(self.fd, value, key=key, compress=compress)
+        if self.scp_fd is not None:
+            self.scp_fd.write("%s %s:%d\n" % (key, self.ark_path, offset))
+
+    def close(self) -> None:
+        self.fd.close()
+        if self.scp_fd is not None:
+            self.scp_fd.close()

@@ -455,6 +455,13 @@ class Trainer:
         show = int(cfg.get("show_training_progress", 100))
         save_every = int(cfg.get("save_checkpoints_steps", num_steps))
         device_decode = bool(cfg.get("device_decode", False))
+        summary_steps = int(cfg.get("save_summary_steps", 0))
+        writer = None
+        if summary_steps:
+            from ..utils.summary import SummaryWriter
+
+            writer = SummaryWriter(self.model)
+        profile_steps = int(cfg.get("profile_steps", 0))
         loader = KaldiDataRandomQueue(
             data_dir, spklist,
             num_parallel=int(cfg.get("num_parallel_datasets", 4)),
@@ -483,6 +490,10 @@ class Trainer:
                     features, labels = self._shard_batch(features, labels)
                     self.state, metrics = self._train_step(self.state, features, labels, lr)
                 gstep = int(self.state.step)
+                if profile_steps and local_step == 10:
+                    jax.profiler.start_trace(os.path.join(self.model, "profile"))
+                if profile_steps and local_step == 10 + profile_steps:
+                    jax.profiler.stop_trace()
                 if show and local_step % show == 0:
                     m = jax.device_get(metrics)
                     log.info(
@@ -490,10 +501,14 @@ class Trainer:
                         gstep, m["loss"], m["regularization_loss"], m["accuracy"],
                         (local_step + 1) / (time.time() - t0),
                     )
+                if writer and gstep % summary_steps == 0:
+                    writer.scalars(gstep, jax.device_get(metrics))
                 if save_every and gstep % save_every == 0:
                     self.save(gstep)
         finally:
             loader.stop()
+            if writer:
+                writer.close()
         self.save(int(self.state.step))
 
     def train_tune_lr(self, data_dir: str, spklist: str, tune_period: int = 100) -> None:
