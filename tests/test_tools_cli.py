@@ -1,0 +1,81 @@
+"""Misc tool CLIs: DET dump, margin curves, offline GE2E, LR suggestion."""
+
+import numpy as np
+
+from tf_kaldi_speaker_tpu.cli import (
+    compute_gae2e_loss,
+    plot_det,
+    target_logit_curve,
+    tune_lr,
+)
+from tf_kaldi_speaker_tpu.kio import write_vec_flt
+
+
+def test_plot_det_cli(tmp_path, capsys):
+    rng = np.random.RandomState(0)
+    trials, scores = [], []
+    for i in range(200):
+        t = i % 2
+        trials.append(("e%d" % i, "t%d" % i, "target" if t else "nontarget"))
+        scores.append(("e%d" % i, "t%d" % i, rng.randn() + 2 * t))
+    with open(tmp_path / "trials", "w") as f:
+        for e, t, lab in trials:
+            f.write("%s %s %s\n" % (e, t, lab))
+    with open(tmp_path / "scores", "w") as f:
+        for e, t, s in scores:
+            f.write("%s %s %f\n" % (e, t, s))
+    rc = plot_det.main([str(tmp_path / "scores"), str(tmp_path / "trials"),
+                        str(tmp_path / "det.txt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "EER" in out and "minDCF12" in out
+    pts = np.loadtxt(tmp_path / "det.txt")
+    assert pts.shape[1] == 2
+
+
+def test_target_logit_curve_cli(tmp_path):
+    out = str(tmp_path / "curve.csv")
+    assert target_logit_curve.main([out]) == 0
+    rows = open(out).read().strip().split("\n")
+    header = rows[0].split(",")
+    assert "asoftmax_m4" in header and len(rows) == 402
+    # amsoftmax column is cos - m
+    import csv
+
+    r = list(csv.DictReader(open(out)))
+    mid = r[200]
+    assert abs(float(mid["amsoftmax_m0.20"]) - (float(mid["cos_theta"]) - 0.2)) < 1e-6
+
+
+def test_compute_gae2e_loss_cli(tmp_path, capsys):
+    rng = np.random.RandomState(1)
+    ark = str(tmp_path / "emb.ark")
+    scp = str(tmp_path / "emb.scp")
+    with open(ark, "wb") as fa, open(scp, "w") as fs, open(tmp_path / "u2s", "w") as fu:
+        for s in range(5):
+            mean = rng.randn(16) * 3
+            for u in range(4):
+                key = "s%d_u%d" % (s, u)
+                pos = fa.tell() + len(key) + 1
+                write_vec_flt(fa, (mean + rng.randn(16) * 0.1).astype(np.float32), key=key)
+                fs.write("%s %s:%d\n" % (key, ark, pos))
+                fu.write("%s s%d\n" % (key, s))
+    rc = compute_gae2e_loss.main(["--loss", "e2e", "--num-segments", "4",
+                                  scp, str(tmp_path / "u2s")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    loss = float(out.rsplit(":", 1)[1])
+    assert 0 < loss < 1.0  # well-separated clusters -> small loss
+
+
+def test_tune_lr_cli(tmp_path, capsys):
+    # synthetic sweep: loss falls then diverges
+    with open(tmp_path / "learning_rate_tuning", "w") as f:
+        for k in range(30):
+            lr = 1e-5 * 1.15**k
+            loss = 5.0 - 0.15 * k if k < 20 else 5.0 - 3.0 + (k - 20) * 2.0
+            f.write("%d %.8f %f\n" % (k, lr, loss))
+    rc = tune_lr.main([str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "steepest-descent lr" in out
