@@ -35,6 +35,12 @@ def main(argv=None) -> int:
     parser.add_argument("--cmvn", action="store_true", help="sliding CMVN (window 300)")
     parser.add_argument("--cmn-window", type=int, default=300)
     parser.add_argument("--vad", action="store_true", help="energy VAD frame selection")
+    parser.add_argument(
+        "--exact-long", action="store_true",
+        help="EXACT embeddings for utterances > chunk-size via streamed "
+             "pooled-stats accumulation (default: reference-parity "
+             "50%%-overlap chunk averaging)",
+    )
     parser.add_argument("model_dir")
     parser.add_argument("rspecifier")
     parser.add_argument("wspecifier")
@@ -61,9 +67,29 @@ def main(argv=None) -> int:
                 feature = sliding_cmvn(feature, window=args.cmn_window)
             yield key, feature
 
+    def embedding_stream():
+        if not args.exact_long:
+            yield from extractor.embed_stream(stream())
+            return
+        # route long utterances through the exact path, batch the rest
+        def short_only():
+            for key, feature in stream():
+                if feature.shape[0] > args.chunk_size:
+                    yield key, None, feature
+                else:
+                    yield key, "short", feature
+
+        shorts = []
+        for key, kind, feature in short_only():
+            if kind is None:
+                yield key, extractor.embed_long_exact(feature)
+            else:
+                shorts.append((key, feature))
+        yield from extractor.embed_stream(iter(shorts))
+
     writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
-    for key, embedding in extractor.embed_stream(stream()):
+    for key, embedding in embedding_stream():
         if args.normalize:
             import numpy as np
 

@@ -95,6 +95,7 @@ class RandomChunkSampler:
                 features = np.zeros((B, batch_length, reader.dim), dtype=np.float32)
                 headers = None
             labels = np.zeros((B,), dtype=np.int32)
+            plan = []  # (row, segment) decode work list for the batch call
             for i in range(self.num_speakers):
                 spk = batch_speakers[i]
                 feature_list: List[str] = []
@@ -121,13 +122,32 @@ class RandomChunkSampler:
                         features[row] = codes
                         headers[row] = p
                     else:
-                        features[row], _ = reader.read_segment(
-                            feat, batch_length, shuffle=self.shuffle, rng=rng
-                        )
+                        plan.append((row, feat))
             if self.raw_codes:
                 yield features, headers, labels
             else:
+                self._decode_plan(reader, rng, plan, features, batch_length)
                 yield features, labels
+
+    def _decode_plan(self, reader, rng, plan, features, batch_length):
+        """Decode the batch work list: ONE native threaded call when the
+        C++ core is available, else per-row numpy reads."""
+        from ..kio.native_decode import decode_batch_fast
+
+        items = []
+        for row, seg in plan:
+            utt, rxfile = seg.split(" ")
+            filename, offset = rxfile.rsplit(":", 1)
+            n = reader.utt2num_frames[utt]
+            start = rng.randint(0, n - batch_length) if self.shuffle else 0
+            items.append((row, filename, int(offset), start, batch_length, seg))
+        scratch = np.empty((len(items), batch_length, reader.dim), np.float32)
+        if decode_batch_fast([(f, o, s, l) for _, f, o, s, l, _ in items], scratch):
+            for k, (row, *_rest) in enumerate(items):
+                features[row] = scratch[k]
+            return
+        for row, _f, _o, start, length, seg in items:
+            features[row], _ = reader.read_segment(seg, length, start=start)
 
     def close(self) -> None:
         if self.reader is not None:

@@ -164,3 +164,117 @@ class Extractor:
         assert out, "utterance shorter than min_chunk_size"
         emb = out[0][1]
         return emb
+
+    # ------------------------------------------------------------------
+    # Exact long-utterance path: statistics pooling is associative, so a
+    # streamed accumulation of (count, sum, sumsq) over overlapping chunks
+    # equals ONE forward over the whole utterance — unlike the reference's
+    # 50%-overlap chunk-embedding average (extract.py:69-87), this is exact
+    # at any length with bounded memory.
+    # ------------------------------------------------------------------
+    def _build_exact_long(self):
+        if getattr(self, "_frames_jit", None) is not None:
+            return
+        from ..models.pooling import VAR2STD_EPSILON
+        from ..models.tdnn import TDNN_TOTAL_CONTEXT, TDNNFrames, TDNNTail
+
+        assert self.params.dict.get("pooling_type") == "statistics_pooling", (
+            "exact long-utterance extraction requires statistics pooling"
+        )
+        cfg = self.params.dict
+        frames = TDNNFrames(config=cfg)
+        tail = TDNNTail(config=cfg)
+        node = self.node
+        tdnn_vars = {
+            "params": self.variables["params"]["tdnn"],
+            "batch_stats": self.variables["batch_stats"].get("tdnn", {}),
+        }
+
+        def frames_fn(feats):  # [1, L, D] -> (count, sum, sumsq)
+            h = frames.apply(tdnn_vars, feats, False)[0]  # [L-14, W]
+            return (
+                jnp.float32(h.shape[0]),
+                jnp.sum(h, axis=0),
+                jnp.sum(jnp.square(h), axis=0),
+            )
+
+        def tail_fn(count, s1, s2):
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            std = jnp.sqrt(jnp.where(var <= VAR2STD_EPSILON, VAR2STD_EPSILON, var))
+            pooled = jnp.concatenate([mean, std])[None, :]
+            endpoints = tail.apply(tdnn_vars, pooled, False)
+            return endpoints[node][0]
+
+        self._frames_jit = jax.jit(frames_fn)
+        self._tail_jit = jax.jit(tail_fn)
+        self._tdnn_context = TDNN_TOTAL_CONTEXT
+
+    def embed_long_exact(self, feature: np.ndarray) -> np.ndarray:
+        """Exact embedding for arbitrarily long utterances, O(chunk) memory."""
+        self._build_exact_long()
+        ctx = self._tdnn_context
+        T = feature.shape[0]
+        chunk = min(self.chunk_size, max(self.min_chunk_size, 4096))
+        step = chunk - ctx
+        count, s1, s2 = 0.0, None, None
+        start = 0
+        while start < T - ctx:
+            end = min(start + chunk, T)
+            piece = feature[start:end]
+            if piece.shape[0] <= ctx:
+                break
+            # pad time to the chunk's static shape for compile reuse
+            pad = chunk - piece.shape[0]
+            n_valid = piece.shape[0] - ctx
+            if pad:
+                piece = np.concatenate(
+                    [piece, np.zeros((pad, piece.shape[1]), piece.dtype)], 0
+                )
+            c, a, b = self._frames_jit(jnp.asarray(piece[None]))
+            if pad:
+                # recompute on the unpadded trailing piece (rare; last chunk)
+                c, a, b = self._frames_jit_dynamic(feature[start:end])
+            count += float(c)
+            s1 = a if s1 is None else s1 + a
+            s2 = b if s2 is None else s2 + b
+            start += step
+        return np.asarray(self._tail_jit(jnp.float32(count), s1, s2))
+
+    def _frames_jit_dynamic(self, piece: np.ndarray):
+        """Unpadded fallback for the last (short) chunk — one extra compile
+        per distinct tail length bucket."""
+        bucket = self._bucket_for(piece.shape[0])
+        padded = np.zeros((bucket, piece.shape[1]), piece.dtype)
+        padded[: piece.shape[0]] = piece
+        from ..models.tdnn import TDNN_TOTAL_CONTEXT
+
+        h_count = piece.shape[0] - TDNN_TOTAL_CONTEXT
+        c, a, b = self._frames_masked_jit(jnp.asarray(padded[None]), h_count)
+        return c, a, b
+
+    @property
+    def _frames_masked_jit(self):
+        if getattr(self, "_frames_masked", None) is None:
+            from functools import partial
+
+            from ..models.tdnn import TDNNFrames
+
+            cfg = self.params.dict
+            frames = TDNNFrames(config=cfg)
+            tdnn_vars = {
+                "params": self.variables["params"]["tdnn"],
+                "batch_stats": self.variables["batch_stats"].get("tdnn", {}),
+            }
+
+            @partial(jax.jit, static_argnums=(1,))
+            def fn(feats, n_valid):
+                h = frames.apply(tdnn_vars, feats, False)[0][:n_valid]
+                return (
+                    jnp.float32(n_valid),
+                    jnp.sum(h, axis=0),
+                    jnp.sum(jnp.square(h), axis=0),
+                )
+
+            self._frames_masked = fn
+        return self._frames_masked

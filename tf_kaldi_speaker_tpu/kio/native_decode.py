@@ -50,6 +50,18 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.tfks_close_all.restype = ctypes.c_int
+        lib.tfks_decode_batch.restype = ctypes.c_int
+        lib.tfks_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
         return lib
     except Exception:
         _load_failed = True
@@ -92,6 +104,35 @@ def read_submat_fast(
     if cols <= 0:
         return None
     return buf[: length * cols].reshape(length, cols).copy()
+
+
+def decode_batch_fast(
+    items, out: np.ndarray, num_threads: int = 4
+) -> bool:
+    """Decode a batch of (filename, offset, start, length) into ``out``
+    [B, L, D] float32 with one native call + internal thread pool.
+
+    Returns False (out untouched or partially written) if the native core is
+    unavailable or errors; callers fall back to per-row decoding.
+    """
+    lib = _get_lib()
+    if lib is None or not items:
+        return False
+    b, stride_rows, cols = out.shape
+    assert len(items) <= b
+    paths = (ctypes.c_char_p * len(items))(
+        *[it[0].encode() for it in items]
+    )
+    offsets = (ctypes.c_int64 * len(items))(*[int(it[1]) for it in items])
+    starts = (ctypes.c_int32 * len(items))(*[int(it[2]) for it in items])
+    lengths = (ctypes.c_int32 * len(items))(*[int(it[3]) for it in items])
+    r = lib.tfks_decode_batch(
+        paths, offsets, starts, lengths,
+        len(items), stride_rows, cols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    return r == cols
 
 
 def close_all() -> None:

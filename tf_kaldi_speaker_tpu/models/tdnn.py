@@ -129,6 +129,82 @@ class TDNN(nn.Module):
         return x, endpoints
 
 
+class TDNNFrames(nn.Module):
+    """Frame-level half of the TDNN (layers 1-5), same param names.
+
+    Used by the exact long-utterance extraction path: apply to overlapping
+    chunks and accumulate pooled sufficient statistics — statistics pooling
+    is associative, so the result equals one giant forward (SURVEY.md §5
+    "chunked scan for very long utterances"). Apply with the SAME variables
+    as the full TDNN (extra params are ignored by flax).
+    """
+
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        relu_factory = get_relu(cfg)
+        bn_momentum = cfg.get("batchnorm_momentum", 0.99)
+        width = cfg.get("tdnn_layer_size", 512)
+        x = features
+        for i, ksize in ((1, 5), (2, 5), (3, 7)):
+            x = nn.Conv(width, (ksize,), padding="VALID", kernel_init=kernel_init,
+                        name=f"tdnn{i}_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+                             name=f"tdnn{i}_bn")(x)
+            x = relu_factory(f"tdnn{i}_prelu")(x)
+        x = nn.Dense(width, kernel_init=kernel_init, name="tdnn4_dense")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+                         name="tdnn4_bn")(x)
+        x = relu_factory("tdnn4_prelu")(x)
+        x = nn.Dense(cfg.get("num_nodes_pooling_layer", 1500), kernel_init=kernel_init,
+                     name="tdnn5_dense")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+                         name="tdnn5_bn")(x)
+        x = relu_factory("tdnn5_prelu")(x)
+        return x
+
+
+class TDNNTail(nn.Module):
+    """Utterance-level half of the TDNN (pooled stats -> embeddings).
+
+    Input is the pooled [mean ‖ stddev] vector; returns the endpoints dict
+    of the utterance-level layers (tdnn6_dense, ..., output).
+    """
+
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        relu_factory = get_relu(cfg)
+        bn_momentum = cfg.get("batchnorm_momentum", 0.99)
+        width = cfg.get("tdnn_layer_size", 512)
+        endpoints: Dict[str, jnp.ndarray] = {"pooling": pooled}
+        x = nn.Dense(width, kernel_init=kernel_init, name="tdnn6_dense")(pooled)
+        endpoints["tdnn6_dense"] = x
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+                         name="tdnn6_bn")(x)
+        endpoints["tdnn6_bn"] = x
+        x = relu_factory("tdnn6_prelu")(x)
+        endpoints["tdnn6_relu"] = x
+        x = nn.Dense(cfg.get("num_nodes_last_layer", 512), kernel_init=kernel_init,
+                     name="tdnn7_dense")(x)
+        endpoints["tdnn7_dense"] = x
+        if not cfg.get("last_layer_no_bn", False):
+            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+                             name="tdnn7_bn")(x)
+            endpoints["tdnn7_bn"] = x
+        if not cfg.get("last_layer_linear", False):
+            x = relu_factory("tdnn7_prelu")(x)
+            endpoints["tdnn7_relu"] = x
+        endpoints["output"] = x
+        if cfg.get("feature_norm", False):
+            endpoints["output"] = l2_scaling(x, cfg["feature_scaling_factor"])
+        return endpoints
+
+
 class EntireNetwork(nn.Module):
     """Network + optional post-hoc feature L2 re-scaling.
 

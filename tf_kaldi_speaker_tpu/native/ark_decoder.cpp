@@ -13,11 +13,13 @@
 //     -> negative error code on failure (see TFKS_ERR_*)
 //   int tfks_close_all()  -> drop the fd cache (for tests / fork hygiene)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
 #include <mutex>
 #include <string>
+#include <thread>
 #include <unistd.h>
 #include <unordered_map>
 #include <vector>
@@ -146,6 +148,52 @@ int tfks_close_all() {
   for (auto &kv : g_fd_cache) ::close(kv.second);
   g_fd_cache.clear();
   return 0;
+}
+
+// Decode a whole batch in one call: item i fills out[i * stride_rows * cols]
+// with rows [starts[i], starts[i]+lengths[i]) of the matrix at
+// paths[i]:offsets[i]. A small thread pool overlaps the per-column seeks of
+// different items (the reference needed 16 loader *processes* to do this
+// in Python, data_loader.py:377-394). Returns ncols on success, negative
+// error code (of the first failing item) otherwise.
+int tfks_decode_batch(const char **paths, const int64_t *offsets,
+                      const int32_t *starts, const int32_t *lengths,
+                      int32_t n, int32_t stride_rows, int32_t cols,
+                      float *out, int32_t num_threads) {
+  std::atomic<int32_t> next(0);
+  std::atomic<int> err(0);
+  std::atomic<int> got_cols(0);
+
+  auto work = [&]() {
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n || err.load() != 0) return;
+      float *dst = out + static_cast<int64_t>(i) * stride_rows * cols;
+      int r = tfks_decode_submat(paths[i], offsets[i], starts[i], lengths[i],
+                                 dst, static_cast<int64_t>(stride_rows) * cols);
+      if (r < 0) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, r);
+      } else {
+        got_cols.store(r);
+        if (r != cols) {
+          int expected = 0;
+          err.compare_exchange_strong(expected, TFKS_ERR_HEADER);
+        }
+      }
+    }
+  };
+
+  int nt = num_threads < 1 ? 1 : num_threads;
+  if (nt == 1 || n == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(work);
+    for (auto &th : pool) th.join();
+  }
+  if (err.load() != 0) return err.load();
+  return got_cols.load();
 }
 
 }  // extern "C"
