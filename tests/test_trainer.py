@@ -83,12 +83,16 @@ def test_train_one_epoch_and_checkpoint(train_env):
 
 def test_training_reduces_loss(train_env):
     root, d = train_env
+    # single worker + plain momentum: deterministic batch order (multi-worker
+    # queues interleave nondeterministically, like the reference's).
     t, params, nnet = make_trainer(root, d, name="m2", num_steps_per_epoch=30,
-                                   save_checkpoints_steps=30, loss_func="softmax")
+                                   save_checkpoints_steps=30, loss_func="softmax",
+                                   num_parallel_datasets=1, use_nesterov=False,
+                                   clip_gradient=True)
     t.build("train", 20, "softmax", 8)
     t.build("valid", 20, "softmax", 8)
     first = t.valid(d["data"], d["spklist"])[0]
-    t.train(d["data"], d["spklist"], learning_rate=0.1)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
     after = t.valid(d["data"], d["spklist"])[0]
     assert after < first, (first, after)
 

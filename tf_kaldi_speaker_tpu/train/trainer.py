@@ -475,19 +475,34 @@ class Trainer:
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
+
+        # Double-buffered device prefetch: the host→device copy of batch
+        # k+1 overlaps the compute of batch k (data/pipeline.py).
+        from ..data.pipeline import device_prefetch
+
+        def host_batches():
+            n = self.mesh.shape[DATA_AXIS]
+            for _ in range(num_steps):
+                batch = loader.fetch()
+                if batch[0].shape[0] % n:
+                    pad = n - batch[0].shape[0] % n
+                    batch = tuple(
+                        np.concatenate([x, np.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
+                        for x in batch
+                    )
+                yield batch
+
         try:
-            for local_step in range(num_steps):
+            for local_step, batch in enumerate(
+                device_prefetch(host_batches(), self.bsh, depth=2)
+            ):
                 if device_decode:
-                    codes, headers, labels = loader.fetch()
-                    codes = jax.device_put(codes, self.bsh)
-                    headers = jax.device_put(headers, self.bsh)
-                    labels = jax.device_put(labels, self.bsh)
+                    codes, headers, labels = batch
                     self.state, metrics = self._train_step_raw(
                         self.state, codes, headers, labels, lr
                     )
                 else:
-                    features, labels = loader.fetch()
-                    features, labels = self._shard_batch(features, labels)
+                    features, labels = batch
                     self.state, metrics = self._train_step(self.state, features, labels, lr)
                 gstep = int(self.state.step)
                 if profile_steps and local_step == 10:
