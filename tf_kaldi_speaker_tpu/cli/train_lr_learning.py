@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--tune_period", type=int, default=100)
+    parser.add_argument("--pretrain_model", default=None,
+                        help="sweep starting from a pretrained checkpoint "
+                             "(reference finetune_lr_learning.py)")
     parser.add_argument("train_dir")
     parser.add_argument("train_spklist")
     parser.add_argument("model_dir")
@@ -41,6 +44,9 @@ def main(argv=None) -> int:
 
     trainer = Trainer(params, nnet_dir, dim=dim, num_speakers=num_speakers)
     trainer.build("train", dim, params.loss_func, num_speakers)
+    if args.pretrain_model:
+        bk.get_pretrain_model(os.path.join(args.pretrain_model, "nnet"), nnet_dir)
+        trainer.get_finetune_model(params.dict.get("noload_var_list", []))
     trainer.train_tune_lr(args.train_dir, args.train_spklist, tune_period=args.tune_period)
     logging.info("Wrote %s", os.path.join(args.model_dir, "learning_rate_tuning"))
     return 0
