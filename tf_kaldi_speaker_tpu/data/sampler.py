@@ -115,15 +115,9 @@ class RandomChunkSampler:
                     )
                 for j, feat in enumerate(rng.sample(feature_list, self.num_segments)):
                     row = i * self.num_segments + j
-                    if self.raw_codes:
-                        codes, p, _ = reader.read_segment_codes(
-                            feat, batch_length, shuffle=self.shuffle, rng=rng
-                        )
-                        features[row] = codes
-                        headers[row] = p
-                    else:
-                        plan.append((row, feat))
+                    plan.append((row, feat))
             if self.raw_codes:
+                self._read_codes_plan(reader, rng, plan, features, headers, batch_length)
                 yield features, headers, labels
             else:
                 self._decode_plan(reader, rng, plan, features, batch_length)
@@ -148,6 +142,31 @@ class RandomChunkSampler:
             return
         for row, _f, _o, start, length, seg in items:
             features[row], _ = reader.read_segment(seg, length, start=start)
+
+    def _read_codes_plan(self, reader, rng, plan, codes, headers, batch_length):
+        """Raw-codes batch work list: one threaded native call or per-row."""
+        from ..kio.native_decode import read_batch_codes_fast
+
+        items = []
+        for row, seg in plan:
+            utt, rxfile = seg.split(" ")
+            filename, offset = rxfile.rsplit(":", 1)
+            n = reader.utt2num_frames[utt]
+            start = rng.randint(0, n - batch_length) if self.shuffle else 0
+            items.append((row, filename, int(offset), start, batch_length, seg))
+        c_scratch = np.empty((len(items), batch_length, reader.dim), np.uint8)
+        h_scratch = np.empty((len(items), 4, reader.dim), np.float32)
+        if read_batch_codes_fast(
+            [(f, o, s, l) for _, f, o, s, l, _ in items], c_scratch, h_scratch
+        ):
+            for k, (row, *_rest) in enumerate(items):
+                codes[row] = c_scratch[k]
+                headers[row] = h_scratch[k]
+            return
+        for row, _f, _o, start, length, seg in items:
+            codes[row], headers[row], _ = reader.read_segment_codes(
+                seg, length, start=start
+            )
 
     def close(self) -> None:
         if self.reader is not None:

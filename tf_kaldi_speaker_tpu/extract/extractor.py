@@ -50,6 +50,9 @@ class Extractor:
         min_chunk_size: int = 25,
         normalize: bool = False,
     ):
+        from ..utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         nnet_dir = os.path.join(model_dir, "nnet")
         if not os.path.isdir(nnet_dir):
             nnet_dir = model_dir  # allow passing the nnet dir directly

@@ -50,6 +50,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.tfks_close_all.restype = ctypes.c_int
+        lib.tfks_read_batch_codes.restype = ctypes.c_int
+        lib.tfks_read_batch_codes.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
         lib.tfks_decode_batch.restype = ctypes.c_int
         lib.tfks_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -130,6 +143,30 @@ def decode_batch_fast(
         paths, offsets, starts, lengths,
         len(items), stride_rows, cols,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    return r == cols
+
+
+def read_batch_codes_fast(
+    items, codes_out: np.ndarray, headers_out: np.ndarray, num_threads: int = 4
+) -> bool:
+    """Batch raw-code read: items = [(filename, offset, start, length)],
+    codes_out [B, L, D] uint8, headers_out [B, 4, D] float32."""
+    lib = _get_lib()
+    if lib is None or not items:
+        return False
+    b, stride_rows, cols = codes_out.shape
+    assert headers_out.shape == (b, 4, cols)
+    paths = (ctypes.c_char_p * len(items))(*[it[0].encode() for it in items])
+    offsets = (ctypes.c_int64 * len(items))(*[int(it[1]) for it in items])
+    starts = (ctypes.c_int32 * len(items))(*[int(it[2]) for it in items])
+    lengths = (ctypes.c_int32 * len(items))(*[int(it[3]) for it in items])
+    r = lib.tfks_read_batch_codes(
+        paths, offsets, starts, lengths,
+        len(items), stride_rows, cols,
+        codes_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        headers_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         num_threads,
     )
     return r == cols

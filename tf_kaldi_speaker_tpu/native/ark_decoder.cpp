@@ -143,6 +143,87 @@ int tfks_decode_submat(const char *path, int64_t offset, int32_t start,
   return TFKS_ERR_HEADER;
 }
 
+// Raw-codes read for the decode-on-device path: fills codes (uint8,
+// row-major [length, ncols]) and headers (float32 [4, ncols] — dequantized
+// p0/p25/p75/p100 per column) WITHOUT applying the piecewise mapping.
+int tfks_read_codes(const char *path, int64_t offset, int32_t start,
+                    int32_t length, uint8_t *codes, float *headers,
+                    int64_t codes_capacity) {
+  int fd = get_fd(path);
+  if (fd < 0) return TFKS_ERR_OPEN;
+  char head[5];
+  if (!pread_full(fd, head, 5, offset)) return TFKS_ERR_IO;
+  if (head[0] != '\0' || head[1] != 'B') return TFKS_ERR_HEADER;
+  if (!(head[2] == 'C' && head[3] == 'M' && head[4] == ' ')) return TFKS_ERR_HEADER;
+  int64_t pos = offset + 5;
+  GlobalHeader gh;
+  if (!pread_full(fd, &gh, sizeof(gh), pos)) return TFKS_ERR_IO;
+  pos += sizeof(gh);
+  const int32_t rows = gh.num_rows, cols = gh.num_cols;
+  if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
+  if (static_cast<int64_t>(length) * cols > codes_capacity) return TFKS_ERR_CAPACITY;
+
+  std::vector<uint16_t> col_headers(static_cast<size_t>(cols) * 4);
+  if (!pread_full(fd, col_headers.data(), col_headers.size() * 2, pos))
+    return TFKS_ERR_IO;
+  const float gmin = gh.min_value, gstep = gh.range * kU16Scale;
+  for (int32_t k = 0; k < 4; ++k)
+    for (int32_t c = 0; c < cols; ++c)
+      headers[k * cols + c] = gmin + gstep * col_headers[c * 4 + k];
+
+  const int64_t data_pos = pos + static_cast<int64_t>(cols) * 8;
+  std::vector<uint8_t> colbuf(static_cast<size_t>(length));
+  for (int32_t c = 0; c < cols; ++c) {
+    const int64_t col_off = data_pos + static_cast<int64_t>(c) * rows + start;
+    if (!pread_full(fd, colbuf.data(), static_cast<size_t>(length), col_off))
+      return TFKS_ERR_IO;
+    for (int32_t r = 0; r < length; ++r)
+      codes[static_cast<int64_t>(r) * cols + c] = colbuf[r];
+  }
+  return cols;
+}
+
+// Threaded batch variant (mirrors tfks_decode_batch).
+int tfks_read_batch_codes(const char **paths, const int64_t *offsets,
+                          const int32_t *starts, const int32_t *lengths,
+                          int32_t n, int32_t stride_rows, int32_t cols,
+                          uint8_t *codes_out, float *headers_out,
+                          int32_t num_threads) {
+  std::atomic<int32_t> next(0);
+  std::atomic<int> err(0);
+  std::atomic<int> got_cols(0);
+  auto work = [&]() {
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n || err.load() != 0) return;
+      uint8_t *cdst = codes_out + static_cast<int64_t>(i) * stride_rows * cols;
+      float *hdst = headers_out + static_cast<int64_t>(i) * 4 * cols;
+      int r = tfks_read_codes(paths[i], offsets[i], starts[i], lengths[i], cdst,
+                              hdst, static_cast<int64_t>(stride_rows) * cols);
+      if (r < 0) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, r);
+      } else {
+        got_cols.store(r);
+        if (r != cols) {
+          int expected = 0;
+          err.compare_exchange_strong(expected, TFKS_ERR_HEADER);
+        }
+      }
+    }
+  };
+  int nt = num_threads < 1 ? 1 : num_threads;
+  if (nt == 1 || n == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(work);
+    for (auto &th : pool) th.join();
+  }
+  if (err.load() != 0) return err.load();
+  return got_cols.load();
+}
+
 int tfks_close_all() {
   std::lock_guard<std::mutex> lock(g_fd_mutex);
   for (auto &kv : g_fd_cache) ::close(kv.second);

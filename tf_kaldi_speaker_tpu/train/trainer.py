@@ -166,6 +166,9 @@ class Trainer:
         mesh=None,
         single_cpu: bool = False,
     ):
+        from ..utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache(params.dict.get("compilation_cache_dir"))
         self.params = params
         self.model = model_dir  # <exp>/nnet
         os.makedirs(model_dir, exist_ok=True)
