@@ -13,8 +13,8 @@ Kaldi's Plda::LogLikelihoodRatio closed form.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Iterable, Sequence, Tuple
 
 import numpy as np
 

@@ -7,7 +7,6 @@ pipelines (like Kaldi's extended filenames used throughout the recipes).
 from __future__ import annotations
 
 import io
-import struct
 import wave
 from typing import Iterator, Tuple
 

@@ -18,7 +18,7 @@ gathers are rectangular [B, K] takes, not ragged gather_nd.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -288,6 +288,40 @@ class TrainerMultiTask(Trainer):
             for i, c in enumerate(self.phone_egs):
                 f.write("%d %d\n" % (i, c))
 
+    def train_tune_lr(self, data_dir: str, ali_dir: str, spklist: str,
+                      tune_period: int = 100) -> None:
+        """Exponential LR sweep for the multitask model (reference
+        train_mt_lr_learning.py); writes ``learning_rate_tuning``."""
+        cfg = self.params.dict
+        loader = KaldiDataRandomQueueV2(
+            data_dir, ali_dir, spklist,
+            num_parallel=int(cfg.get("num_parallel_datasets", 2)),
+            max_qsize=int(cfg.get("max_queue_size", 10)),
+            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_segments=int(cfg.get("num_segments_per_speaker", 1)),
+            seed=int(cfg.get("seed", 0)),
+            **self._loader_kwargs(),
+        ).start()
+        with open(os.path.join(os.path.dirname(self.model), "learning_rate_tuning"), "w") as fp:
+            try:
+                for k in range(100):
+                    lr = 1e-5 * (1.15 ** k)
+                    losses = []
+                    for _ in range(tune_period):
+                        feats, vad, ali, length, labels, resample, _ = loader.fetch()
+                        f, s, a, ln, idx = self._shard_mt(feats, vad, ali, length, labels, resample)
+                        self.state, metrics = self._train_step(
+                            self.state, f, s, a, ln, idx, jnp.float32(lr)
+                        )
+                        losses.append(float(metrics["loss"]))
+                    mean_loss = float(np.mean(losses))
+                    fp.write("%d %.8f %f\n" % (k, lr, mean_loss))
+                    fp.flush()
+                    if not np.isfinite(mean_loss) or mean_loss > 1e4:
+                        break
+            finally:
+                loader.stop()
+
     def valid(self, data_dir: str, ali_dir: str, spklist: str,
               output_embeddings: bool = False) -> Tuple[float, float, Optional[np.ndarray], Optional[np.ndarray]]:
         cfg = self.params.dict

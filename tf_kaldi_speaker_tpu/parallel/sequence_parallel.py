@@ -19,7 +19,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.pooling import VAR2STD_EPSILON

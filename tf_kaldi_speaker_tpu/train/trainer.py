@@ -22,7 +22,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax
@@ -115,7 +114,10 @@ def make_optimizer(cfg: Dict[str, Any]) -> optax.GradientTransformation:
     if cfg.get("clip_gradient", False):
         chain.append(optax.clip_by_global_norm(float(cfg["clip_gradient_norm"])))
     if name == "sgd":
-        pass
+        if "momentum" in cfg:
+            raise ValueError(
+                "Using sgd as the optimizer and you should not specify the momentum."
+            )
     elif name == "momentum":
         chain.append(
             optax.trace(decay=float(cfg["momentum"]), nesterov=cfg.get("use_nesterov", False))

@@ -66,8 +66,6 @@ class TrainerMultiInput(Trainer):
         )
 
     def _build_train(self) -> None:
-        from flax import traverse_util
-
         import optax
 
         from .trainer import _revert_frozen_stats, freeze_mask, l2_regularization, make_optimizer
