@@ -1,0 +1,85 @@
+"""Parallel/loss-mode e2e: model-parallel softmax training; angular-triplet
+training with GE2E validation (batch_type=end2end)."""
+
+import numpy as np
+import pytest
+
+from tf_kaldi_speaker_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+from tf_kaldi_speaker_tpu.train.trainer import Trainer
+from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+from test_trainer import TINY
+
+
+def test_model_parallel_training(tmp_path):
+    d = make_fake_data_dir(str(tmp_path / "mp"), num_speakers=8, utts_per_speaker=4,
+                           dim=20, min_len=100, max_len=160)
+    cfg = dict(TINY, model_parallel=2, num_steps_per_epoch=4, save_checkpoints_steps=4)
+    params = ParamsPlain(**cfg)
+    t = Trainer(params, str(tmp_path / "m" / "nnet"), dim=20, num_speakers=8)
+    assert MODEL_AXIS in t.mesh.axis_names
+    t.build("train", 20, cfg["loss_func"], 8)
+    kernel = t.state.params["softmax"]["output_kernel"]
+    assert len(kernel.sharding.device_set) == 8  # sharded over dp x mp
+    t.train(d["data"], d["spklist"], 0.05)
+    assert int(t.state.step) == 4
+    # checkpoint round-trips the sharded kernel
+    t2 = Trainer(params, str(tmp_path / "m" / "nnet"), dim=20, num_speakers=8)
+    t2.build("train", 20, cfg["loss_func"], 8)
+    assert t2.load() == 4
+    np.testing.assert_allclose(
+        np.asarray(t.state.params["softmax"]["output_kernel"]),
+        np.asarray(t2.state.params["softmax"]["output_kernel"]),
+    )
+
+
+def test_angular_triplet_training_with_e2e_valid(tmp_path):
+    d = make_fake_data_dir(str(tmp_path / "tri"), num_speakers=8, utts_per_speaker=6,
+                           dim=20, min_len=100, max_len=160)
+    cfg = dict(
+        TINY,
+        loss_func="angular_triplet_loss",
+        margin=0.2,
+        triplet_type="hard",
+        loss_type="additive_margin_softmax",
+        batch_type="end2end",
+        num_speakers_per_batch=4,
+        num_segments_per_speaker=2,
+        num_valid_speakers_per_batch=4,
+        num_valid_segments_per_speaker=2,
+        num_steps_per_epoch=4,
+        save_checkpoints_steps=4,
+        feature_norm=True,
+        feature_scaling_factor=1.0,
+    )
+    params = ParamsPlain(**cfg)
+    t = Trainer(params, str(tmp_path / "m2" / "nnet"), dim=20, num_speakers=8)
+    t.build("train", 20, "angular_triplet_loss", 8)
+    t.build("valid", 20, "angular_triplet_loss", 8)
+    t.train(d["data"], d["spklist"], 0.01)
+    assert int(t.state.step) == 4
+    # validation switches to the GE2E-style e2e loss (trainer.py parity)
+    loss, emb, labels = t.valid(d["data"], d["spklist"],
+                                batch_type="end2end", output_embeddings=True)
+    assert np.isfinite(loss)
+    assert emb is not None and emb.shape[0] > 0
+
+
+def test_semihard_triplet_training(tmp_path):
+    d = make_fake_data_dir(str(tmp_path / "sh"), num_speakers=6, utts_per_speaker=6,
+                           dim=20, min_len=100, max_len=160)
+    cfg = dict(
+        TINY,
+        loss_func="semihard_triplet_loss",
+        margin=0.5,
+        triplet_loss_squared=False,
+        num_speakers_per_batch=4,
+        num_segments_per_speaker=2,
+        num_steps_per_epoch=3,
+        save_checkpoints_steps=3,
+    )
+    params = ParamsPlain(**cfg)
+    t = Trainer(params, str(tmp_path / "m3" / "nnet"), dim=20, num_speakers=6)
+    t.build("train", 20, "semihard_triplet_loss", 6)
+    t.train(d["data"], d["spklist"], 0.01)
+    assert int(t.state.step) == 3
