@@ -70,10 +70,12 @@ class Extractor:
 
         raw, step = checkpoints.load_checkpoint(nnet_dir)
         log.info("Loaded checkpoint step %d from %s (node %s)", step, nnet_dir, self.node)
-        self.variables = {
+        # Pin the params on device ONCE — numpy leaves would be re-uploaded
+        # on every jit call (checkpoints restore to host arrays).
+        self.variables = jax.device_put({
             "params": raw["params"]["network"],
             "batch_stats": raw.get("batch_stats", {}).get("network", {}),
-        }
+        })
         self.net = EntireNetwork(
             config=self.params.dict,
             network_type=self.params.dict.get("network_type", "tdnn"),
