@@ -33,6 +33,27 @@ def test_model_parallel_training(tmp_path):
     )
 
 
+def test_model_parallel_loss_matches_replicated(tmp_path):
+    """The sharded-softmax step must compute the SAME numbers as mp=1."""
+    import jax.numpy as jnp
+
+    d = make_fake_data_dir(str(tmp_path / "eq"), num_speakers=8, utts_per_speaker=4,
+                           dim=20, min_len=100, max_len=160)
+    feats = np.random.RandomState(0).randn(8, 64, 20).astype(np.float32)
+    labels = np.arange(8, dtype=np.int32)
+
+    losses = {}
+    for mp in (1, 2):
+        cfg = dict(TINY, model_parallel=mp)
+        t = Trainer(ParamsPlain(**cfg), str(tmp_path / ("m%d" % mp) / "nnet"),
+                    dim=20, num_speakers=8)
+        t.build("train", 20, cfg["loss_func"], 8)
+        f, l = t._shard_batch(feats, labels)
+        state, metrics = t._train_step(t.state, f, l, jnp.float32(0.01))
+        losses[mp] = float(metrics["loss"])
+    assert losses[1] == pytest.approx(losses[2], rel=1e-5)
+
+
 def test_angular_triplet_training_with_e2e_valid(tmp_path):
     d = make_fake_data_dir(str(tmp_path / "tri"), num_speakers=8, utts_per_speaker=6,
                            dim=20, min_len=100, max_len=160)

@@ -58,7 +58,11 @@ def open_or_fd(file, mode: str = "rb"):
             _, file = file.split(":", 1)
         if _OFFSET_RE.search(file):
             file, offset = file.rsplit(":", 1)
-        if file[-1] == "|":          # input pipe
+        if file == "-":              # stdin/stdout (Kaldi's "-" rxfilename)
+            import sys
+
+            fd = sys.stdin.buffer if "r" in mode else sys.stdout.buffer
+        elif file[-1] == "|":        # input pipe
             fd = popen(file[:-1], "rb")
         elif file[0] == "|":         # output pipe
             fd = popen(file[1:], "wb")
