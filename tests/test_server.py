@@ -1,0 +1,33 @@
+"""Embedding server: concurrent clients, batched results == direct forward."""
+
+import threading
+
+import numpy as np
+
+from tf_kaldi_speaker_tpu.extract.server import EmbeddingServer, embed_remote
+from test_exact_long import make_model
+
+
+def test_server_batches_and_matches_direct(tmp_path):
+    model = make_model(tmp_path)
+    server = EmbeddingServer(model, batch_size=4, max_wait_ms=50.0)
+    addr = server.start_background()
+    try:
+        rng = np.random.RandomState(0)
+        feats = [rng.randn(60 + 10 * i, 20).astype(np.float32) for i in range(6)]
+        results = [None] * len(feats)
+
+        def client(i):
+            results[i] = embed_remote(addr, feats[i])
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(len(feats))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i, f in enumerate(feats):
+            assert results[i] is not None, "client %d timed out" % i
+            direct = server.extractor.embed_utterance(f)
+            np.testing.assert_allclose(results[i], direct, rtol=2e-3, atol=2e-4)
+    finally:
+        server.shutdown()
