@@ -510,6 +510,14 @@ class Trainer:
                     features, labels = batch
                     self.state, metrics = self._train_step(self.state, features, labels, lr)
                 gstep = int(self.state.step)
+                if cfg.get("check_numerics", False):
+                    # Sanitizer mode (SURVEY §5: the reference only has
+                    # NaN asserts in self-tests): fail fast on divergence.
+                    m = jax.device_get(metrics)
+                    if not np.isfinite(m["loss"]):
+                        raise FloatingPointError(
+                            "Non-finite loss at step %d: %r" % (gstep, m)
+                        )
                 if profile_steps and local_step == 10:
                     jax.profiler.start_trace(os.path.join(self.model, "profile"))
                 if profile_steps and local_step == 10 + profile_steps:
