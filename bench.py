@@ -4,6 +4,9 @@ Prints ONE JSON line:
     {"metric": "train_chunks_per_sec_per_chip", "value": N,
      "unit": "utterance-chunks/sec/chip", "vs_baseline": R}
 
+The flagship config runs with bfloat16 activations (compute_dtype, the
+TPU-native format; params/optimizer/BN stats stay f32).
+
 Baseline derivation (BASELINE.md): the reference trains VoxCeleb on one
 P100 in ~2.5 days with 30 000 steps/epoch × 64 chunks/batch
 (tdnn_amsoftmax_m0.20…json). RESULTS-quality runs use O(16) epochs of that

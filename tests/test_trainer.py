@@ -194,3 +194,22 @@ def test_multichip_sharding_runs(train_env):
     assert len(f.sharding.device_set) == 8
     state, metrics = t._train_step(t.state, f, l, 0.01)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bf16_compute_dtype_keeps_f32_state(train_env):
+    import jax.numpy as jnp
+
+    root, d = train_env
+    t, params, nnet = make_trainer(root, d, name="m8", compute_dtype="bfloat16",
+                                   num_steps_per_epoch=3, save_checkpoints_steps=3)
+    t.build("train", 20, params.loss_func, 8)
+    feats = np.random.RandomState(3).randn(8, 64, 20).astype(np.float32)
+    labels = np.arange(8, dtype=np.int32)
+    f, l = t._shard_batch(feats, labels)
+    state, metrics = t._train_step(t.state, f, l, jnp.float32(0.05))
+    assert np.isfinite(float(metrics["loss"]))
+    # params / BN stats / optimizer state all stay float32
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32

@@ -274,15 +274,28 @@ class Trainer:
         self.tx = tx
         mask = freeze_mask(self.state.params, self.noupdate_var_list)
         noupdate = self.noupdate_var_list
+        # compute_dtype="bfloat16": run forward/backward in the TPU-native
+        # activation format (params/optimizer/BN stats stay f32; grads flow
+        # back in f32 through the cast). ~12% faster on v5e, opt-in since it
+        # changes numerics vs the f32 reference.
+        bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
         def step_fn(state: TrainState, features, labels, lr):
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
-                (loss, endpoints), updates = self.network_model.apply(
-                    {"params": params, "batch_stats": state.batch_stats,
-                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
-                    features, labels, state.step, True, mutable=mutable,
+                p = (
+                    jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+                    if bf16 else params
                 )
+                feats = features.astype(jnp.bfloat16) if bf16 else features
+                (loss, endpoints), updates = self.network_model.apply(
+                    {"params": p, "batch_stats": state.batch_stats,
+                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
+                    feats, labels, state.step, True, mutable=mutable,
+                )
+                loss = loss.astype(jnp.float32)
+                if bf16:
+                    updates = jax.tree.map(lambda x: x.astype(jnp.float32), updates)
                 reg = l2_regularization(params, wreg, out_wreg)
                 penalty = endpoints.get("attention_penalty", 0.0)
                 total = loss + reg + penalty
