@@ -101,15 +101,26 @@ class Plda:
         var_without = 1.0 + self.psi
         logdet_without = np.sum(np.log(var_without))
 
-        scores = []
-        for e_key, t_key in trials:
-            i, j = e_idx[e_key], t_idx[t_key]
-            mean = mean_coef[i] * E[i]
-            sq = (T[j] - mean) ** 2
-            lg = -0.5 * (logdet_given[i] + M_LOG_2PI * self.dim + np.sum(sq / var_given[i]))
-            lw = -0.5 * (logdet_without + M_LOG_2PI * self.dim + np.sum(T[j] ** 2 / var_without))
-            scores.append(lg - lw)
-        return np.asarray(scores)
+        # Full [E, T] score matrix with three matmuls (the quadratic form
+        # Σ_d (T_jd - mc_id E_id)² / vg_id expands into i-only, j×i and
+        # cross terms) — VoxCeleb-scale trial lists score in milliseconds.
+        mE = mean_coef * E                              # [E, D]
+        inv_vg = 1.0 / var_given                        # [E, D]
+        term_i = np.sum(mE * mE * inv_vg, axis=1)       # [E]
+        term_cross = (mE * inv_vg) @ T.T                # [E, T]
+        term_j = inv_vg @ (T * T).T                     # [E, T]
+        lg = -0.5 * (
+            logdet_given[:, None] + M_LOG_2PI * self.dim
+            + term_j - 2.0 * term_cross + term_i[:, None]
+        )
+        lw = -0.5 * (
+            logdet_without + M_LOG_2PI * self.dim
+            + np.sum((T * T) / var_without[None, :], axis=1)
+        )                                               # [T]
+        score_matrix = lg - lw[None, :]
+        return np.asarray(
+            [score_matrix[e_idx[e], t_idx[t]] for e, t in trials]
+        )
 
     # ------------------------------------------------------------------
     def smooth_within_class_covariance(self, factor: float) -> "Plda":
