@@ -81,9 +81,18 @@ class Extractor:
             network_type=self.params.dict.get("network_type", "tdnn"),
         )
 
+        bf16 = self.params.dict.get("compute_dtype", "float32") == "bfloat16"
+
         def fwd(variables, feats, mask):
+            if bf16:
+                variables = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    variables,
+                )
+                feats = feats.astype(jnp.bfloat16)
             _, endpoints = self.net.apply(variables, feats, False, mask=mask)
-            return endpoints[self.node]
+            return endpoints[self.node].astype(jnp.float32)
 
         self._fwd = jax.jit(fwd)
 

@@ -114,15 +114,21 @@ class TrainerMultiTask(Trainer):
         self.tx = tx
         mask = freeze_mask(self.state.params, self.noupdate_var_list)
         noupdate = self.noupdate_var_list
+        bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
         def step_fn(state, feats, spk, phn, length, idx, lr):
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
+                p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params) if bf16 else params
+                f = feats.astype(jnp.bfloat16) if bf16 else feats
                 (loss, endpoints), updates = self.network_model.apply(
-                    {"params": params, "batch_stats": state.batch_stats,
+                    {"params": p, "batch_stats": state.batch_stats,
                      **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
-                    feats, spk, phn, length, idx, state.step, True, mutable=mutable,
+                    f, spk, phn, length, idx, state.step, True, mutable=mutable,
                 )
+                loss = loss.astype(jnp.float32)
+                if bf16:
+                    updates = jax.tree.map(lambda x: x.astype(jnp.float32), updates)
                 reg = l2_regularization(params, wreg, out_wreg)
                 total = loss + reg
                 spk_logits = endpoints.get("spk_logits")

@@ -77,16 +77,26 @@ class TrainerMultiInput(Trainer):
         self.tx = tx
         mask = freeze_mask(self.state.params, self.noupdate_var_list)
         noupdate = self.noupdate_var_list
+        bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
         def step_fn(state, features, aux_features, labels, lr):
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
-                (loss, endpoints), updates = self.network_model.apply(
-                    {"params": params, "batch_stats": state.batch_stats,
-                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
-                    features, labels, state.step, True, mutable=mutable,
-                    aux_features=aux_features,
+                p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params) if bf16 else params
+                feats = features.astype(jnp.bfloat16) if bf16 else features
+                aux = (
+                    {k: v.astype(jnp.bfloat16) for k, v in aux_features.items()}
+                    if bf16 else aux_features
                 )
+                (loss, endpoints), updates = self.network_model.apply(
+                    {"params": p, "batch_stats": state.batch_stats,
+                     **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
+                    feats, labels, state.step, True, mutable=mutable,
+                    aux_features=aux,
+                )
+                loss = loss.astype(jnp.float32)
+                if bf16:
+                    updates = jax.tree.map(lambda x: x.astype(jnp.float32), updates)
                 reg = l2_regularization(params, wreg, out_wreg)
                 penalty = endpoints.get("attention_penalty", 0.0)
                 return loss + reg + penalty, (loss, reg, penalty, updates)
