@@ -128,6 +128,9 @@ def e2e_valid_loss(
     """
     n = num_speakers * num_segments_per_speaker
     dim = features.shape[1]
+    # Tolerate device-padding: rows beyond n_spk × n_seg (added to make the
+    # batch divisible by the mesh) are dropped before the grouped reshape.
+    features = features[:n]
     features = l2_scaling(features, 1.0)
     grouped = features.reshape(num_speakers, num_segments_per_speaker, dim)
     center = l2_scaling(jnp.mean(grouped, axis=1), 1.0)

@@ -489,6 +489,7 @@ class Trainer:
             min_len=int(cfg.get("min_segment_len", 200)),
             max_len=int(cfg.get("max_segment_len", 400)),
             seed=int(cfg.get("seed", 0)) + int(self.state.step),
+            num_buckets=int(cfg.get("num_buckets", 8)),
             raw_codes=device_decode,
         ).start()
         lr = jnp.float32(learning_rate)
@@ -565,6 +566,7 @@ class Trainer:
             min_len=int(cfg.get("min_segment_len", 200)),
             max_len=int(cfg.get("max_segment_len", 400)),
             seed=int(cfg.get("seed", 0)),
+            num_buckets=int(cfg.get("num_buckets", 8)),
         ).start()
         max_sweeps = 100
         with open(os.path.join(os.path.dirname(self.model), "learning_rate_tuning"), "w") as fp:
@@ -608,6 +610,7 @@ class Trainer:
                 min_len=int(cfg.get("min_segment_len", 200)),
                 max_len=int(cfg.get("max_segment_len", 400)),
                 shuffle=False,
+                num_buckets=int(cfg.get("num_buckets", 8)),
             ).start()
             embs, labs = [], []
             try:
@@ -634,6 +637,7 @@ class Trainer:
                 min_len=int(cfg.get("min_segment_len", 200)),
                 max_len=int(cfg.get("max_segment_len", 400)),
                 shuffle=True,
+                num_buckets=int(cfg.get("num_buckets", 8)),
             ).start()
         elif batch_type == "end2end":
             loader = KaldiDataRandomQueue(
