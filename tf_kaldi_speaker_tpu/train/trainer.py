@@ -425,8 +425,15 @@ class Trainer:
 
     def get_finetune_model(self, noload_var_list: Optional[List[str]]) -> None:
         """Partial restore: reinitialize variables matching noload_var_list,
-        keep the rest from the checkpoint (reference trainer.py:775-819)."""
+        keep the rest from the checkpoint (reference trainer.py:775-819).
+
+        The global step restarts at 0 (the copied pretrain state still
+        carries its old step; margin annealing must restart like the
+        reference's copy-as-model-0)."""
         restored_step = self.load()
+        self.state = self.state.replace(
+            step=jax.device_put(jnp.zeros((), jnp.int32), self.rep)
+        )
         if not noload_var_list:
             return
         fresh = self.network_model.init(
