@@ -83,4 +83,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The axon tunnel occasionally throws transient TPU backend errors;
+    # retry so a single hiccup doesn't lose the round's benchmark.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(20)
