@@ -75,9 +75,12 @@ def test_sequential_sampler_one_pass(fake_data):
         min_len=100, max_len=150, shuffle=False, seed=0,
     )
     batches = list(s)
-    assert len(batches) == s.num_batches == 24 // 5
-    for feats, labels in batches:
+    # 24 utts / batch 5 -> 4 full batches + 1 partial tail of 4
+    assert len(batches) == s.num_batches == 5
+    for feats, labels in batches[:-1]:
         assert feats.shape[0] == 5
+    assert batches[-1][0].shape[0] == 4
+    assert sum(b[0].shape[0] for b in batches) == 24
     s.close()
 
 

@@ -54,6 +54,33 @@ def test_model_parallel_loss_matches_replicated(tmp_path):
     assert losses[1] == pytest.approx(losses[2], rel=1e-5)
 
 
+def test_valid_loss_unbiased_by_device_padding(tmp_path):
+    """A ragged batch (b % n_devices != 0) must give the same valid loss on a
+    1-device mesh (no padding) and the 8-device mesh (padded rows masked) —
+    reference semantics: the streamed mean runs over real samples only
+    (trainer.py:592-706)."""
+    import jax
+    import jax.numpy as jnp
+
+    feats = np.random.RandomState(0).randn(13, 64, 20).astype(np.float32)
+    labels = (np.arange(13) % 8).astype(np.int32)
+
+    losses = {}
+    for n_dev, name in ((1, "one"), (8, "eight")):
+        cfg = dict(TINY)
+        mesh = make_mesh(jax.devices()[:n_dev])
+        t = Trainer(ParamsPlain(**cfg), str(tmp_path / name / "nnet"),
+                    dim=20, num_speakers=8, mesh=mesh)
+        t.build("train", 20, cfg["loss_func"], 8)
+        t.build("valid", 20, cfg["loss_func"], 8)
+        f, l, w = t._shard_batch_weighted(feats, labels)
+        if n_dev == 8:
+            assert f.shape[0] == 16 and float(np.sum(np.asarray(w))) == 13
+        loss, _ = t._valid_step(t.state, f, l, w)
+        losses[n_dev] = float(loss)
+    assert losses[1] == pytest.approx(losses[8], rel=1e-6)
+
+
 def test_angular_triplet_training_with_e2e_valid(tmp_path):
     d = make_fake_data_dir(str(tmp_path / "tri"), num_speakers=8, utts_per_speaker=6,
                            dim=20, min_len=100, max_len=160)

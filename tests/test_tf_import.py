@@ -1,8 +1,10 @@
 """TF-checkpoint import: bundle round trip + name mapping end to end.
 
-No TensorFlow exists here, so fixtures are written with our own
-TensorBundle-format writer; the reader additionally handles prefix
-compression and multi-block tables per the public LevelDB spec.
+Fixtures come from two sources: our own TensorBundle-format writer
+(round-trip tests) and a checkpoint written ONCE by real TensorFlow
+(tf.compat.v1.train.Saver, TF 2.21) checked into tests/data/tf_fixture/ —
+the reader must read actual-TF bytes bit-exactly, not just its own
+writer's output.
 """
 
 import os
@@ -31,6 +33,24 @@ def test_bundle_roundtrip(tmp_path):
     assert sorted(got) == sorted(tensors)
     for k in tensors:
         np.testing.assert_array_equal(got[k], tensors[k])
+
+
+def test_read_real_tensorflow_checkpoint():
+    """Bit-exact read of a bundle written by actual TF (not our writer).
+
+    tests/data/tf_fixture/ was generated once with
+    tf.compat.v1.train.Saver().save(...) over reference-shaped variable
+    names (tdnn/*, softmax/output/kernel, global_step) and the expected
+    values stored alongside as .npz.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    prefix = os.path.join(here, "data", "tf_fixture", "model-1234")
+    expected = np.load(os.path.join(here, "data", "tf_fixture", "expected.npz"))
+    got = read_tf_checkpoint(prefix)
+    assert sorted(got) == sorted(expected.files)
+    for name in expected.files:
+        assert got[name].dtype == expected[name].dtype, name
+        np.testing.assert_array_equal(got[name], expected[name], err_msg=name)
 
 
 def test_map_tf_names():

@@ -166,8 +166,8 @@ def test_valid_margin_neutralization(train_env):
     t.build("valid", 20, params.loss_func, 8)
     feats = np.random.RandomState(1).randn(8, 80, 20).astype(np.float32)
     labels = np.arange(8, dtype=np.int32)
-    f, l = t._shard_batch(feats, labels)
-    valid_loss, _ = t._valid_step(t.state, f, l)
+    f, l, w = t._shard_batch_weighted(feats, labels)
+    valid_loss, _ = t._valid_step(t.state, f, l, w)
     variables = t._variables(t.state)
     train_loss, _ = t.network_model.apply(variables, f, l, 0, False)
     assert float(valid_loss) < float(train_loss)

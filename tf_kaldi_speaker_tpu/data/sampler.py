@@ -178,8 +178,10 @@ class SequentialChunkSampler:
     """One pass over a feature list in fixed-size batches (valid / dumps).
 
     Batch length = bucket draw, shrunk to the shortest utterance in the
-    batch (reference batch_sequence, data_loader.py:447-461). Stops after
-    len(feature_list) // batch_size batches.
+    batch (reference batch_sequence, data_loader.py:447-461). The final
+    batch may be smaller than batch_size (the reference yields the
+    remainder too — dropping it would skip valid utterances from the
+    loss/EER whenever a shard is shorter than one batch).
     """
 
     def __init__(
@@ -211,7 +213,7 @@ class SequentialChunkSampler:
 
     @property
     def num_batches(self) -> int:
-        return len(self.feature_list) // self.batch_size
+        return -(-len(self.feature_list) // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self.reader is None:
@@ -225,9 +227,9 @@ class SequentialChunkSampler:
                     batch_length, reader.utt2num_frames[seg.split(" ")[0]]
                 )
             features = np.zeros(
-                (self.batch_size, batch_length, reader.dim), dtype=np.float32
+                (len(batch), batch_length, reader.dim), dtype=np.float32
             )
-            labels = np.zeros((self.batch_size,), dtype=np.int32)
+            labels = np.zeros((len(batch),), dtype=np.int32)
             for j, seg in enumerate(batch):
                 features[j], _ = reader.read_segment(
                     seg, batch_length, shuffle=self.shuffle, rng=rng
@@ -362,7 +364,7 @@ class MultiSequentialChunkSampler:
 
     @property
     def num_batches(self) -> int:
-        return len(self.feature_list) // self.batch_size
+        return -(-len(self.feature_list) // self.batch_size)
 
     def __iter__(self):
         if self.readers is None:
@@ -379,10 +381,10 @@ class MultiSequentialChunkSampler:
                     batch_length, main.utt2num_frames[fdict["features"].split(" ")[0]]
                 )
             features = {
-                name: np.zeros((self.batch_size, batch_length, r.dim), dtype=np.float32)
+                name: np.zeros((len(batch), batch_length, r.dim), dtype=np.float32)
                 for name, r in self.readers.items()
             }
-            labels = np.zeros((self.batch_size,), dtype=np.int32)
+            labels = np.zeros((len(batch),), dtype=np.int32)
             for j, fdict in enumerate(batch):
                 mat, start = main.read_segment(
                     fdict["features"], batch_length, shuffle=self.shuffle, rng=rng

@@ -245,10 +245,11 @@ class Extractor:
                 piece = np.concatenate(
                     [piece, np.zeros((pad, piece.shape[1]), piece.dtype)], 0
                 )
-            c, a, b = self._frames_jit(jnp.asarray(piece[None]))
             if pad:
-                # recompute on the unpadded trailing piece (rare; last chunk)
+                # unpadded path for the trailing piece (rare; last chunk)
                 c, a, b = self._frames_jit_dynamic(feature[start:end])
+            else:
+                c, a, b = self._frames_jit(jnp.asarray(piece[None]))
             count += float(c)
             s1 = a if s1 is None else s1 + a
             s2 = b if s2 is None else s2 + b

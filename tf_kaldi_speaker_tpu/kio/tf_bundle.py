@@ -119,6 +119,14 @@ def _parse_bundle_entry(buf: bytes):
             offset = val
         elif field == 5:
             size = val
+        elif field == 7:
+            # BundleEntryProto.slices: the variable was saved partitioned.
+            # Treating slice entries as full tensors silently mis-reads the
+            # checkpoint, so reject outright.
+            raise ValueError(
+                "Partitioned TF variables (BundleEntryProto.slices) are not "
+                "supported; re-save the checkpoint unpartitioned."
+            )
     return dtype, shape, shard, offset, size
 
 
@@ -194,6 +202,14 @@ def read_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
     shards = {}
     out: Dict[str, np.ndarray] = {}
     for key, value in entries.items():
+        if key.startswith(b"\x00"):
+            # Slice-data entries (escape1-prefixed keys) mean the variable
+            # was saved partitioned — same condition as BundleEntryProto
+            # field 7 on the header entry; reject rather than mis-read.
+            raise ValueError(
+                "Partitioned TF variables (slice-encoded bundle key %r) are "
+                "not supported; re-save the checkpoint unpartitioned." % key
+            )
         name = key.decode()
         dtype, shape, shard, offset, size = _parse_bundle_entry(value)
         path = "%s.data-%05d-of-%05d" % (prefix, shard, num_shards)

@@ -55,7 +55,12 @@ class LossHead(nn.Module):
         train: bool = False,
         margin_override: Optional[float] = None,
         aux_enabled: bool = True,
+        sample_weight: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        # sample_weight [B]: row validity (0 = padded for device-count
+        # alignment). Honored by the per-row-decomposable softmax family;
+        # batch-structural losses (triplet/e2e/generalized) ignore it — their
+        # loaders produce full batches, so padding never reaches them.
         cfg = self.config
         name = self.loss_func
         if name not in LOSS_NAMES:
@@ -88,16 +93,19 @@ class LossHead(nn.Module):
 
         if name == "softmax":
             bias = self.param("output_bias", nn.initializers.zeros, (self.num_outputs,))
-            loss, ep = M.softmax_loss(features, labels, kernel, bias)
+            loss, ep = M.softmax_loss(features, labels, kernel, bias, sample_weight)
         elif name == "asoftmax":
             m = int(margin_override if margin_override is not None else cfg["asoftmax_m"])
-            loss, ep = M.asoftmax_loss(features, labels, kernel, m, anneal("asoftmax"))
+            loss, ep = M.asoftmax_loss(
+                features, labels, kernel, m, anneal("asoftmax"), sample_weight)
         elif name == "additive_margin_softmax":
             m = float(margin_override if margin_override is not None else cfg["amsoftmax_m"])
-            loss, ep = M.amsoftmax_loss(features, labels, kernel, m, anneal("amsoftmax"))
+            loss, ep = M.amsoftmax_loss(
+                features, labels, kernel, m, anneal("amsoftmax"), sample_weight)
         elif name == "additive_angular_margin_softmax":
             m = float(margin_override if margin_override is not None else cfg["arcsoftmax_m"])
-            loss, ep = M.arcsoftmax_loss(features, labels, kernel, m, anneal("arcsoftmax"))
+            loss, ep = M.arcsoftmax_loss(
+                features, labels, kernel, m, anneal("arcsoftmax"), sample_weight)
         elif name == "semihard_triplet_loss":
             loss, ep = T.semihard_triplet_loss(
                 features, labels, float(cfg["margin"]), cfg.get("triplet_loss_squared", False)

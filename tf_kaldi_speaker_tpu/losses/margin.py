@@ -21,11 +21,22 @@ import jax.numpy as jnp
 EPS = 1e-12
 
 
-def sparse_softmax_xent(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean sparse softmax cross-entropy (tf.losses semantics)."""
+def sparse_softmax_xent(
+    logits: jnp.ndarray, labels: jnp.ndarray, weights: jnp.ndarray = None
+) -> jnp.ndarray:
+    """Mean sparse softmax cross-entropy (tf.losses semantics).
+
+    ``weights`` [B] (optional) is a row-validity weight: the mean is taken
+    over sum(weights) instead of B, so rows padded for device-count
+    alignment (weight 0) do not bias the loss (tf.losses weights semantics).
+    """
     logz = jax.nn.logsumexp(logits, axis=-1)
     sel = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(logz - sel)
+    per_row = logz - sel
+    if weights is None:
+        return jnp.mean(per_row)
+    weights = weights.astype(per_row.dtype)
+    return jnp.sum(per_row * weights) / jnp.maximum(jnp.sum(weights), EPS)
 
 
 def margin_annealing_lambda(
@@ -65,11 +76,11 @@ def _blend(logits, labels, sel, scaled, lam):
 
 
 def softmax_loss(
-    features, labels, kernel, bias
+    features, labels, kernel, bias, weights=None
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Vanilla softmax with an affine output layer (loss.py:9-48)."""
     logits = features @ kernel + bias
-    return sparse_softmax_xent(logits, labels), {"logits": logits, "labels": labels}
+    return sparse_softmax_xent(logits, labels, weights), {"logits": logits, "labels": labels}
 
 
 def asoftmax_phi(cos: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -88,27 +99,27 @@ def asoftmax_phi(cos: jnp.ndarray, m: int) -> jnp.ndarray:
     raise NotImplementedError("[ERROR] m=%d is not supported." % m)
 
 
-def asoftmax_loss(features, labels, kernel, m: int, lam):
+def asoftmax_loss(features, labels, kernel, m: int, lam, weights=None):
     """Angular (Sphere) softmax (loss.py:51-169)."""
     logits, _ = _normalized_logits(features, kernel)
     if m == 1:
-        return sparse_softmax_xent(logits, labels), {"logits": logits, "labels": labels}
+        return sparse_softmax_xent(logits, labels, weights), {"logits": logits, "labels": labels}
     sel, fnorm, cos = _target_cos(logits, features, labels)
     scaled = asoftmax_phi(cos, m) * fnorm
     updated = _blend(logits, labels, sel, scaled, lam)
-    return sparse_softmax_xent(updated, labels), {"logits": logits, "labels": labels}
+    return sparse_softmax_xent(updated, labels, weights), {"logits": logits, "labels": labels}
 
 
-def amsoftmax_loss(features, labels, kernel, m: float, lam):
+def amsoftmax_loss(features, labels, kernel, m: float, lam, weights=None):
     """Additive-margin softmax: ||x||(cosθ - m) (loss.py:172-257)."""
     logits, _ = _normalized_logits(features, kernel)
     sel, fnorm, cos = _target_cos(logits, features, labels)
     scaled = (cos - m) * fnorm
     updated = _blend(logits, labels, sel, scaled, lam)
-    return sparse_softmax_xent(updated, labels), {"logits": logits, "labels": labels}
+    return sparse_softmax_xent(updated, labels, weights), {"logits": logits, "labels": labels}
 
 
-def arcsoftmax_loss(features, labels, kernel, m: float, lam):
+def arcsoftmax_loss(features, labels, kernel, m: float, lam, weights=None):
     """Additive angular margin (ArcFace): ||x||cos(θ+m) (loss.py:260-355)."""
     logits, _ = _normalized_logits(features, kernel)
     sel, fnorm, cos = _target_cos(logits, features, labels)
@@ -118,4 +129,4 @@ def arcsoftmax_loss(features, labels, kernel, m: float, lam):
     phi = jnp.where(cos > jnp.cos(jnp.pi - m), cos_m, -cos_m - 2.0)
     scaled = phi * fnorm
     updated = _blend(logits, labels, sel, scaled, lam)
-    return sparse_softmax_xent(updated, labels), {"logits": logits, "labels": labels}
+    return sparse_softmax_xent(updated, labels, weights), {"logits": logits, "labels": labels}

@@ -206,7 +206,9 @@ class SequentialChunkSamplerV2:
 
     @property
     def num_batches(self) -> int:
-        return len(self.feature_list) // self.batch_size
+        # Ceil: the final partial batch is yielded too (dropping it would
+        # skip utterances from validation whenever a shard < batch_size).
+        return -(-len(self.feature_list) // self.batch_size)
 
     def __iter__(self):
         if self.reader is None:
@@ -220,7 +222,7 @@ class SequentialChunkSamplerV2:
             batch_length = rng.choice(self.buckets)
             for utt in batch:
                 batch_length = min(batch_length, reader.utt2num_frames[utt])
-            B = self.batch_size
+            B = len(batch)
             features = np.zeros((B, batch_length + lc + rc, reader.dim), np.float32)
             vad = np.zeros((B, batch_length), np.float32)
             ali = np.zeros((B, batch_length), np.int32)

@@ -99,7 +99,12 @@ def select_checkpoint(model_dir: str, checkpoint: str | int = "last") -> int:
     rewrite the pointer (reference misc/utils.py:217-270 + make_checkpoint.py).
 
     "best" reads ``<model_dir>/../valid_loss`` lines "epoch loss eer" and maps
-    the best epoch to step (epoch+1)*num_steps_per_epoch.
+    the best epoch to step best_epoch*num_steps_per_epoch — correct for this
+    repo's 1-based epochs in valid_loss (cli/train.py writes epoch+1). NOTE: a
+    valid_loss file written by the reference uses 0-based epochs (its best
+    step is (epoch+1)*num_steps, misc/utils.py:243-258), so "best" against a
+    reference-produced model dir resolves one epoch early; the
+    closest-existing-checkpoint fallback below then snaps to a neighbor.
     """
     steps = list_steps(model_dir)
     if not steps:

@@ -76,6 +76,7 @@ class XVectorModel(nn.Module):
         mask=None,
         loss_func_override: Optional[str] = None,
         aux_features=None,
+        sample_weight=None,
     ):
         out, endpoints = EntireNetwork(
             config=self.config, network_type=self.config.get("network_type", "tdnn"),
@@ -86,7 +87,7 @@ class XVectorModel(nn.Module):
             loss_func=loss_func, num_outputs=self.num_outputs, config=self.config,
             name="softmax",
         )(out, labels, step=step, train=train, margin_override=margin_override,
-          aux_enabled=aux_enabled)
+          aux_enabled=aux_enabled, sample_weight=sample_weight)
         endpoints.update(ep)
         return loss, endpoints
 
@@ -362,19 +363,24 @@ class Trainer:
         )
         margin_override = VALID_MARGIN_NEUTRAL.get(self.loss_type)
 
-        def valid_fn(state: TrainState, features, labels):
+        def valid_fn(state: TrainState, features, labels, weights):
+            # weights [B]: 1 for real rows, 0 for rows padded to a multiple
+            # of the device count — the loss mean runs over real rows only,
+            # matching the reference's unpadded streamed mean
+            # (trainer.py:592-706).
             loss, endpoints = self.network_model.apply(
                 self._variables(state),
                 features, labels, state.step, False,
                 margin_override=margin_override,
                 aux_enabled=False,
                 loss_func_override=loss_override,
+                sample_weight=weights,
             )
             return loss, endpoints["output"]
 
         self._valid_step = jax.jit(
             valid_fn,
-            in_shardings=(None, self.bsh, self.bsh),
+            in_shardings=(None, self.bsh, self.bsh, self.bsh),
             out_shardings=(self.rep, self.bsh),
         )
 
@@ -472,6 +478,15 @@ class Trainer:
             jax.device_put(features, self.bsh),
             jax.device_put(labels, self.bsh),
         )
+
+    def _shard_batch_weighted(self, features: np.ndarray, labels: np.ndarray):
+        """Like _shard_batch, plus a row-validity weight vector (0 on rows
+        padded for device-count alignment)."""
+        b = features.shape[0]
+        f, l = self._shard_batch(features, labels)
+        weights = np.zeros((f.shape[0],), np.float32)
+        weights[:b] = 1.0
+        return f, l, jax.device_put(weights, self.bsh)
 
     def train(self, data_dir: str, spklist: str, learning_rate: float, aux_data=None) -> None:
         """One epoch of num_steps_per_epoch steps (reference trainer.py:451-520)."""
@@ -624,8 +639,8 @@ class Trainer:
                 while True:
                     features, labels = seq.fetch()
                     b = features.shape[0]
-                    f, l = self._shard_batch(features, labels)
-                    _, emb = self._valid_step(self.state, f, l)
+                    f, l, w = self._shard_batch_weighted(features, labels)
+                    _, emb = self._valid_step(self.state, f, l, w)
                     embs.append(np.asarray(emb)[:b])
                     labs.append(labels)
             except DataOutOfRange:
@@ -660,8 +675,8 @@ class Trainer:
         try:
             for _ in range(max_iter):
                 features, labels = loader.fetch()
-                f, l = self._shard_batch(features, labels)
-                loss, _ = self._valid_step(self.state, f, l)
+                f, l, w = self._shard_batch_weighted(features, labels)
+                loss, _ = self._valid_step(self.state, f, l, w)
                 losses.append(float(loss))
         except DataOutOfRange:
             pass

@@ -133,17 +133,20 @@ class TrainerMultiInput(Trainer):
         )
         margin_override = VALID_MARGIN_NEUTRAL.get(self.loss_type)
 
-        def valid_fn(state, features, aux_features, labels):
+        def valid_fn(state, features, aux_features, labels, weights):
+            # weights: row validity, 0 on device-padding rows (see
+            # trainer.Trainer._build_valid).
             loss, endpoints = self.network_model.apply(
                 self._variables(state),
                 features, labels, state.step, False,
                 margin_override=margin_override, aux_enabled=False,
                 loss_func_override=loss_override, aux_features=aux_features,
+                sample_weight=weights,
             )
             return loss, endpoints["output"]
 
         self._valid_step = jax.jit(
-            valid_fn, in_shardings=(None, self.bsh, self.bsh, self.bsh)
+            valid_fn, in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh)
         )
 
     def _build_predict(self) -> None:
@@ -176,10 +179,13 @@ class TrainerMultiInput(Trainer):
             main = np.concatenate([main, np.tile(main[-1:], (pad, 1, 1))], 0)
             aux = {k: np.concatenate([v, np.tile(v[-1:], (pad, 1, 1))], 0) for k, v in aux.items()}
             labels = np.concatenate([labels, np.tile(labels[-1:], pad)], 0)
+        weights = np.zeros((main.shape[0],), np.float32)
+        weights[:b] = 1.0
         return (
             jax.device_put(main, self.bsh),
             {k: jax.device_put(v, self.bsh) for k, v in aux.items()},
             jax.device_put(labels, self.bsh),
+            jax.device_put(weights, self.bsh),
         )
 
     def train(self, data_dir, spklist, learning_rate, aux_data=None) -> None:
@@ -202,7 +208,7 @@ class TrainerMultiInput(Trainer):
         try:
             for local_step in range(num_steps):
                 features, labels = loader.fetch()
-                main, aux, l = self._shard_multi(features, labels)
+                main, aux, l, _ = self._shard_multi(features, labels)
                 self.state, metrics = self._train_step(self.state, main, aux, l, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:
@@ -234,8 +240,8 @@ class TrainerMultiInput(Trainer):
                 while True:
                     features, labels = seq.fetch()
                     b = labels.shape[0]
-                    main, aux, l = self._shard_multi(features, labels)
-                    _, emb = self._valid_step(self.state, main, aux, l)
+                    main, aux, l, w = self._shard_multi(features, labels)
+                    _, emb = self._valid_step(self.state, main, aux, l, w)
                     embs.append(np.asarray(emb)[:b])
                     labs.append(labels)
             except DataOutOfRange:
@@ -264,8 +270,8 @@ class TrainerMultiInput(Trainer):
         try:
             for _ in range(max_iter):
                 features, labels = loader.fetch()
-                main, aux, l = self._shard_multi(features, labels)
-                loss, _ = self._valid_step(self.state, main, aux, l)
+                main, aux, l, w = self._shard_multi(features, labels)
+                loss, _ = self._valid_step(self.state, main, aux, l, w)
                 losses.append(float(loss))
         except DataOutOfRange:
             pass
