@@ -137,6 +137,44 @@ def test_multitask_train_valid_predict(tmp_path, mt_data):
     )
 
 
+def test_all_frames_phone_loss_matches_full_permutation(tmp_path, mt_data):
+    """num_frames_per_utt=-1 (all frames, masked) must equal the K-subset
+    path when K covers every valid frame exactly once — same frame set,
+    same mean (reference common.py:43-55 equivalence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_kaldi_speaker_tpu.multitask.model import MultitaskModel
+
+    cfg = dict(MT_CFG)
+    L, B, D = 24, 3, 20
+    lc, rc = cfg["phone_left_context"], cfg["phone_right_context"]
+    model = MultitaskModel(config=cfg, num_speakers=5, num_phones=NUM_PHONES)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, L + lc + rc, D).astype(np.float32))
+    spk = jnp.asarray(rng.randint(0, 5, B).astype(np.int32))
+    phn = jnp.asarray(rng.randint(0, NUM_PHONES, (B, L)).astype(np.int32))
+    length = jnp.full((B,), L, jnp.int32)  # full-length: mask == everything
+    variables = model.init(jax.random.PRNGKey(0), feats, spk, phn, length, None, 0, False)
+
+    _, ep_all = model.apply(variables, feats, spk, phn, length, None, 0, False)
+    perm = np.stack([rng.permutation(L) for _ in range(B)]).astype(np.int32)
+    _, ep_k = model.apply(variables, feats, spk, phn, length, jnp.asarray(perm), 0, False)
+    np.testing.assert_allclose(
+        float(ep_all["phn_loss"]), float(ep_k["phn_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(ep_all["spk_loss"]), float(ep_k["spk_loss"]), rtol=1e-6
+    )
+
+    # short utterance: padding frames must NOT enter the all-frames loss
+    short = jnp.asarray(np.array([L, L // 2, L], np.int32))
+    _, ep_short = model.apply(variables, feats, spk, phn, short, None, 0, False)
+    assert float(ep_short["phn_loss"]) != float(ep_all["phn_loss"])
+    w = np.asarray(ep_short["phn_weight_subset"]).reshape(B, L)
+    assert w[1, L // 2:].sum() == 0 and w[1, : L // 2].sum() == L // 2
+
+
 def test_shared_layers_actually_shared(tmp_path, mt_data):
     params = ParamsPlain(**MT_CFG)
     t = TrainerMultiTask(

@@ -1,16 +1,83 @@
-"""Every shipped recipe config must load and build its model (full widths)."""
+"""Config-parity CI: every shipped recipe config AND every reference
+nnet_conf JSON must load and build its model (full widths).
+
+The reference sweep enforces the public-API contract (SURVEY §2.3:
+"BASELINE.json requires configs to run unchanged") over all 91 configs in
+/root/reference/egs/*/*/nnet_conf/*.json. Known-stale exclusions:
+mt_softmax{,_2..5}.json lack ``phone_kernel_size`` and crash the reference
+itself (multitask_v1/tdnn.py:242 reads params.phone_kernel_size
+unconditionally) — they are asserted to fail with a KeyError rather than
+silently skipped.
+"""
 
 import glob
+import json
 import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from tf_kaldi_speaker_tpu.utils.params import Params
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "recipes", "*", "*", "nnet_conf", "*.json")))
+
+REFERENCE = "/root/reference"
+REF_CONFIGS = sorted(
+    glob.glob(os.path.join(REFERENCE, "egs", "*", "*", "nnet_conf", "*.json"))
+)
+# Stale upstream configs that crash the reference too (missing
+# phone_kernel_size; see module docstring).
+REF_BROKEN = {
+    "fisher/v3/nnet_conf/mt_softmax.json",
+    "fisher/v3/nnet_conf/mt_softmax_2.json",
+    "fisher/v3/nnet_conf/mt_softmax_3.json",
+    "fisher/v3/nnet_conf/mt_softmax_4.json",
+    "fisher/v3/nnet_conf/mt_softmax_5.json",
+}
+
+
+def _ref_id(path):
+    return "/".join(path.split(os.sep)[-4:])
+
+
+def _build_from_config(cfg):
+    """Build (init + one forward) the model a config describes."""
+    if "spk_loss_type" in cfg or "phone_kernel_size" in cfg:  # multitask
+        from tf_kaldi_speaker_tpu.multitask.model import MultitaskModel
+
+        lc, rc = cfg["phone_left_context"], cfg["phone_right_context"]
+        model = MultitaskModel(config=cfg, num_speakers=50, num_phones=100)
+        L = 40
+        nfpu = int(cfg.get("num_frames_per_utt", 10))
+        idx = None if nfpu == -1 else jnp.zeros((2, nfpu), jnp.int32)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, L + lc + rc, 30), jnp.float32),
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, L), jnp.int32),
+            jnp.full((2,), L, jnp.int32),
+            idx,
+            0,
+            False,
+        )
+        assert "conv1" in variables["params"]
+        return model, variables
+    from tf_kaldi_speaker_tpu.train.trainer import XVectorModel
+
+    feats = jnp.zeros((2, 64, 30), jnp.float32)
+    model = XVectorModel(config=cfg, loss_func=cfg["loss_func"], num_outputs=50)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, jnp.zeros((2,), jnp.int32), 0, False
+    )
+    loss, endpoints = model.apply(
+        variables, feats, jnp.zeros((2,), jnp.int32), 0, False
+    )
+    # presence-defaulting like the reference (trainer.py:213-222)
+    assert cfg.get("embedding_node", "tdnn6_dense") in endpoints
+    return model, variables
 
 
 def test_configs_exist():
@@ -19,34 +86,73 @@ def test_configs_exist():
 
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
 def test_config_builds(path):
-    params = Params(path)
-    cfg = params.dict
-    feats = jnp.zeros((2, 64, 30), jnp.float32)
-    if "phone_kernel_size" in cfg:  # multitask config
-        from tf_kaldi_speaker_tpu.multitask.model import MultitaskModel
+    _build_from_config(Params(path).dict)
 
-        lc, rc = cfg["phone_left_context"], cfg["phone_right_context"]
-        model = MultitaskModel(config=cfg, num_speakers=50, num_phones=100)
-        L = 40
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((2, L + lc + rc, 30), jnp.float32),
-            jnp.zeros((2,), jnp.int32),
-            jnp.zeros((2, L), jnp.int32),
-            jnp.full((2,), L, jnp.int32),
-            jnp.zeros((2, cfg.get("num_frames_per_utt", 10)), jnp.int32),
-            0,
-            False,
-        )
-        assert "conv1" in variables["params"]
-    else:
-        from tf_kaldi_speaker_tpu.train.trainer import XVectorModel
 
-        model = XVectorModel(config=cfg, loss_func=cfg["loss_func"], num_outputs=50)
-        variables = model.init(
-            jax.random.PRNGKey(0), feats, jnp.zeros((2,), jnp.int32), 0, False
+@pytest.mark.skipif(not REF_CONFIGS, reason="reference tree not present")
+def test_reference_config_count():
+    assert len(REF_CONFIGS) == 91
+
+
+@pytest.mark.parametrize(
+    "path",
+    [p for p in REF_CONFIGS if _ref_id(p) not in REF_BROKEN],
+    ids=[_ref_id(p) for p in REF_CONFIGS if _ref_id(p) not in REF_BROKEN],
+)
+def test_reference_config_builds(path):
+    _build_from_config(Params(path).dict)
+
+
+@pytest.mark.parametrize(
+    "path",
+    [p for p in REF_CONFIGS if _ref_id(p) in REF_BROKEN],
+    ids=[_ref_id(p) for p in REF_CONFIGS if _ref_id(p) in REF_BROKEN],
+)
+def test_reference_broken_configs_fail_loudly(path):
+    """The 5 stale upstream configs must fail on a missing phone_* key —
+    the same class of failure the reference hits (multitask_v1/tdnn.py:242
+    reads params.phone_kernel_size unconditionally) — not build some
+    silently-different model."""
+    with pytest.raises(KeyError, match="phone_"):
+        _build_from_config(Params(path).dict)
+
+
+def test_mt_softmax_8_3_trains():
+    """mt_softmax_8.3.json ships num_frames_per_utt=-1 (all-frames phone
+    loss) — a few train steps must run (VERDICT r1 gap #4)."""
+    from tf_kaldi_speaker_tpu.multitask.trainer import TrainerMultiTask
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+    import tempfile
+
+    path = os.path.join(REFERENCE, "egs/fisher/v3/nnet_conf/mt_softmax_8.3.json")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    cfg = json.load(open(path))
+    # shrink widths/batches so CI is fast; keep all behavioral keys
+    cfg.update(
+        tdnn_layer_size=16, num_nodes_pooling_layer=32, speaker_dim=16,
+        phone_dim=16, phone_layer_size=[16] * len(cfg["phone_layer_size"]),
+        num_speakers_per_batch=4, num_segments_per_speaker=1,
+        num_steps_per_epoch=2, save_checkpoints_steps=2,
+        min_segment_len=30, max_segment_len=50, num_parallel_datasets=1,
+        valid_max_iterations=2,
+    )
+    assert int(cfg["num_frames_per_utt"]) == -1
+    with tempfile.TemporaryDirectory() as tmp:
+        d = make_fake_data_dir(
+            os.path.join(tmp, "mt"), num_speakers=4, utts_per_speaker=3,
+            dim=30, min_len=60, max_len=90, with_vad_ali=True, num_phones=12,
         )
-        loss, endpoints = model.apply(
-            variables, feats, jnp.zeros((2,), jnp.int32), 0, False
+        t = TrainerMultiTask(
+            ParamsPlain(**cfg), os.path.join(tmp, "m", "nnet"),
+            dim=30, num_speakers=4, num_phones=12,
         )
-        assert cfg["embedding_node"] in endpoints
+        t.build("train", 30, num_speakers=4, num_phones=12)
+        t.build("valid", 30)
+        t.train(d["data"], d["ali_dir"], d["spklist"], 0.01)
+        assert int(t.state.step) == 2
+        spk_loss, phn_loss, emb, labels = t.valid(
+            d["data"], d["ali_dir"], d["spklist"], output_embeddings=True
+        )
+        assert np.isfinite(spk_loss) and np.isfinite(phn_loss)

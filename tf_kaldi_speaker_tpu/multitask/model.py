@@ -206,11 +206,15 @@ class MultitaskModel(nn.Module):
         spk_labels,          # [B]
         phn_labels,          # [B, L]
         feat_length,         # [B]
-        phn_mask_idx,        # [B, K] frame indices for the phone loss
+        phn_mask_idx,        # [B, K] frame indices for the phone loss, or
+                             # None = all frames masked by feat_length
+                             # (reference num_frames_per_utt == -1,
+                             # common.py:43-55 + base_v1.py:419-447)
         step=0,
         train: bool = False,
         spk_margin_override=None,
         aux_enabled: bool = True,
+        sample_weight=None,  # [B] row validity (0 = device-padding row)
     ):
         cfg = self.config
         endpoints: Dict[str, jnp.ndarray] = {}
@@ -228,18 +232,39 @@ class MultitaskModel(nn.Module):
         spk_loss, spk_ep = self.spk_head(
             mu_zs, spk_labels, step=step, train=train,
             margin_override=spk_margin_override, aux_enabled=aux_enabled,
+            sample_weight=sample_weight,
         )
         endpoints.update({"spk_" + k: v for k, v in spk_ep.items()})
 
-        # Gather the sampled phone frames: [B, K, D] -> [B*K, D].
-        b, k = phn_mask_idx.shape
-        zp_sub = jnp.take_along_axis(mu_zp, phn_mask_idx[:, :, None], axis=1)
-        zp_sub = zp_sub.reshape(b * k, -1)
-        lab_sub = jnp.take_along_axis(phn_labels, phn_mask_idx, axis=1).reshape(b * k)
+        if phn_mask_idx is None:
+            # All-frames phone loss: every frame enters, weighted by the
+            # per-utterance validity mask (and the row weight, if any) —
+            # the rectangular equivalent of the reference's ragged
+            # all-valid-frames gather for num_frames_per_utt == -1.
+            b, l = phn_labels.shape
+            zp_sub = mu_zp.reshape(b * l, -1)
+            lab_sub = phn_labels.reshape(b * l)
+            fw = (jnp.arange(l)[None, :] < feat_length[:, None]).astype(jnp.float32)
+            if sample_weight is not None:
+                fw = fw * sample_weight[:, None]
+            phn_w = fw.reshape(b * l)
+        else:
+            # Gather the sampled phone frames: [B, K, D] -> [B*K, D].
+            b, k = phn_mask_idx.shape
+            zp_sub = jnp.take_along_axis(mu_zp, phn_mask_idx[:, :, None], axis=1)
+            zp_sub = zp_sub.reshape(b * k, -1)
+            lab_sub = jnp.take_along_axis(phn_labels, phn_mask_idx, axis=1).reshape(b * k)
+            phn_w = (
+                None if sample_weight is None
+                else jnp.repeat(sample_weight, k)
+            )
         endpoints["mu_zp_subset"] = zp_sub
         endpoints["phn_labels_subset"] = lab_sub
+        if phn_w is not None:
+            endpoints["phn_weight_subset"] = phn_w
         phn_loss, phn_ep = self.phn_head(
-            zp_sub, lab_sub, step=step, train=train, aux_enabled=aux_enabled
+            zp_sub, lab_sub, step=step, train=train, aux_enabled=aux_enabled,
+            sample_weight=phn_w,
         )
         endpoints.update({"phn_" + k2: v for k2, v in phn_ep.items()})
 

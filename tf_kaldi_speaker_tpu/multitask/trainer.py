@@ -36,6 +36,18 @@ from .model import MultitaskModel
 log = logging.getLogger("tfks.trainer_mt")
 
 
+def _phn_accuracy(endpoints):
+    """Frame accuracy over the phone subset, honoring the validity weight
+    (all-frames mode weights out padding frames; K-subset mode has none)."""
+    correct = (
+        jnp.argmax(endpoints["phn_logits"], -1) == endpoints["phn_labels_subset"]
+    ).astype(jnp.float32)
+    w = endpoints.get("phn_weight_subset")
+    if w is None:
+        return jnp.mean(correct)
+    return jnp.sum(correct * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
 class TrainerMultiTask(Trainer):
     def __init__(self, params, model_dir, dim=None, num_speakers=None,
                  num_phones=None, mesh=None, **kw):
@@ -44,7 +56,10 @@ class TrainerMultiTask(Trainer):
         self.num_phones = num_phones
         self.lc = int(params.dict["phone_left_context"])
         self.rc = int(params.dict["phone_right_context"])
+        # -1 = all-frames phone loss, masked by valid_length (reference
+        # common.py:43-55); positive = per-utterance random frame subset.
         self.num_frames_per_utt = int(params.dict.get("num_frames_per_utt", 10))
+        self.all_phone_frames = self.num_frames_per_utt == -1
         self._mask_rng = np.random.RandomState(int(params.dict.get("seed", 0)))
         # Per-class example counters (base_v1.py:950-995).
         self.speaker_egs = None
@@ -86,7 +101,10 @@ class TrainerMultiTask(Trainer):
         spk = jnp.zeros((b,), jnp.int32)
         phn = jnp.zeros((b, L), jnp.int32)
         length = jnp.full((b,), L, jnp.int32)
-        idx = jnp.zeros((b, self.num_frames_per_utt), jnp.int32)
+        idx = (
+            None if self.all_phone_frames
+            else jnp.zeros((b, self.num_frames_per_utt), jnp.int32)
+        )
         return feats, spk, phn, length, idx
 
     def _init_state(self) -> None:
@@ -116,6 +134,8 @@ class TrainerMultiTask(Trainer):
         noupdate = self.noupdate_var_list
         bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
+        all_frames = self.all_phone_frames
+
         def step_fn(state, feats, spk, phn, length, idx, lr):
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
@@ -124,7 +144,8 @@ class TrainerMultiTask(Trainer):
                 (loss, endpoints), updates = self.network_model.apply(
                     {"params": p, "batch_stats": state.batch_stats,
                      **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
-                    f, spk, phn, length, idx, state.step, True, mutable=mutable,
+                    f, spk, phn, length, None if all_frames else idx,
+                    state.step, True, mutable=mutable,
                 )
                 loss = loss.astype(jnp.float32)
                 if bf16:
@@ -138,9 +159,7 @@ class TrainerMultiTask(Trainer):
                     if spk_logits is not None else jnp.float32(0)
                 )
                 phn_acc = (
-                    jnp.mean(
-                        (jnp.argmax(phn_logits, -1) == endpoints["phn_labels_subset"]).astype(jnp.float32)
-                    )
+                    _phn_accuracy(endpoints)
                     if phn_logits is not None else jnp.float32(0)
                 )
                 return total, (endpoints["spk_loss"], endpoints["phn_loss"], reg,
@@ -180,25 +199,33 @@ class TrainerMultiTask(Trainer):
             self.params.dict.get("spk_loss_type", "softmax")
         )
 
-        def valid_fn(state, feats, spk, phn, length, idx):
+        all_frames = self.all_phone_frames
+
+        def valid_fn(state, feats, spk, phn, length, idx, weights):
             loss, endpoints = self.network_model.apply(
                 self._variables(state),
-                feats, spk, phn, length, idx, state.step, False,
+                feats, spk, phn, length, None if all_frames else idx,
+                state.step, False,
                 spk_margin_override=margin_override, aux_enabled=False,
+                sample_weight=weights,
             )
-            spk_acc = jnp.mean(
-                (jnp.argmax(endpoints["spk_logits"], -1) == spk).astype(jnp.float32)
+            wsum = jnp.maximum(jnp.sum(weights), 1e-12)
+            spk_acc = (
+                jnp.sum(
+                    (jnp.argmax(endpoints["spk_logits"], -1) == spk).astype(jnp.float32)
+                    * weights
+                ) / wsum
             ) if "spk_logits" in endpoints else jnp.float32(0)
-            phn_acc = jnp.mean(
-                (jnp.argmax(endpoints["phn_logits"], -1)
-                 == endpoints["phn_labels_subset"]).astype(jnp.float32)
-            ) if "phn_logits" in endpoints else jnp.float32(0)
+            phn_acc = (
+                _phn_accuracy(endpoints)
+                if "phn_logits" in endpoints else jnp.float32(0)
+            )
             return (endpoints["spk_loss"], endpoints["phn_loss"],
                     spk_acc, phn_acc, endpoints["mu_zs"])
 
         self._valid_step = jax.jit(
             valid_fn,
-            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh, self.bsh),
+            in_shardings=(None,) + (self.bsh,) * 6,
         )
 
     def _build_predict(self) -> None:
@@ -238,9 +265,18 @@ class TrainerMultiTask(Trainer):
             length = padrep(length, pad)
             labels = padrep(labels, pad)
             resample = padrep(resample, pad)
-        idx = make_phone_masks(length, resample, self.num_frames_per_utt, self._mask_rng)
+        if self.all_phone_frames:
+            # All-frames mode: the model masks by length; idx is an unused
+            # placeholder kept so the jitted signatures stay uniform.
+            idx = np.zeros((feats.shape[0], 1), np.int32)
+        else:
+            idx = make_phone_masks(
+                length, resample, self.num_frames_per_utt, self._mask_rng
+            )
+        weights = np.zeros((feats.shape[0],), np.float32)
+        weights[:b] = 1.0
         put = lambda x: jax.device_put(x, self.bsh)
-        return put(feats), put(labels), put(ali), put(length), put(idx)
+        return put(feats), put(labels), put(ali), put(length), put(idx), put(weights)
 
     def train(self, data_dir: str, ali_dir: str, spklist: str, learning_rate: float) -> None:
         cfg = self.params.dict
@@ -266,7 +302,7 @@ class TrainerMultiTask(Trainer):
                 feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
                 np.add.at(self.speaker_egs, labels, 1)
                 np.add.at(self.phone_egs, ali.reshape(-1), 1)
-                f, s, a, ln, idx = self._shard_mt(feats, vad, ali, length, labels, resample)
+                f, s, a, ln, idx, _ = self._shard_mt(feats, vad, ali, length, labels, resample)
                 self.state, metrics = self._train_step(self.state, f, s, a, ln, idx, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:
@@ -315,7 +351,7 @@ class TrainerMultiTask(Trainer):
                     losses = []
                     for _ in range(tune_period):
                         feats, vad, ali, length, labels, resample, _ = loader.fetch()
-                        f, s, a, ln, idx = self._shard_mt(feats, vad, ali, length, labels, resample)
+                        f, s, a, ln, idx, _ = self._shard_mt(feats, vad, ali, length, labels, resample)
                         self.state, metrics = self._train_step(
                             self.state, f, s, a, ln, idx, jnp.float32(lr)
                         )
@@ -347,8 +383,8 @@ class TrainerMultiTask(Trainer):
             while it < max_iter:
                 feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
                 b = labels.shape[0]
-                f, s, a, ln, idx = self._shard_mt(feats, vad, ali, length, labels, resample)
-                spk_loss, phn_loss, sa, pa, emb = self._valid_step(self.state, f, s, a, ln, idx)
+                f, s, a, ln, idx, w = self._shard_mt(feats, vad, ali, length, labels, resample)
+                spk_loss, phn_loss, sa, pa, emb = self._valid_step(self.state, f, s, a, ln, idx, w)
                 spk_losses.append(float(spk_loss))
                 phn_losses.append(float(phn_loss))
                 if output_embeddings:
