@@ -260,3 +260,43 @@ def test_extractor_masked_batch_equals_single(tmp_path):
     ex2 = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100, batch_size=4)
     emb = ex2.embed_utterance(long_feat)
     assert emb.shape == (32,) and np.isfinite(emb).all()
+
+
+def test_extractor_sharded_over_mesh_matches_single_device(tmp_path):
+    """DP extraction over the 8-device mesh == 1-device mesh exactly
+    (SURVEY §2.5: one sharded program replaces the nj extraction jobs)."""
+    import json
+
+    import jax
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.parallel.mesh import make_mesh
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    params = ParamsPlain(**TINY_CONFIG)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, "softmax", 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    rng = np.random.RandomState(9)
+    # 11 utts: fills one 8-wide sharded batch + a partial bucket flush;
+    # one long utterance exercises the batch-of-1 chunk path under sharding.
+    utts = {"u%02d" % i: rng.randn(40 + 9 * i, 20).astype(np.float32) for i in range(11)}
+    utts["long"] = rng.randn(260, 20).astype(np.float32)
+
+    ex1 = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100,
+                    batch_size=8, mesh=make_mesh(jax.devices()[:1]))
+    ex8 = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100,
+                    batch_size=8, mesh=make_mesh(jax.devices()))
+    assert len(ex8.mesh.devices.flatten()) == 8
+    out1 = dict(ex1.embed_stream(iter(utts.items())))
+    out8 = dict(ex8.embed_stream(iter(utts.items())))
+    assert sorted(out1) == sorted(out8) == sorted(utts)
+    for k in utts:
+        np.testing.assert_allclose(out1[k], out8[k], rtol=1e-5, atol=1e-6)

@@ -112,16 +112,20 @@ class PrefetchLoader:
 
 
 def device_prefetch(
-    iterator: Iterator, sharding=None, depth: int = 2
+    iterator: Iterator, sharding=None, depth: int = 2, put_fn=None
 ) -> Iterator:
     """Double-buffer host batches onto device ahead of consumption.
 
     ``jax.device_put`` is async; keeping ``depth`` batches in flight
     overlaps the host→device copy (and host decode) with TPU compute.
+    ``put_fn`` overrides the placement (multi-host: assemble the global
+    array from this process's local rows).
     """
     buf = []
 
     def _put(x):
+        if put_fn is not None:
+            return put_fn(x)
         return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
 
     it = iter(iterator)

@@ -7,6 +7,11 @@ forward == unpadded forward exactly, see models/pooling.py), and embedded in
 large batches. Very long utterances keep the reference's semantics
 bit-for-bit: split into 50%-overlapping windows of ``chunk_size``, embed,
 length-weighted average, optional L2 norm (extract.py:69-93).
+
+Bucket batches are sharded over the mesh's data axis (SURVEY §2.5: DP over
+ICI replaces the nj-way extraction farm), so every local chip works on the
+same batch; parameters are replicated. The rows of a batch are independent
+forwards, so sharded == single-device output exactly.
 """
 
 from __future__ import annotations
@@ -49,7 +54,11 @@ class Extractor:
         chunk_size: int = 10000,
         min_chunk_size: int = 25,
         normalize: bool = False,
+        mesh=None,
     ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, make_mesh
         from ..utils.jax_cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -62,7 +71,14 @@ class Extractor:
         self.node = self.params.dict.get("embedding_node", "tdnn6_dense")
         with open(os.path.join(nnet_dir, "feature_dim")) as f:
             self.dim = int(f.read().strip())
-        self.batch_size = batch_size
+        self.mesh = make_mesh() if mesh is None else mesh
+        n_data = self.mesh.shape[DATA_AXIS]
+        # Bucket batches are sharded over the data axis; round the batch up
+        # so every device gets equal rows (padding rows are masked, and
+        # flush() only reads back the filled rows).
+        self.batch_size = -(-batch_size // n_data) * n_data
+        self._bsh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._rep = NamedSharding(self.mesh, P())
         self.chunk_size = chunk_size
         self.min_chunk_size = min_chunk_size
         self.normalize = normalize
@@ -70,12 +86,12 @@ class Extractor:
 
         raw, step = checkpoints.load_checkpoint(nnet_dir)
         log.info("Loaded checkpoint step %d from %s (node %s)", step, nnet_dir, self.node)
-        # Pin the params on device ONCE — numpy leaves would be re-uploaded
-        # on every jit call (checkpoints restore to host arrays).
+        # Pin the params on device ONCE (replicated over the mesh) — numpy
+        # leaves would be re-uploaded on every jit call.
         self.variables = jax.device_put({
             "params": raw["params"]["network"],
             "batch_stats": raw.get("batch_stats", {}).get("network", {}),
-        })
+        }, self._rep)
         self.net = EntireNetwork(
             config=self.params.dict,
             network_type=self.params.dict.get("network_type", "tdnn"),
@@ -94,12 +110,30 @@ class Extractor:
             _, endpoints = self.net.apply(variables, feats, False, mask=mask)
             return endpoints[self.node].astype(jnp.float32)
 
-        self._fwd = jax.jit(fwd)
+        self._fwd = jax.jit(
+            fwd, in_shardings=(None, self._bsh, self._bsh), out_shardings=self._bsh
+        )
 
     # ------------------------------------------------------------------
     def _embed_batch(self, feats: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        out = self._fwd(self.variables, jnp.asarray(feats), jnp.asarray(mask))
-        return np.asarray(out)
+        from ..parallel.mesh import DATA_AXIS
+
+        n = self.mesh.shape[DATA_AXIS]
+        b = feats.shape[0]
+        if b % n:  # e.g. the batch-of-1 long-utterance chunk path
+            pad = n - b % n
+            feats = np.concatenate(
+                [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)], 0
+            )
+            mask = np.concatenate(
+                [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)], 0
+            )
+        out = self._fwd(
+            self.variables,
+            jax.device_put(feats, self._bsh),
+            jax.device_put(mask, self._bsh),
+        )
+        return np.asarray(out)[:b]
 
     def _bucket_for(self, length: int) -> int:
         for b in self.buckets:

@@ -378,10 +378,12 @@ class Trainer:
             )
             return loss, endpoints["output"]
 
+        # Embeddings come back replicated so every host can read the full
+        # dump (a batch-sharded output is not host-addressable off-process).
         self._valid_step = jax.jit(
             valid_fn,
             in_shardings=(None, self.bsh, self.bsh, self.bsh),
-            out_shardings=(self.rep, self.bsh),
+            out_shardings=(self.rep, self.rep),
         )
 
     def _build_predict(self) -> None:
@@ -402,6 +404,8 @@ class Trainer:
     # Checkpoints
     # ------------------------------------------------------------------
     def save(self, step: int) -> None:
+        if jax.process_index() != 0:
+            return  # multi-host: one writer (state is replicated)
         checkpoints.save_checkpoint(
             self.model, self.state, step,
             keep_max=int(self.params.dict.get("keep_checkpoint_max", 0)),
@@ -467,26 +471,53 @@ class Trainer:
     # ------------------------------------------------------------------
     # Loops
     # ------------------------------------------------------------------
-    def _shard_batch(self, features: np.ndarray, labels: np.ndarray):
-        n = self.mesh.shape[DATA_AXIS]
-        b = features.shape[0]
-        if b % n != 0:
-            pad = n - b % n
-            features = np.concatenate([features, np.tile(features[-1:], (pad, 1, 1))], 0)
-            labels = np.concatenate([labels, np.tile(labels[-1:], pad)], 0)
-        return (
-            jax.device_put(features, self.bsh),
-            jax.device_put(labels, self.bsh),
+    def _put_rows(self, array: np.ndarray):
+        """Place one GLOBAL batch array onto the data axis.
+
+        Multi-process SPMD: every host holds the same global batch (the
+        valid/tune loaders are seeded identically across hosts), and each
+        contributes its process-local row block via
+        jax.make_array_from_process_local_data.
+        """
+        if jax.process_count() == 1:
+            return jax.device_put(array, self.bsh)
+        blk = array.shape[0] // jax.process_count()
+        pid = jax.process_index()
+        return jax.make_array_from_process_local_data(
+            self.bsh, np.ascontiguousarray(array[pid * blk : (pid + 1) * blk])
         )
+
+    def _from_local(self, local: np.ndarray):
+        """Assemble a globally-sharded batch from this host's OWN rows
+        (train path: hosts load disjoint data)."""
+        if jax.process_count() == 1:
+            return jax.device_put(local, self.bsh)
+        return jax.make_array_from_process_local_data(self.bsh, local)
+
+    def _pad_rows(self, *arrays):
+        """Pad the batch to a multiple of the global data-axis size by
+        tiling the last row; returns (padded_arrays, real_count)."""
+        n = self.mesh.shape[DATA_AXIS]
+        b = arrays[0].shape[0]
+        if b % n == 0:
+            return arrays, b
+        pad = n - b % n
+        return tuple(
+            np.concatenate([x, np.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
+            for x in arrays
+        ), b
+
+    def _shard_batch(self, features: np.ndarray, labels: np.ndarray):
+        (features, labels), _ = self._pad_rows(features, labels)
+        return self._put_rows(features), self._put_rows(labels)
 
     def _shard_batch_weighted(self, features: np.ndarray, labels: np.ndarray):
         """Like _shard_batch, plus a row-validity weight vector (0 on rows
         padded for device-count alignment)."""
-        b = features.shape[0]
-        f, l = self._shard_batch(features, labels)
-        weights = np.zeros((f.shape[0],), np.float32)
+        (features, labels), b = self._pad_rows(features, labels)
+        weights = np.zeros((features.shape[0],), np.float32)
         weights[:b] = 1.0
-        return f, l, jax.device_put(weights, self.bsh)
+        return self._put_rows(features), self._put_rows(labels), self._put_rows(weights)
 
     def train(self, data_dir: str, spklist: str, learning_rate: float, aux_data=None) -> None:
         """One epoch of num_steps_per_epoch steps (reference trainer.py:451-520)."""
@@ -502,15 +533,32 @@ class Trainer:
 
             writer = SummaryWriter(self.model)
         profile_steps = int(cfg.get("profile_steps", 0))
+        # Multi-host: each process loads a DISJOINT slice of the global
+        # batch (global N speakers = nproc hosts x N/nproc local speakers,
+        # host-offset seeds), and the global array is assembled from the
+        # local rows (SURVEY §2.5 "multi-host scale-out over DCN").
+        nproc, pid = jax.process_count(), jax.process_index()
+        glob_speakers = int(cfg.get("num_speakers_per_batch", 64))
+        if nproc > 1:
+            assert glob_speakers % nproc == 0, (
+                "num_speakers_per_batch=%d must divide across %d hosts"
+                % (glob_speakers, nproc)
+            )
+        min_len = int(cfg.get("min_segment_len", 200))
+        max_len = int(cfg.get("max_segment_len", 400))
         loader = KaldiDataRandomQueue(
             data_dir, spklist,
             num_parallel=int(cfg.get("num_parallel_datasets", 4)),
             max_qsize=int(cfg.get("max_queue_size", 10)),
-            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_speakers=glob_speakers // nproc,
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
-            min_len=int(cfg.get("min_segment_len", 200)),
-            max_len=int(cfg.get("max_segment_len", 400)),
-            seed=int(cfg.get("seed", 0)) + int(self.state.step),
+            # Multi-host: all hosts must agree on the per-batch length (the
+            # global array's shape is a collective contract), so samplers
+            # produce max_len chunks and the shared length schedule below
+            # crops them; single-host keeps per-batch bucket draws.
+            min_len=max_len if nproc > 1 else min_len,
+            max_len=max_len,
+            seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
             num_buckets=int(cfg.get("num_buckets", 8)),
             raw_codes=device_decode,
         ).start()
@@ -519,13 +567,29 @@ class Trainer:
 
         # Double-buffered device prefetch: the host→device copy of batch
         # k+1 overlaps the compute of batch k (data/pipeline.py).
+        from ..data import bucket_lengths
         from ..data.pipeline import device_prefetch
+
+        length_rng = np.random.RandomState(
+            int(cfg.get("seed", 0)) + int(self.state.step)
+        )
+        length_buckets = bucket_lengths(
+            min_len, max_len, int(cfg.get("num_buckets", 8))
+        )
 
         def host_batches():
             n = self.mesh.shape[DATA_AXIS]
             for _ in range(num_steps):
                 batch = loader.fetch()
-                if batch[0].shape[0] % n:
+                if nproc > 1:
+                    # Shared (seed, step)-deterministic length: identical on
+                    # every host regardless of worker interleaving.
+                    L = int(length_rng.choice(length_buckets))
+                    batch = tuple(
+                        x[:, :L] if x.ndim >= 2 and x.shape[1] >= L else x
+                        for x in batch
+                    )
+                elif batch[0].shape[0] % n:
                     pad = n - batch[0].shape[0] % n
                     batch = tuple(
                         np.concatenate([x, np.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
@@ -535,7 +599,10 @@ class Trainer:
 
         try:
             for local_step, batch in enumerate(
-                device_prefetch(host_batches(), self.bsh, depth=2)
+                device_prefetch(
+                    host_batches(), self.bsh, depth=2,
+                    put_fn=self._from_local if nproc > 1 else None,
+                )
             ):
                 if device_decode:
                     codes, headers, labels = batch
@@ -624,9 +691,13 @@ class Trainer:
         (reference trainer.py:592-706). Returns (loss, embeddings, labels)."""
         cfg = self.params.dict
         embeddings, labels_out = None, None
+        # Multi-host: every host streams the SAME batches (identical seeds,
+        # one worker so queue order is deterministic) and contributes its
+        # row block — see _put_rows.
+        nw = 1 if jax.process_count() > 1 else 2
         if output_embeddings:
             seq = KaldiDataSeqQueue(
-                data_dir, spklist, num_parallel=2,
+                data_dir, spklist, num_parallel=nw,
                 batch_size=int(cfg.get("num_speakers_per_batch", 64))
                 * int(cfg.get("num_segments_per_speaker", 1)),
                 min_len=int(cfg.get("min_segment_len", 200)),
@@ -653,7 +724,7 @@ class Trainer:
         max_iter = int(cfg.get("valid_max_iterations", 100))
         if batch_type == "softmax":
             loader = KaldiDataSeqQueue(
-                data_dir, spklist, num_parallel=2,
+                data_dir, spklist, num_parallel=nw,
                 batch_size=int(cfg.get("num_speakers_per_batch", 64))
                 * int(cfg.get("num_segments_per_speaker", 1)),
                 min_len=int(cfg.get("min_segment_len", 200)),
@@ -663,7 +734,7 @@ class Trainer:
             ).start()
         elif batch_type == "end2end":
             loader = KaldiDataRandomQueue(
-                data_dir, spklist, num_parallel=2,
+                data_dir, spklist, num_parallel=nw,
                 num_speakers=int(cfg["num_valid_speakers_per_batch"]),
                 num_segments=int(cfg["num_valid_segments_per_speaker"]),
                 min_len=int(cfg.get("min_segment_len", 200)),
