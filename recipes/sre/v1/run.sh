@@ -12,6 +12,9 @@ set -euo pipefail
 stage=${stage:-0}
 data_root=${data_root:-data}
 exp=${exp:-exp_sre}
+musan_root=${musan_root:-$data_root/musan}
+rirs_root=${rirs_root:-$data_root/rirs}
+aug_frac=${aug_frac:-0.25}
 config=${config:-recipes/sre/v1/nnet_conf/tdnn_amsoftmax_m0.15.json}
 model=${model:-$exp/xvector_sre}
 py="python -m"
@@ -30,25 +33,74 @@ if [ $stage -le 1 ]; then
 fi
 
 if [ $stage -le 2 ]; then
-  echo "=== stage 2: egs prep + filtering + split"
-  $py tf_kaldi_speaker_tpu.cli.prepare_feats \
-    "$data_root/swbd_sre/mfcc" "$data_root/swbd_sre/egs"
-  cp "$data_root/swbd_sre/mfcc/utt2spk" "$data_root/swbd_sre/egs/utt2spk"
-  $py tf_kaldi_speaker_tpu.cli.filter_egs_dir --min-len 200 --min-num-utts 8 \
-    --valid-speakers 200 --valid-utts 5 \
-    "$data_root/swbd_sre/egs" "$data_root/split"
+  echo "=== stage 2: MUSAN/RIRS augmentation (reference sre run.sh aug stages)"
+  if [ ! -f "$musan_root/noise/wav.scp" ] || [ ! -f "$rirs_root/wav.scp" ]; then
+    echo "    musan_root/rirs_root missing — SKIPPING augmentation"
+  else
+    $py tf_kaldi_speaker_tpu.cli.augment_data --mode reverb --seed 1 \
+      --keep-frac "$aug_frac" --aug-wav-scp "$rirs_root/wav.scp" \
+      "$data_root/swbd_sre/wav.scp" "$data_root/swbd_sre/utt2spk" \
+      "$data_root/swbd_sre_reverb"
+    $py tf_kaldi_speaker_tpu.cli.augment_data --mode noise --seed 2 \
+      --keep-frac "$aug_frac" --snr 15:10:5:0 \
+      --aug-wav-scp "$musan_root/noise/wav.scp" \
+      "$data_root/swbd_sre/wav.scp" "$data_root/swbd_sre/utt2spk" \
+      "$data_root/swbd_sre_noise"
+    $py tf_kaldi_speaker_tpu.cli.augment_data --mode music --seed 3 \
+      --keep-frac "$aug_frac" --snr 15:10:8:5 \
+      --aug-wav-scp "$musan_root/music/wav.scp" \
+      "$data_root/swbd_sre/wav.scp" "$data_root/swbd_sre/utt2spk" \
+      "$data_root/swbd_sre_music"
+    $py tf_kaldi_speaker_tpu.cli.augment_data --mode babble --seed 4 \
+      --keep-frac "$aug_frac" --snr 20:17:15:13 --num-babble-choices 3:4:5:6:7 \
+      --aug-wav-scp "$musan_root/speech/wav.scp" \
+      "$data_root/swbd_sre/wav.scp" "$data_root/swbd_sre/utt2spk" \
+      "$data_root/swbd_sre_babble"
+    mkdir -p "$data_root/swbd_sre_aug"
+    cat "$data_root"/swbd_sre_{reverb,noise,music,babble}/wav.scp > "$data_root/swbd_sre_aug/wav.scp"
+    cat "$data_root"/swbd_sre_{reverb,noise,music,babble}/utt2spk > "$data_root/swbd_sre_aug/utt2spk"
+    $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
+      --sample-rate 8000 --num-ceps 23 --num-mel-bins 23 \
+      --low-freq 20 --high-freq 3700 \
+      "$data_root/swbd_sre_aug/wav.scp" "$data_root/swbd_sre_aug/mfcc"
+    cp "$data_root/swbd_sre_aug/utt2spk" "$data_root/swbd_sre_aug/mfcc/utt2spk"
+    $py tf_kaldi_speaker_tpu.cli.compute_vad \
+      "$data_root/swbd_sre_aug/mfcc/feats.scp" "$data_root/swbd_sre_aug/mfcc"
+  fi
 fi
 
 if [ $stage -le 3 ]; then
-  echo "=== stage 3: train"
+  echo "=== stage 3: egs prep + filtering + split"
+  $py tf_kaldi_speaker_tpu.cli.prepare_feats \
+    "$data_root/swbd_sre/mfcc" "$data_root/swbd_sre/egs"
+  cp "$data_root/swbd_sre/mfcc/utt2spk" "$data_root/swbd_sre/egs/utt2spk"
+  src="$data_root/swbd_sre/egs"
+  if [ -f "$data_root/swbd_sre_aug/mfcc/feats.scp" ]; then
+    $py tf_kaldi_speaker_tpu.cli.prepare_feats \
+      "$data_root/swbd_sre_aug/mfcc" "$data_root/swbd_sre_aug/egs"
+    cp "$data_root/swbd_sre_aug/mfcc/utt2spk" "$data_root/swbd_sre_aug/egs/utt2spk"
+    mkdir -p "$data_root/swbd_sre_combined"
+    for f in feats.scp utt2num_frames utt2spk; do
+      cat "$data_root/swbd_sre/egs/$f" "$data_root/swbd_sre_aug/egs/$f" \
+        > "$data_root/swbd_sre_combined/$f"
+    done
+    src="$data_root/swbd_sre_combined"
+  fi
+  $py tf_kaldi_speaker_tpu.cli.filter_egs_dir --min-len 200 --min-num-utts 8 \
+    --valid-speakers 200 --valid-utts 5 \
+    "$src" "$data_root/split"
+fi
+
+if [ $stage -le 4 ]; then
+  echo "=== stage 4: train"
   $py tf_kaldi_speaker_tpu.cli.train --config "$config" \
     "$data_root/split/train" "$data_root/split/train/spklist" \
     "$data_root/split/valid" "$data_root/split/train/spklist" \
     "$model"
 fi
 
-if [ $stage -le 4 ]; then
-  echo "=== stage 4: extract embeddings"
+if [ $stage -le 5 ]; then
+  echo "=== stage 5: extract embeddings"
   $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint -1 "$model"
   for name in swbd_sre sre16_major sre10_enroll sre10_test sre16_enroll sre16_test; do
     $py tf_kaldi_speaker_tpu.cli.extract --cmvn --vad \
@@ -57,8 +109,8 @@ if [ $stage -le 4 ]; then
   done
 fi
 
-if [ $stage -le 5 ]; then
-  echo "=== stage 5: SRE10 PLDA scoring"
+if [ $stage -le 6 ]; then
+  echo "=== stage 6: SRE10 PLDA scoring"
   $py tf_kaldi_speaker_tpu.cli.score --backend plda \
     --enroll-scp "$exp/xvectors_sre10_enroll.scp" \
     --enroll-utt2spk "$data_root/sre10_enroll/utt2spk" \
@@ -69,8 +121,8 @@ if [ $stage -le 5 ]; then
     --lda-dim 150 --scores "$exp/scores_sre10.txt"
 fi
 
-if [ $stage -le 6 ]; then
-  echo "=== stage 6: SRE16 PLDA scoring with domain adaptation"
+if [ $stage -le 7 ]; then
+  echo "=== stage 7: SRE16 PLDA scoring with domain adaptation"
   $py tf_kaldi_speaker_tpu.cli.score --backend plda \
     --enroll-scp "$exp/xvectors_sre16_enroll.scp" \
     --enroll-utt2spk "$data_root/sre16_enroll/utt2spk" \

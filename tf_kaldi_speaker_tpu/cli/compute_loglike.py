@@ -17,7 +17,7 @@ import sys
 
 import numpy as np
 
-from ..kio import open_or_fd, read_mat_ark, write_mat
+from ..kio import open_or_fd, read_mat_rspec, write_mat
 from .extract_mt import load_mt_trainer
 
 
@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     trainer = load_mt_trainer(args.model_dir)
     fp_out = open_or_fd(args.wspecifier, "wb")
     count = 0
-    for key, feature in read_mat_ark(args.rspecifier):
+    for key, feature in read_mat_rspec(args.rspecifier):
         if feature.shape[0] > args.chunk_size:
             raise NotImplementedError("Do not let the utterance be split.")
         log_post = trainer.predict_phone(feature.astype(np.float32))

@@ -18,7 +18,7 @@ import logging
 import sys
 
 from ..extract.extractor import Extractor
-from ..kio import read_mat_ark
+from ..kio import read_mat_rspec
 from ..kio.ark import ArkScpWriter
 from ..ops.cmvn import sliding_cmvn
 from ..ops.vad import compute_vad_energy, select_voiced_frames
@@ -56,7 +56,7 @@ def main(argv=None) -> int:
     )
 
     def stream():
-        for key, feature in read_mat_ark(args.rspecifier):
+        for key, feature in read_mat_rspec(args.rspecifier):
             if args.vad:
                 vad = compute_vad_energy(feature)
                 feature = select_voiced_frames(feature, vad)

@@ -18,7 +18,7 @@ import sys
 
 import numpy as np
 
-from ..kio import read_mat_ark
+from ..kio import read_mat_rspec
 from ..kio.ark import ArkScpWriter
 from ..train.trainer_mi import TrainerMultiInput
 from ..utils import bookkeeping as bk
@@ -56,11 +56,11 @@ def main(argv=None) -> int:
         if not part:
             continue
         name, rspec = part.split(":", 1)
-        aux_iters[name] = read_mat_ark(rspec)
+        aux_iters[name] = read_mat_rspec(rspec)
 
     writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
-    for key, feature in read_mat_ark(args.rspecifier):
+    for key, feature in read_mat_rspec(args.rspecifier):
         aux = {}
         ok = True
         for name, it in aux_iters.items():

@@ -18,7 +18,7 @@ import sys
 
 import numpy as np
 
-from ..kio import read_mat_ark
+from ..kio import read_mat_rspec
 from ..kio.ark import ArkScpWriter
 from ..multitask import TrainerMultiTask
 from ..utils import bookkeeping as bk
@@ -57,7 +57,7 @@ def main(argv=None) -> int:
     trainer = load_mt_trainer(args.model_dir, args.node)
     writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
-    for key, feature in read_mat_ark(args.rspecifier):
+    for key, feature in read_mat_rspec(args.rspecifier):
         T = feature.shape[0]
         if T < args.min_chunk_size:
             logging.info("Key %s too short (%d), skip.", key, T)

@@ -5,6 +5,7 @@ from .ark import (
     read_ali_ark,
     read_mat,
     read_mat_ark,
+    read_mat_rspec,
     read_mat_scp,
     read_post,
     read_post_ark,
@@ -34,6 +35,7 @@ __all__ = [
     "read_key",
     "read_mat",
     "read_mat_ark",
+    "read_mat_rspec",
     "read_mat_scp",
     "read_post",
     "read_post_ark",

@@ -315,11 +315,22 @@ def read_mat_scp(file_or_fd) -> Iterator[Tuple[str, np.ndarray]]:
     fd = open_or_fd(file_or_fd)
     try:
         for line in fd:
-            key, rxfile = line.decode().split(" ")
+            key, rxfile = line.decode().split(" ", 1)
             yield key, read_mat(rxfile.strip())
     finally:
         if fd is not file_or_fd:
             fd.close()
+
+
+def read_mat_rspec(rspecifier) -> Iterator[Tuple[str, np.ndarray]]:
+    """Dispatch a Kaldi matrix rspecifier by type: ``scp:``/``scp,o:`` etc.
+    route to :func:`read_mat_scp`; ``ark:``, bare paths, and pipes to
+    :func:`read_mat_ark` (Kaldi table rspecifier grammar)."""
+    if isinstance(rspecifier, str):
+        head, sep, rest = rspecifier.partition(":")
+        if sep and head.split(",")[0] == "scp":
+            return read_mat_scp(rest)
+    return read_mat_ark(rspecifier)
 
 
 # --------------------------------------------------------------------------
