@@ -2,7 +2,16 @@
 
 Prints ONE JSON line:
     {"metric": "train_chunks_per_sec_per_chip", "value": N,
-     "unit": "utterance-chunks/sec/chip", "vs_baseline": R}
+     "unit": "utterance-chunks/sec/chip", "vs_baseline": R,
+     "e2e_chunks_per_sec_per_chip": M, "e2e_vs_baseline": R2}
+
+- ``value`` is the DEVICE-STEP rate (one pre-staged batch re-fed; upper
+  bound set by the TPU program alone).
+- ``e2e_chunks_per_sec_per_chip`` is the LOADER-FED rate: the real
+  KaldiDataRandomQueue decodes compressed arks (device-decode raw-codes
+  path) and feeds the jitted step through the double-buffered prefetch —
+  i.e. what Trainer.train actually achieves end to end on this host.
+- ``python bench.py --e2e`` makes the e2e rate the headline metric.
 
 The flagship config runs with bfloat16 activations (compute_dtype, the
 TPU-native format; params/optimizer/BN stats stay f32).
@@ -11,10 +20,13 @@ Baseline derivation (BASELINE.md): the reference trains VoxCeleb on one
 P100 in ~2.5 days with 30 000 steps/epoch × 64 chunks/batch
 (tdnn_amsoftmax_m0.20…json). RESULTS-quality runs use O(16) epochs of that
 schedule, implying ≈ 64·30000·16 / 216000 s ≈ 142 chunks/s on the P100.
-vs_baseline = ours / 142.
+vs_baseline = ours / 142. The reference rate is itself loader-fed (16 CPU
+workers feeding feed_dict), so e2e_vs_baseline is the apples-to-apples
+ratio.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -24,7 +36,82 @@ import numpy as np
 BASELINE_CHUNKS_PER_SEC = 142.0
 
 
-def main() -> None:
+def bench_e2e(cfg, dim, num_speakers, steps=60):
+    """Loader-fed throughput: real egs dir -> KaldiDataRandomQueue
+    (raw compressed codes) -> device_prefetch -> jitted raw-decode step."""
+    import os
+
+    from tf_kaldi_speaker_tpu.data import KaldiDataRandomQueue
+    from tf_kaldi_speaker_tpu.data.pipeline import device_prefetch
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    egs = "/tmp/tfks_bench_egs"
+    if not os.path.exists(os.path.join(egs, "spklist")):
+        make_fake_data_dir(
+            egs, num_speakers=64, utts_per_speaker=12, dim=dim,
+            min_len=420, max_len=500, compress=True, seed=0,
+        )
+
+    cfg = dict(cfg, device_decode=True)
+    trainer = Trainer(
+        ParamsPlain(**cfg), "/tmp/tfks_bench_e2e/nnet",
+        dim=dim, num_speakers=num_speakers,
+    )
+    trainer.build("train", dim, cfg["loss_func"], num_speakers)
+
+    loader = KaldiDataRandomQueue(
+        egs, os.path.join(egs, "spklist"),
+        num_parallel=int(cfg.get("num_parallel_datasets", 8)),
+        max_qsize=16,
+        num_speakers=int(cfg["num_speakers_per_batch"]),
+        num_segments=int(cfg.get("num_segments_per_speaker", 1)),
+        min_len=int(cfg["min_segment_len"]),
+        max_len=int(cfg["max_segment_len"]),
+        seed=0, raw_codes=True,
+    ).start()
+    lr = jnp.float32(0.01)
+    state = trainer.state
+    batch = int(cfg["num_speakers_per_batch"]) * int(
+        cfg.get("num_segments_per_speaker", 1)
+    )
+    try:
+        # Precompile every length bucket (each distinct chunk length is its
+        # own XLA program; a compile inside the timed window would dominate).
+        from tf_kaldi_speaker_tpu.data import bucket_lengths
+
+        rng = np.random.RandomState(0)
+        m = None
+        for L in bucket_lengths(int(cfg["min_segment_len"]),
+                                int(cfg["max_segment_len"]), 8):
+            codes = jax.device_put(
+                rng.randint(0, 255, (batch, L, dim), dtype=np.uint8), trainer.bsh)
+            headers = jax.device_put(
+                np.tile(np.array([0.0, 1.0, 2.0, 3.0], np.float32)[None, :, None],
+                        (batch, 1, dim)), trainer.bsh)
+            labels = jax.device_put(
+                rng.randint(0, num_speakers, batch).astype(np.int32), trainer.bsh)
+            state, m = trainer._train_step_raw(state, codes, headers, labels, lr)
+        _ = float(m["loss"])
+
+        it = device_prefetch(iter(loader), trainer.bsh, depth=2)
+        for _ in range(8):  # queue/prefetch warmup on real batches
+            codes, headers, labels = next(it)
+            state, m = trainer._train_step_raw(state, codes, headers, labels, lr)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            codes, headers, labels = next(it)
+            state, m = trainer._train_step_raw(state, codes, headers, labels, lr)
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+    finally:
+        loader.stop()
+    return batch * steps / dt / len(jax.devices())
+
+
+def main(e2e_headline: bool = False) -> None:
     from __graft_entry__ import FLAGSHIP
     from tf_kaldi_speaker_tpu.train.trainer import Trainer
     from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
@@ -70,16 +157,25 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     chunks_per_sec_per_chip = batch * steps / dt / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "train_chunks_per_sec_per_chip",
-                "value": round(chunks_per_sec_per_chip, 2),
-                "unit": "utterance-chunks/sec/chip",
-                "vs_baseline": round(chunks_per_sec_per_chip / BASELINE_CHUNKS_PER_SEC, 3),
-            }
-        )
-    )
+    e2e_rate = bench_e2e(cfg, dim, num_speakers)
+    if e2e_headline:
+        out = {
+            "metric": "e2e_train_chunks_per_sec_per_chip",
+            "value": round(e2e_rate, 2),
+            "unit": "utterance-chunks/sec/chip (loader-fed)",
+            "vs_baseline": round(e2e_rate / BASELINE_CHUNKS_PER_SEC, 3),
+            "device_step_chunks_per_sec_per_chip": round(chunks_per_sec_per_chip, 2),
+        }
+    else:
+        out = {
+            "metric": "train_chunks_per_sec_per_chip",
+            "value": round(chunks_per_sec_per_chip, 2),
+            "unit": "utterance-chunks/sec/chip (device-step)",
+            "vs_baseline": round(chunks_per_sec_per_chip / BASELINE_CHUNKS_PER_SEC, 3),
+            "e2e_chunks_per_sec_per_chip": round(e2e_rate, 2),
+            "e2e_vs_baseline": round(e2e_rate / BASELINE_CHUNKS_PER_SEC, 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -87,7 +183,7 @@ if __name__ == "__main__":
     # retry so a single hiccup doesn't lose the round's benchmark.
     for attempt in range(3):
         try:
-            main()
+            main(e2e_headline="--e2e" in sys.argv[1:])
             break
         except Exception:
             if attempt == 2:
