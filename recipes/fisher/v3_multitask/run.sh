@@ -14,6 +14,9 @@ set -euo pipefail
 stage=${stage:-0}
 data_root=${data_root:-data}
 ali_dir=${ali_dir:-$data_root/fisher_ali}
+# a raw Kaldi GMM alignment dir (final.mdl + ali.*.gz); when set, stage 2
+# converts it to pdf.ark natively (no Kaldi ali-to-pdf / tree-info needed)
+kaldi_ali_src=${kaldi_ali_src:-}
 exp=${exp:-exp_fisher}
 config=${config:-recipes/fisher/v3_multitask/nnet_conf/mt_softmax.json}
 model=${model:-$exp/mt_xvector}
@@ -32,6 +35,15 @@ fi
 
 if [ $stage -le 2 ]; then
   echo "=== stage 2: CMVN egs KEEPING silence (alignment stays frame-aligned)"
+  if [ -n "$kaldi_ali_src" ]; then
+    echo "    converting Kaldi transition-id alignments -> pdf ids (native ali-to-pdf)"
+    mkdir -p "$ali_dir"
+    $py tf_kaldi_speaker_tpu.cli.ali_to_pdf \
+      --num-pdfs-out "$ali_dir/num_pdfs" \
+      "$kaldi_ali_src/final.mdl" \
+      "ark:gunzip -c $kaldi_ali_src/ali.*.gz |" \
+      "ark,scp:$ali_dir/pdf.ark,$ali_dir/pdf.scp"
+  fi
   $py tf_kaldi_speaker_tpu.cli.prepare_feats --keep-silence \
     "$data_root/fisher/mfcc" "$data_root/fisher/egs"
   cp "$data_root/fisher/mfcc/utt2spk" "$data_root/fisher/egs/utt2spk"
@@ -82,4 +94,10 @@ EOF
   $py tf_kaldi_speaker_tpu.cli.compute_loglike --prior "$exp/prior.vec" \
     "$model" "scp:$data_root/split/valid/feats.scp" "ark:$exp/loglike.ark"
   echo "feed $exp/loglike.ark to latgen-faster-mapped for decoding"
+fi
+
+if [ $stage -le 6 ]; then
+  echo "=== stage 6: full decode driver (checkpoint pin + loglike + latgen when present)"
+  bash recipes/fisher/v3_multitask/run_decode.sh \
+    "$model" "$ali_dir" "${graph_dir:--}" "$data_root/split/valid"
 fi

@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Hybrid ASR decode driver for the multitask phone head.
+#
+# Equivalent of the reference nnet/run_decode.sh:77-91: pin the checkpoint,
+# compute senone priors from the training alignments, dump per-split
+# log-likelihood matrices with the phone head, then (when a Kaldi
+# latgen-faster-mapped binary and a decode graph are available) run lattice
+# generation. Lattice scoring/LM rescoring stay external Kaldi, exactly as in
+# the reference (SURVEY §2.4: latgen + lattice tools are out of scope; this
+# driver produces and wires their input).
+#
+# Usage:
+#   bash run_decode.sh <model_dir> <ali_dir> <graph_dir-or-"-"> \
+#        <data1> [<data2> ...]
+#   model_dir: trained multitask model (cli.train_mt output)
+#   ali_dir:   pdf.ark/num_pdfs dir (for the senone prior)
+#   graph_dir: Kaldi HCLG graph dir (needs graph/HCLG.fst + words.txt);
+#              pass "-" to stop after the loglike dump
+#   dataN:     data dirs with feats.scp to decode
+set -euo pipefail
+
+model=$1; ali_dir=$2; graph=$3; shift 3
+checkpoint=${checkpoint:-"-1"}     # -1 = best (valid_loss), or 'last'/step
+acwt=${acwt:-0.1}
+beam=${beam:-13.0}
+latbeam=${latbeam:-8.0}
+py="python -m"
+
+echo "=== decode: pin checkpoint ($checkpoint)"
+$py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint "$checkpoint" "$model"
+
+prior="$model/prior.vec"
+if [ ! -f "$prior" ]; then
+  echo "=== decode: senone prior from $ali_dir"
+  python - "$ali_dir" "$prior" <<'EOF'
+import sys, os
+import numpy as np
+from tf_kaldi_speaker_tpu.kio import read_vec_int_ark
+from tf_kaldi_speaker_tpu.multitask import get_num_phones
+ali_dir, out = sys.argv[1], sys.argv[2]
+n = get_num_phones(ali_dir)
+counts = np.ones(n)  # floor so unseen senones keep a finite log-prior
+for _, ali in read_vec_int_ark(os.path.join(ali_dir, "pdf.ark")):
+    counts += np.bincount(ali, minlength=n)
+prior = counts / counts.sum()
+with open(out, "w") as f:
+    f.write("[ " + " ".join("%g" % p for p in prior) + " ]\n")
+EOF
+fi
+
+for data in "$@"; do
+  name=$(basename "$data")
+  out="$model/decode_$name"
+  mkdir -p "$out"
+  echo "=== decode: log-likelihoods for $name"
+  $py tf_kaldi_speaker_tpu.cli.compute_loglike --prior "$prior" \
+    "$model" "scp:$data/feats.scp" "ark:$out/loglike.ark"
+
+  if [ "$graph" != "-" ] && command -v latgen-faster-mapped >/dev/null 2>&1; then
+    echo "=== decode: latgen-faster-mapped for $name"
+    latgen-faster-mapped \
+      --acoustic-scale="$acwt" --beam="$beam" --lattice-beam="$latbeam" \
+      --word-symbol-table="$graph/words.txt" \
+      "$graph/final.mdl" "$graph/HCLG.fst" \
+      "ark:$out/loglike.ark" "ark:|gzip -c > $out/lat.1.gz"
+    echo "    lattices in $out/lat.1.gz (score with Kaldi local/score.sh)"
+  else
+    echo "    latgen-faster-mapped or graph dir unavailable;"
+    echo "    feed $out/loglike.ark to latgen-faster-mapped externally"
+  fi
+done
