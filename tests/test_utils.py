@@ -99,3 +99,35 @@ def test_summary_writer_roundtrip(tmp_path):
     data = load_scalars(os.path.join(str(tmp_path), "events.jsonl"))
     assert data["loss"] == [(1, 2.0), (2, 1.5)]
     assert data["acc"] == [(1, 0.5)]
+
+
+def test_summary_writer_emits_tensorboard_events(tmp_path):
+    import glob
+
+    from tf_kaldi_speaker_tpu.utils.tb_events import read_tfevents
+
+    w = SummaryWriter(str(tmp_path))
+    w.scalars(5, {"loss": 2.25, "accuracy": 0.125})
+    w.scalars(10, {"loss": 1.0})
+    w.close()
+    files = glob.glob(os.path.join(str(tmp_path), "events.out.tfevents.*"))
+    assert len(files) == 1
+    data = read_tfevents(files[0])  # validates TFRecord CRCs
+    assert data["loss"] == [(5, 2.25), (10, 1.0)]
+    assert data["accuracy"] == [(5, 0.125)]
+
+
+def test_tfevents_readable_by_real_tensorflow(tmp_path):
+    """Byte compatibility with TensorBoard's actual on-disk format."""
+    tf = pytest.importorskip("tensorflow")
+
+    from tf_kaldi_speaker_tpu.utils.tb_events import TBEventWriter
+
+    w = TBEventWriter(str(tmp_path))
+    w.scalars(3, {"loss": 0.5})
+    w.close()
+    got = []
+    for e in tf.compat.v1.train.summary_iterator(w.path):
+        for v in e.summary.value:
+            got.append((v.tag, e.step, v.simple_value))
+    assert got == [("loss", 3, 0.5)]

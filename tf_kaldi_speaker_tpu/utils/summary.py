@@ -3,9 +3,10 @@
 Replaces the reference's TensorBoard summary plumbing (trainer.py:360-376,
 424-433; misc/utils.py:333-346 activation histograms) with:
 
-- ``SummaryWriter``: append-only JSONL scalar log (<model>/events.jsonl) —
-  greppable, plottable, no TF dependency. One line per step:
-  {"step": N, "wall": t, "tag": value, ...}.
+- ``SummaryWriter``: scalar summaries in TWO formats per step — an
+  append-only JSONL log (<model>/events.jsonl; greppable, plottable) AND a
+  real TensorBoard events.out.tfevents.* file (utils/tb_events.py; no TF
+  dependency), matching the reference's TB workflow.
 - ``profile_trace``: context manager around jax.profiler for step traces
   (<model>/profile/), viewable in TensorBoard/XProf. The reference had no
   timeline tracing at all (SURVEY.md §5).
@@ -27,10 +28,14 @@ import numpy as np
 
 
 class SummaryWriter:
-    def __init__(self, logdir: str, filename: str = "events.jsonl"):
+    def __init__(self, logdir: str, filename: str = "events.jsonl",
+                 tensorboard: bool = True):
+        from .tb_events import TBEventWriter
+
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, filename)
         self._fp = open(self.path, "a")
+        self._tb = TBEventWriter(logdir) if tensorboard else None
         self._t0 = time.time()
 
     def scalars(self, step: int, values: Dict[str, float]) -> None:
@@ -42,9 +47,14 @@ class SummaryWriter:
                 pass
         self._fp.write(json.dumps(rec) + "\n")
         self._fp.flush()
+        if self._tb is not None:
+            tags = {k: v for k, v in rec.items() if k not in ("step", "wall")}
+            self._tb.scalars(step, tags)
 
     def close(self) -> None:
         self._fp.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def load_scalars(path: str):
