@@ -40,7 +40,7 @@ def _tone(freq, dur, rate=16000, amp=6000.0, seed=0):
     return (amp * np.sin(2 * np.pi * freq * t) + rng.randn(len(t)) * 300.0)
 
 
-def _make_wav_dir(root, name, speakers, utts_per_spk, dur=1.2, seed=0):
+def _make_wav_dir(root, name, speakers, utts_per_spk, dur=1.2, seed=0, rate=16000):
     from tf_kaldi_speaker_tpu.kio.wav import write_wav
 
     d = os.path.join(root, name)
@@ -52,7 +52,7 @@ def _make_wav_dir(root, name, speakers, utts_per_spk, dur=1.2, seed=0):
             utt = "spk%02d-utt%02d" % (s, u)
             path = os.path.join(d, "wavs", utt + ".wav")
             # per-speaker base frequency makes speakers separable
-            write_wav(path, _tone(200 + 80 * s + 7 * u, dur, seed=seed + k), 16000)
+            write_wav(path, _tone(200 + 80 * s + 7 * u, dur, rate=rate, seed=seed + k), rate)
             scp.append("%s %s" % (utt, path))
             u2s.append("%s spk%02d" % (utt, s))
             k += 1
@@ -77,6 +77,51 @@ def _make_source_scp(root, name, n, dur=2.0, seed=100):
     with open(os.path.join(d, "wav.scp"), "w") as f:
         f.write("\n".join(lines) + "\n")
     return d
+
+
+def test_fisher_v1_recipe(tmp_path):
+    """fisher/v1 enroll/test protocol: train on background, score trials
+    with speaker-mean enrollment (PLDA + cosine)."""
+    data = str(tmp_path / "data")
+    exp = str(tmp_path / "exp")
+    _make_wav_dir(data, "train_background", 6, 8, seed=0, rate=8000)
+    enroll = _make_wav_dir(data, "enroll", 3, 3, seed=300, rate=8000)
+    test = _make_wav_dir(data, "test", 3, 2, seed=600, rate=8000)
+    # trials: enrollment SPEAKER vs test utt
+    test_utts = [l.split()[0] for l in open(os.path.join(test, "wav.scp"))]
+    with open(os.path.join(data, "test", "trials"), "w") as f:
+        for s in range(3):
+            for u in test_utts:
+                t = "target" if u.startswith("spk%02d" % s) else "nontarget"
+                f.write("spk%02d %s %s\n" % (s, u, t))
+
+    cfg_dir = tmp_path / "conf"
+    cfg_dir.mkdir()
+    with open(cfg_dir / "tiny.json", "w") as f:
+        json.dump(TINY_RECIPE_CFG, f)
+
+    script = open(os.path.join(REPO, "recipes/fisher/v1/run.sh")).read()
+    script = script.replace("--min-len 150 --min-num-utts 5", "--min-len 30 --min-num-utts 2")
+    script = script.replace("--valid-speakers 200 --valid-utts 5", "--valid-speakers 2 --valid-utts 2")
+    run_sh = tmp_path / "run.sh"
+    run_sh.write_text(script)
+
+    env = dict(os.environ)
+    env.update(
+        stage="1", data_root=data, exp=exp, lda_dim="8",
+        config=str(cfg_dir / "tiny.json"), model=os.path.join(exp, "m"),
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    proc = subprocess.run(
+        ["bash", str(run_sh)], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-6000:]
+    # speaker-mean enrollment: score file keys are enroll SPEAKERS
+    scores = open(os.path.join(exp, "scores_cosine.txt")).read().splitlines()
+    assert scores and all(line.split()[0].startswith("spk") for line in scores)
+    assert os.path.getsize(os.path.join(exp, "scores_plda.txt")) > 0
+    assert "eer" in proc.stdout.lower()
 
 
 def test_voxceleb_recipe_all_stages(tmp_path):
