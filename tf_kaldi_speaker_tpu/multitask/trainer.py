@@ -275,10 +275,21 @@ class TrainerMultiTask(Trainer):
             )
         weights = np.zeros((feats.shape[0],), np.float32)
         weights[:b] = 1.0
-        put = lambda x: jax.device_put(x, self.bsh)
+        # _put_rows handles multi-process assembly (valid streams identical
+        # batches on every host); single-process it is a plain device_put.
+        put = self._put_rows
         return put(feats), put(labels), put(ali), put(length), put(idx), put(weights)
 
     def train(self, data_dir: str, ali_dir: str, spklist: str, learning_rate: float) -> None:
+        if jax.process_count() > 1:
+            # The V2 random queue draws per-batch lengths per worker; hosts
+            # would disagree on the collective's shape. Multi-host multitask
+            # training needs the shared length schedule (see Trainer.train);
+            # fail loudly rather than hang in a collective.
+            raise NotImplementedError(
+                "multi-host multitask training is not supported yet; "
+                "run one process (multi-chip single-host works)"
+            )
         cfg = self.params.dict
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))
@@ -292,6 +303,12 @@ class TrainerMultiTask(Trainer):
             seed=int(cfg.get("seed", 0)) + int(self.state.step),
             **self._loader_kwargs(),
         ).start()
+        summary_steps = int(cfg.get("save_summary_steps", 0))
+        writer = None
+        if summary_steps:
+            from ..utils.summary import SummaryWriter
+
+            writer = SummaryWriter(self.model)
         lr = jnp.float32(learning_rate)
         t0 = time.time()
         if self.speaker_egs is None:
@@ -313,10 +330,14 @@ class TrainerMultiTask(Trainer):
                         m["spk_accuracy"], m["phn_accuracy"],
                         (local_step + 1) / (time.time() - t0),
                     )
+                if writer and gstep % summary_steps == 0:
+                    writer.scalars(gstep, jax.device_get(metrics))
                 if save_every and gstep % save_every == 0:
                     self.save(gstep)
         finally:
             loader.stop()
+            if writer:
+                writer.close()
         self.save(int(self.state.step))
         self._dump_egs_stats()
 

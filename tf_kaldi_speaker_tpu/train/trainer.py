@@ -634,6 +634,16 @@ class Trainer:
                     )
                 if writer and gstep % summary_steps == 0:
                     writer.scalars(gstep, jax.device_get(metrics))
+                    if cfg.get("save_histograms", True):
+                        # per-variable histograms (reference trainer.py:431)
+                        flat = traverse_util.flatten_dict(
+                            jax.device_get(self.state.params)
+                        )
+                        writer.histograms(
+                            gstep,
+                            {"/".join(p): np.asarray(w).ravel()
+                             for p, w in flat.items()},
+                        )
                 if save_every and gstep % save_every == 0:
                     self.save(gstep)
         finally:

@@ -189,6 +189,11 @@ class TrainerMultiInput(Trainer):
         )
 
     def train(self, data_dir, spklist, learning_rate, aux_data=None) -> None:
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host multi-input training is not supported yet; "
+                "run one process (multi-chip single-host works)"
+            )
         cfg = self.params.dict
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))

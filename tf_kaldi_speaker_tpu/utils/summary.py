@@ -51,6 +51,12 @@ class SummaryWriter:
             tags = {k: v for k, v in rec.items() if k not in ("step", "wall")}
             self._tb.scalars(step, tags)
 
+    def histograms(self, step: int, tensors: Dict[str, "np.ndarray"]) -> None:
+        """Variable/activation histograms into the tfevents stream
+        (reference trainer.py:431-432, misc/utils.py:333-346)."""
+        if self._tb is not None:
+            self._tb.histograms(step, tensors)
+
     def close(self) -> None:
         self._fp.close()
         if self._tb is not None:

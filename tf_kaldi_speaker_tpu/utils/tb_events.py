@@ -81,17 +81,66 @@ def _field_varint(num: int, value: int) -> bytes:
     return _varint((num << 3) | 0) + _varint(value & 0xFFFFFFFFFFFFFFFF)
 
 
+def _packed_doubles(num: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return _field_bytes(num, payload)
+
+
+def _encode_histogram(values) -> bytes:
+    """HistogramProto from raw values: TB-style exponential bucket grid.
+
+    Fields: 1 min, 2 max, 3 num, 4 sum, 5 sum_squares, 6 bucket_limit
+    (packed double), 7 bucket (packed double).
+    """
+    import numpy as np
+
+    v = np.asarray(values, np.float64).reshape(-1)
+    if v.size == 0:
+        v = np.zeros(1)
+    # exponential grid (tensorboard's default generator, both signs)
+    limits = [1e-12]
+    while limits[-1] < 1e20:
+        limits.append(limits[-1] * 1.1)
+    grid = [-x for x in reversed(limits)] + [0.0] + limits
+    counts, _ = np.histogram(v, bins=[-np.inf] + grid + [np.inf])
+    # merge the two open-ended end bins into their neighbors' limits
+    bucket_limit = grid + [np.finfo(np.float64).max]
+    bucket = counts[:-1].astype(np.float64)
+    bucket[-1] += counts[-1]
+    # drop empty tail/head runs to keep records small
+    nz = np.nonzero(bucket)[0]
+    if nz.size:
+        lo, hi = nz[0], nz[-1] + 1
+        bucket_limit = bucket_limit[lo:hi]
+        bucket = bucket[lo:hi]
+    msg = _field_double(1, float(v.min()))
+    msg += _field_double(2, float(v.max()))
+    msg += _field_double(3, float(v.size))
+    msg += _field_double(4, float(v.sum()))
+    msg += _field_double(5, float(np.square(v).sum()))
+    msg += _packed_doubles(6, bucket_limit)
+    msg += _packed_doubles(7, bucket)
+    return msg
+
+
 def _encode_event(wall_time: float, step: int = 0,
-                  file_version: str = "", scalars: Dict[str, float] = None) -> bytes:
+                  file_version: str = "", scalars: Dict[str, float] = None,
+                  histograms: Dict[str, "object"] = None) -> bytes:
     msg = _field_double(1, wall_time)
     if step:
         msg += _field_varint(2, step)
     if file_version:
         msg += _field_bytes(3, file_version.encode())
-    if scalars:
+    if scalars or histograms:
         summary = b""
-        for tag, value in scalars.items():
+        for tag, value in (scalars or {}).items():
             val = _field_bytes(1, tag.encode()) + _field_float(2, float(value))
+            summary += _field_bytes(1, val)
+        for tag, values in (histograms or {}).items():
+            # Summary.Value.histo is field 5 (4 is image)
+            val = _field_bytes(1, tag.encode()) + _field_bytes(
+                5, _encode_histogram(values)
+            )
             summary += _field_bytes(1, val)
         msg += _field_bytes(5, summary)
     return msg
@@ -128,6 +177,14 @@ class TBEventWriter:
                 continue
         if clean:
             self._record(_encode_event(time.time(), step=int(step), scalars=clean))
+
+    def histograms(self, step: int, tensors: Dict[str, "object"]) -> None:
+        """Per-tensor value histograms (reference trainer.py:431-432 writes
+        one per trainable variable; misc/utils.py:333-346 per activation)."""
+        if tensors:
+            self._record(
+                _encode_event(time.time(), step=int(step), histograms=tensors)
+            )
 
     def close(self) -> None:
         self._fp.close()
