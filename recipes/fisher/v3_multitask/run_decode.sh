@@ -14,9 +14,14 @@
 #        <data1> [<data2> ...]
 #   model_dir: trained multitask model (cli.train_mt output)
 #   ali_dir:   pdf.ark/num_pdfs dir (for the senone prior)
-#   graph_dir: Kaldi HCLG graph dir (needs graph/HCLG.fst + words.txt);
+#   graph_dir: Kaldi HCLG graph dir (needs HCLG.fst + words.txt);
 #              pass "-" to stop after the loglike dump
 #   dataN:     data dirs with feats.scp to decode
+# Env overrides: checkpoint, acwt, beam, latbeam, and `mdl` — the Kaldi
+# transition model latgen needs. Kaldi graph dirs do NOT contain final.mdl;
+# by convention it lives one level up (exp/tri5a/graph -> exp/tri5a/
+# final.mdl), which is the default here; set mdl= explicitly otherwise
+# (e.g. the alignment dir's final.mdl used for ali-to-pdf).
 set -euo pipefail
 
 model=$1; ali_dir=$2; graph=$3; shift 3
@@ -24,6 +29,9 @@ checkpoint=${checkpoint:-"-1"}     # -1 = best (valid_loss), or 'last'/step
 acwt=${acwt:-0.1}
 beam=${beam:-13.0}
 latbeam=${latbeam:-8.0}
+if [ "$graph" != "-" ]; then
+  mdl=${mdl:-$(dirname "$graph")/final.mdl}
+fi
 py="python -m"
 
 echo "=== decode: pin checkpoint ($checkpoint)"
@@ -57,11 +65,11 @@ for data in "$@"; do
     "$model" "scp:$data/feats.scp" "ark:$out/loglike.ark"
 
   if [ "$graph" != "-" ] && command -v latgen-faster-mapped >/dev/null 2>&1; then
-    echo "=== decode: latgen-faster-mapped for $name"
+    echo "=== decode: latgen-faster-mapped for $name (mdl=$mdl)"
     latgen-faster-mapped \
       --acoustic-scale="$acwt" --beam="$beam" --lattice-beam="$latbeam" \
       --word-symbol-table="$graph/words.txt" \
-      "$graph/final.mdl" "$graph/HCLG.fst" \
+      "$mdl" "$graph/HCLG.fst" \
       "ark:$out/loglike.ark" "ark:|gzip -c > $out/lat.1.gz"
     echo "    lattices in $out/lat.1.gz (score with Kaldi local/score.sh)"
   else

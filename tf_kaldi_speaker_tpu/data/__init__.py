@@ -36,6 +36,7 @@ class KaldiDataRandomQueue(PrefetchLoader):
         seed: int = 0,
         num_buckets: int = 8,
         raw_codes: bool = False,
+        length_seed: "int | None" = None,
     ):
         spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
         self.num_total_speakers = len(spk2index)
@@ -54,6 +55,7 @@ class KaldiDataRandomQueue(PrefetchLoader):
                 spk2features=spk2features,
                 num_total_speakers=self.num_total_speakers,
                 raw_codes=raw_codes,
+                length_seed=length_seed,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

@@ -61,6 +61,7 @@ class RandomChunkSampler:
         spk2features: Optional[Dict[int, List[str]]] = None,
         num_total_speakers: Optional[int] = None,
         raw_codes: bool = False,
+        length_seed: Optional[int] = None,
     ):
         self.data_dir = data_dir
         if spk2features is None:
@@ -73,6 +74,11 @@ class RandomChunkSampler:
         self.buckets = bucket_lengths(min_len, max_len, num_buckets)
         self.shuffle = shuffle
         self.rng = random.Random(seed)
+        # Separate stream for the per-batch length draw so multi-host
+        # trainers can seed it identically on every host (the global
+        # batch's shape is a collective contract) while speaker/chunk
+        # sampling stays host-disjoint.
+        self.length_rng = random.Random(seed if length_seed is None else length_seed)
         self.raw_codes = raw_codes
         self.reader: Optional[FeatureReader] = None
 
@@ -85,7 +91,7 @@ class RandomChunkSampler:
             speakers = speakers * (self.num_speakers // len(speakers) + 1)
         B = self.num_speakers * self.num_segments
         while True:
-            batch_length = rng.choice(self.buckets)
+            batch_length = self.length_rng.choice(self.buckets)
             batch_speakers = rng.sample(speakers, self.num_speakers)
             if self.raw_codes:
                 # Decode-on-device path: ship uint8 codes + per-column headers.

@@ -59,8 +59,9 @@ class LossHead(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         # sample_weight [B]: row validity (0 = padded for device-count
         # alignment). Honored by the per-row-decomposable softmax family;
-        # batch-structural losses (triplet/e2e/generalized) ignore it — their
-        # loaders produce full batches, so padding never reaches them.
+        # batch-structural losses (triplet/e2e/generalized) cannot weight
+        # rows out, so the trainers REFUSE padded end2end batches (the
+        # batch size must divide the device count; Trainer.valid raises).
         cfg = self.config
         name = self.loss_func
         if name not in LOSS_NAMES:

@@ -305,7 +305,7 @@ class TrainerMultiTask(Trainer):
         ).start()
         summary_steps = int(cfg.get("save_summary_steps", 0))
         writer = None
-        if summary_steps:
+        if summary_steps and jax.process_index() == 0:
             from ..utils.summary import SummaryWriter
 
             writer = SummaryWriter(self.model)
@@ -395,7 +395,8 @@ class TrainerMultiTask(Trainer):
             data_dir, ali_dir, spklist, num_parallel=1, batch_size=batch_size,
             shuffle=not output_embeddings, **self._loader_kwargs(),
         ).start()
-        spk_losses, phn_losses, embs, labs = [], [], [], []
+        spk_total, phn_total, count = 0.0, 0.0, 0
+        embs, labs = [], []
         max_iter = int(cfg.get("valid_max_iterations", 100))
         it = 0
         from ..data import DataOutOfRange
@@ -406,8 +407,11 @@ class TrainerMultiTask(Trainer):
                 b = labels.shape[0]
                 f, s, a, ln, idx, w = self._shard_mt(feats, vad, ali, length, labels, resample)
                 spk_loss, phn_loss, sa, pa, emb = self._valid_step(self.state, f, s, a, ln, idx, w)
-                spk_losses.append(float(spk_loss))
-                phn_losses.append(float(phn_loss))
+                # sample-count-weighted streaming means (partial tail batches
+                # must not get outsized weight)
+                spk_total += float(spk_loss) * b
+                phn_total += float(phn_loss) * b
+                count += b
                 if output_embeddings:
                     embs.append(np.asarray(emb)[:b])
                     labs.append(labels)
@@ -416,8 +420,8 @@ class TrainerMultiTask(Trainer):
             pass
         finally:
             loader.stop()
-        spk_mean = float(np.mean(spk_losses)) if spk_losses else float("nan")
-        phn_mean = float(np.mean(phn_losses)) if phn_losses else float("nan")
+        spk_mean = spk_total / count if count else float("nan")
+        phn_mean = phn_total / count if count else float("nan")
         embeddings = np.concatenate(embs, 0) if embs else None
         labels_out = np.concatenate(labs, 0) if labs else None
         return spk_mean, phn_mean, embeddings, labels_out

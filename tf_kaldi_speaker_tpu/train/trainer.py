@@ -528,7 +528,9 @@ class Trainer:
         device_decode = bool(cfg.get("device_decode", False))
         summary_steps = int(cfg.get("save_summary_steps", 0))
         writer = None
-        if summary_steps:
+        if summary_steps and jax.process_index() == 0:
+            # one writer per run (metrics/params are replicated; every
+            # process would log identical values into the shared dir)
             from ..utils.summary import SummaryWriter
 
             writer = SummaryWriter(self.model)
@@ -546,50 +548,41 @@ class Trainer:
             )
         min_len = int(cfg.get("min_segment_len", 200))
         max_len = int(cfg.get("max_segment_len", 400))
+        # Multi-host: all hosts must agree on each batch's length (the
+        # global array's shape is a collective contract). One worker per
+        # host (deterministic production order) + a length-draw RNG seeded
+        # identically on every host makes the k-th batch's length equal
+        # everywhere, while speaker/chunk sampling stays host-disjoint.
         loader = KaldiDataRandomQueue(
             data_dir, spklist,
-            num_parallel=int(cfg.get("num_parallel_datasets", 4)),
+            num_parallel=(
+                1 if nproc > 1 else int(cfg.get("num_parallel_datasets", 4))
+            ),
             max_qsize=int(cfg.get("max_queue_size", 10)),
             num_speakers=glob_speakers // nproc,
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
-            # Multi-host: all hosts must agree on the per-batch length (the
-            # global array's shape is a collective contract), so samplers
-            # produce max_len chunks and the shared length schedule below
-            # crops them; single-host keeps per-batch bucket draws.
-            min_len=max_len if nproc > 1 else min_len,
+            min_len=min_len,
             max_len=max_len,
             seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
             num_buckets=int(cfg.get("num_buckets", 8)),
             raw_codes=device_decode,
+            length_seed=(
+                int(cfg.get("seed", 0)) + int(self.state.step)
+                if nproc > 1 else None
+            ),
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
 
         # Double-buffered device prefetch: the host→device copy of batch
         # k+1 overlaps the compute of batch k (data/pipeline.py).
-        from ..data import bucket_lengths
         from ..data.pipeline import device_prefetch
-
-        length_rng = np.random.RandomState(
-            int(cfg.get("seed", 0)) + int(self.state.step)
-        )
-        length_buckets = bucket_lengths(
-            min_len, max_len, int(cfg.get("num_buckets", 8))
-        )
 
         def host_batches():
             n = self.mesh.shape[DATA_AXIS]
             for _ in range(num_steps):
                 batch = loader.fetch()
-                if nproc > 1:
-                    # Shared (seed, step)-deterministic length: identical on
-                    # every host regardless of worker interleaving.
-                    L = int(length_rng.choice(length_buckets))
-                    batch = tuple(
-                        x[:, :L] if x.ndim >= 2 and x.shape[1] >= L else x
-                        for x in batch
-                    )
-                elif batch[0].shape[0] % n:
+                if nproc == 1 and batch[0].shape[0] % n:
                     pad = n - batch[0].shape[0] % n
                     batch = tuple(
                         np.concatenate([x, np.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
@@ -635,14 +628,15 @@ class Trainer:
                 if writer and gstep % summary_steps == 0:
                     writer.scalars(gstep, jax.device_get(metrics))
                     if cfg.get("save_histograms", True):
-                        # per-variable histograms (reference trainer.py:431)
-                        flat = traverse_util.flatten_dict(
-                            jax.device_get(self.state.params)
-                        )
+                        # per-variable histograms (reference trainer.py:431);
+                        # skip shards this process cannot read (model-
+                        # parallel kernels spanning other hosts)
+                        flat = traverse_util.flatten_dict(self.state.params)
                         writer.histograms(
                             gstep,
-                            {"/".join(p): np.asarray(w).ravel()
-                             for p, w in flat.items()},
+                            {"/".join(p): np.asarray(jax.device_get(w)).ravel()
+                             for p, w in flat.items()
+                             if getattr(w, "is_fully_addressable", True)},
                         )
                 if save_every and gstep % save_every == 0:
                     self.save(gstep)
@@ -743,6 +737,19 @@ class Trainer:
                 num_buckets=int(cfg.get("num_buckets", 8)),
             ).start()
         elif batch_type == "end2end":
+            rows = int(cfg["num_valid_speakers_per_batch"]) * int(
+                cfg["num_valid_segments_per_speaker"]
+            )
+            n_dev = self.mesh.shape[DATA_AXIS]
+            if rows % n_dev != 0:
+                # The GE2E/triplet valid losses are batch-structural: padded
+                # duplicate rows would create fake same-speaker pairs. Fail
+                # loudly instead of silently biasing the loss.
+                raise ValueError(
+                    "end2end validation batch (%d rows) must divide the %d-"
+                    "device data axis; adjust num_valid_speakers_per_batch/"
+                    "num_valid_segments_per_speaker" % (rows, n_dev)
+                )
             loader = KaldiDataRandomQueue(
                 data_dir, spklist, num_parallel=nw,
                 num_speakers=int(cfg["num_valid_speakers_per_batch"]),
@@ -752,18 +759,22 @@ class Trainer:
             ).start()
         else:
             raise ValueError("Unknown batch_type %s" % batch_type)
-        losses = []
+        # Sample-count-weighted streaming mean: every real utterance counts
+        # once, so a partial tail batch does not get outsized weight.
+        total, count = 0.0, 0
         try:
             for _ in range(max_iter):
                 features, labels = loader.fetch()
+                b = features.shape[0]
                 f, l, w = self._shard_batch_weighted(features, labels)
                 loss, _ = self._valid_step(self.state, f, l, w)
-                losses.append(float(loss))
+                total += float(loss) * b
+                count += b
         except DataOutOfRange:
             pass
         finally:
             loader.stop()
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        mean_loss = total / count if count else float("nan")
         return mean_loss, embeddings, labels_out
 
     def predict(self, features: np.ndarray) -> np.ndarray:

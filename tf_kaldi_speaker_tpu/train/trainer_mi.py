@@ -172,20 +172,16 @@ class TrainerMultiInput(Trainer):
 
     def _shard_multi(self, features, labels):
         main, aux = self._split_main_aux(features)
-        n = self.mesh.shape["data"]
-        b = main.shape[0]
-        if b % n != 0:
-            pad = n - b % n
-            main = np.concatenate([main, np.tile(main[-1:], (pad, 1, 1))], 0)
-            aux = {k: np.concatenate([v, np.tile(v[-1:], (pad, 1, 1))], 0) for k, v in aux.items()}
-            labels = np.concatenate([labels, np.tile(labels[-1:], pad)], 0)
-        weights = np.zeros((main.shape[0],), np.float32)
+        names = sorted(aux)
+        padded, b = self._pad_rows(main, *[aux[k] for k in names], labels)
+        weights = np.zeros((padded[0].shape[0],), np.float32)
         weights[:b] = 1.0
+        put = self._put_rows
         return (
-            jax.device_put(main, self.bsh),
-            {k: jax.device_put(v, self.bsh) for k, v in aux.items()},
-            jax.device_put(labels, self.bsh),
-            jax.device_put(weights, self.bsh),
+            put(padded[0]),
+            {k: put(v) for k, v in zip(names, padded[1:-1])},
+            put(padded[-1]),
+            put(weights),
         )
 
     def train(self, data_dir, spklist, learning_rate, aux_data=None) -> None:
@@ -264,6 +260,16 @@ class TrainerMultiInput(Trainer):
                 max_len=int(cfg.get("max_segment_len", 400)), shuffle=True,
             ).start()
         else:
+            rows = int(cfg["num_valid_speakers_per_batch"]) * int(
+                cfg["num_valid_segments_per_speaker"]
+            )
+            n_dev = self.mesh.shape["data"]
+            if rows % n_dev != 0:
+                raise ValueError(
+                    "end2end validation batch (%d rows) must divide the %d-"
+                    "device data axis (batch-structural loss; see "
+                    "Trainer.valid)" % (rows, n_dev)
+                )
             loader = KaldiMultiDataRandomQueue(
                 data_dir, aux_data, spklist, num_parallel=2,
                 num_speakers=int(cfg["num_valid_speakers_per_batch"]),
@@ -271,18 +277,20 @@ class TrainerMultiInput(Trainer):
                 min_len=int(cfg.get("min_segment_len", 200)),
                 max_len=int(cfg.get("max_segment_len", 400)),
             ).start()
-        losses = []
+        total, count = 0.0, 0
         try:
             for _ in range(max_iter):
                 features, labels = loader.fetch()
+                b = labels.shape[0]
                 main, aux, l, w = self._shard_multi(features, labels)
                 loss, _ = self._valid_step(self.state, main, aux, l, w)
-                losses.append(float(loss))
+                total += float(loss) * b
+                count += b
         except DataOutOfRange:
             pass
         finally:
             loader.stop()
-        return (float(np.mean(losses)) if losses else float("nan")), embeddings, labels_out
+        return (total / count if count else float("nan")), embeddings, labels_out
 
     def predict(self, features, aux_features=None):
         """features [B, L, D] or [L, D]; aux_features dict matching ranks.

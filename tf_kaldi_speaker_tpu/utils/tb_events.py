@@ -155,7 +155,11 @@ class TBEventWriter:
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
-        name = "events.out.tfevents.%d.%s" % (int(time.time()), socket.gethostname())
+        # pid suffix: two writers in the same second must not interleave
+        # TFRecord frames in one file (TB accepts extra dotted suffixes)
+        name = "events.out.tfevents.%d.%s.%d" % (
+            int(time.time()), socket.gethostname(), os.getpid()
+        )
         self.path = os.path.join(logdir, name)
         self._fp = open(self.path, "ab")
         self._record(_encode_event(time.time(), file_version="brain.Event:2"))
