@@ -115,3 +115,91 @@ def test_two_process_training(tmp_path):
     assert r0["valid_loss"] == r1["valid_loss"]
     assert np.isfinite(r0["valid_loss"])
     assert r0["n_emb"] == r1["n_emb"] == 16
+
+
+MT_WORKER = r"""
+import json, os, sys
+pid, nproc, port, work = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize("localhost:%s" % port, num_processes=nproc, process_id=pid)
+
+import numpy as np
+from tf_kaldi_speaker_tpu.multitask.trainer import TrainerMultiTask
+from tf_kaldi_speaker_tpu.utils.params import Params
+
+params = Params(os.path.join(work, "mt.json"))
+t = TrainerMultiTask(params, os.path.join(work, "mtexp%d" % pid, "nnet"),
+                     dim=20, num_speakers=6, num_phones=12)
+t.build("train", 20, num_speakers=6, num_phones=12)
+t.build("valid", 20)
+t.train(os.path.join(work, "mt"), os.path.join(work, "mt", "ali"),
+        os.path.join(work, "mt", "spklist"), 0.02)
+spk, phn, emb, lab = t.valid(
+    os.path.join(work, "mt"), os.path.join(work, "mt", "ali"),
+    os.path.join(work, "mt", "spklist"), output_embeddings=True)
+out = {
+    "pid": pid, "step": int(t.state.step),
+    "spk": float(spk), "phn": float(phn),
+    "fp": float(sum(float(np.sum(np.asarray(x)))
+                    for x in jax.tree.leaves(t.state.params))),
+}
+with open(os.path.join(work, "mtout%d.json" % pid), "w") as f:
+    json.dump(out, f)
+print("mt worker", pid, "ok", flush=True)
+"""
+
+
+def test_two_process_multitask_training(tmp_path):
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    work = str(tmp_path)
+    make_fake_data_dir(os.path.join(work, "mt"), num_speakers=6,
+                       utts_per_speaker=4, dim=20, min_len=100, max_len=160,
+                       with_vad_ali=True, num_phones=12)
+    cfg = dict(
+        seed=0, tdnn_layer_size=16, num_nodes_pooling_layer=32,
+        speaker_dim=16, phone_dim=16, pooling_type="statistics_pooling",
+        embedding_node="zs_mu_dense", spk_loss_type="softmax",
+        phn_loss_type="softmax", spk_loss_weight=1.0, phn_loss_weight=0.5,
+        num_shared_layers=0,
+        phone_kernel_size=[5, 5, 7, 1, 3], phone_layer_size=[16] * 5,
+        phone_dilation_size=[1, 1, 1, 1, 1],
+        phone_left_context=8, phone_right_context=8,
+        speaker_left_context=7, speaker_right_context=7,
+        num_frames_per_utt=4, optimizer="sgd",
+        weight_l2_regularizer=1e-4, batchnorm_momentum=0.99,
+        num_steps_per_epoch=2, show_training_progress=1,
+        save_checkpoints_steps=2, valid_max_iterations=2,
+        num_parallel_datasets=1, max_queue_size=4,
+        num_speakers_per_batch=8, num_segments_per_speaker=1,
+        min_segment_len=40, max_segment_len=80,
+    )
+    with open(os.path.join(work, "mt.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(work, "mt_worker.py"), "w") as f:
+        f.write(MT_WORKER)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(work, "mt_worker.py"),
+             str(i), "2", str(port), work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, "mt worker failed:\n" + o[-4000:]
+    r0 = json.load(open(os.path.join(work, "mtout0.json")))
+    r1 = json.load(open(os.path.join(work, "mtout1.json")))
+    assert r0["step"] == r1["step"] == 2
+    assert r0["fp"] == r1["fp"]
+    assert r0["spk"] == r1["spk"] and r0["phn"] == r1["phn"]
+    assert np.isfinite(r0["spk"]) and np.isfinite(r0["phn"])

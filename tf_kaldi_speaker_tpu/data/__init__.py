@@ -125,6 +125,7 @@ class KaldiMultiDataRandomQueue(PrefetchLoader):
         max_len: int = 400,
         shuffle: bool = True,
         seed: int = 0,
+        length_seed: "int | None" = None,
     ):
         _, _, spk2index = get_aux_speaker_info(data_dir, aux_data, spklist)
         self.num_total_speakers = len(spk2index)
@@ -133,6 +134,7 @@ class KaldiMultiDataRandomQueue(PrefetchLoader):
             return MultiRandomChunkSampler(
                 data_dir, aux_data, spklist, num_speakers, num_segments,
                 min_len, max_len, shuffle, worker_seed,
+                length_seed=length_seed,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

@@ -268,6 +268,7 @@ class MultiRandomChunkSampler:
         shuffle: bool = True,
         seed: int = 0,
         num_buckets: int = 8,
+        length_seed: Optional[int] = None,
     ):
         self.data_dir = data_dir
         self.aux_data = aux_data
@@ -278,6 +279,8 @@ class MultiRandomChunkSampler:
         self.buckets = bucket_lengths(min_len, max_len, num_buckets)
         self.shuffle = shuffle
         self.rng = random.Random(seed)
+        # shared multi-host length stream (see RandomChunkSampler)
+        self.length_rng = random.Random(seed if length_seed is None else length_seed)
         self.readers: Optional[Dict[str, FeatureReader]] = None
 
     def __iter__(self):
@@ -292,7 +295,7 @@ class MultiRandomChunkSampler:
             speakers = speakers * (self.num_speakers // len(speakers) + 1)
         B = self.num_speakers * self.num_segments
         while True:
-            batch_length = rng.choice(self.buckets)
+            batch_length = self.length_rng.choice(self.buckets)
             batch_speakers = rng.sample(speakers, self.num_speakers)
             features = {
                 name: np.zeros((B, batch_length, r.dim), dtype=np.float32)

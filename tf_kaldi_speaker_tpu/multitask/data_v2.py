@@ -81,6 +81,7 @@ class RandomChunkSamplerV2:
         shuffle: bool = True,
         seed: int = 0,
         num_buckets: int = 8,
+        length_seed: Optional[int] = None,
     ):
         self.data_dir, self.ali_dir = data_dir, ali_dir
         self.left_context, self.right_context = left_context, right_context
@@ -96,6 +97,9 @@ class RandomChunkSamplerV2:
         self.buckets = bucket_lengths(min_len, max_len, num_buckets)
         self.shuffle = shuffle
         self.rng = random.Random(seed)
+        # Separate length-draw stream so multi-host trainers can seed it
+        # identically on every host (see data/sampler.py).
+        self.length_rng = random.Random(seed if length_seed is None else length_seed)
         self.reader: Optional[FeatureReaderV2] = None
 
     def _regions(self, utt2num_frames):
@@ -126,7 +130,7 @@ class RandomChunkSamplerV2:
             batch_speakers = sample_with_probability(
                 rng, speakers, self.num_speakers, spk_regions
             )
-            batch_length = rng.choice(self.buckets)
+            batch_length = self.length_rng.choice(self.buckets)
             features = np.zeros((B, batch_length + lc + rc, reader.dim), np.float32)
             vad = np.zeros((B, batch_length), np.float32)
             ali = np.zeros((B, batch_length), np.int32)
@@ -255,7 +259,7 @@ class SequentialChunkSamplerV2:
 class KaldiDataRandomQueueV2(PrefetchLoader):
     def __init__(self, data_dir, ali_dir, spklist, left_context, right_context,
                  num_parallel=2, max_qsize=10, num_speakers=64, num_segments=1,
-                 min_len=200, max_len=400, shuffle=True, seed=0):
+                 min_len=200, max_len=400, shuffle=True, seed=0, length_seed=None):
         _, _, spk2index = get_speaker_info(data_dir, spklist)
         self.num_total_speakers = len(spk2index)
         self.num_total_phones = get_num_phones(ali_dir)
@@ -264,6 +268,7 @@ class KaldiDataRandomQueueV2(PrefetchLoader):
             return RandomChunkSamplerV2(
                 data_dir, ali_dir, spklist, left_context, right_context,
                 num_speakers, num_segments, min_len, max_len, shuffle, worker_seed,
+                length_seed=length_seed,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

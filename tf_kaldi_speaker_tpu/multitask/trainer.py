@@ -223,9 +223,12 @@ class TrainerMultiTask(Trainer):
             return (endpoints["spk_loss"], endpoints["phn_loss"],
                     spk_acc, phn_acc, endpoints["mu_zs"])
 
+        # Outputs replicated so any host can read the full embedding dump
+        # (a batch-sharded output is not host-addressable off-process).
         self._valid_step = jax.jit(
             valid_fn,
             in_shardings=(None,) + (self.bsh,) * 6,
+            out_shardings=(self.rep,) * 5,
         )
 
     def _build_predict(self) -> None:
@@ -251,10 +254,18 @@ class TrainerMultiTask(Trainer):
             max_len=int(cfg.get("max_segment_len", 400)),
         )
 
-    def _shard_mt(self, feats, vad, ali, length, labels, resample):
+    def _shard_mt(self, feats, vad, ali, length, labels, resample,
+                  local_rows: bool = False):
+        """Pad + place one multitask batch on the data axis.
+
+        ``local_rows``: the arrays are THIS host's rows of the global batch
+        (multi-host train path, disjoint loaders) — assemble with
+        _from_local; otherwise every host holds the same global batch
+        (valid path) and _put_rows slices its block.
+        """
         n = self.mesh.shape[DATA_AXIS]
         b = feats.shape[0]
-        if b % n != 0:
+        if b % n != 0 and not local_rows:
             pad = n - b % n
 
             def padrep(x, reps):
@@ -275,32 +286,37 @@ class TrainerMultiTask(Trainer):
             )
         weights = np.zeros((feats.shape[0],), np.float32)
         weights[:b] = 1.0
-        # _put_rows handles multi-process assembly (valid streams identical
-        # batches on every host); single-process it is a plain device_put.
-        put = self._put_rows
+        put = self._from_local if local_rows else self._put_rows
         return put(feats), put(labels), put(ali), put(length), put(idx), put(weights)
 
     def train(self, data_dir: str, ali_dir: str, spklist: str, learning_rate: float) -> None:
-        if jax.process_count() > 1:
-            # The V2 random queue draws per-batch lengths per worker; hosts
-            # would disagree on the collective's shape. Multi-host multitask
-            # training needs the shared length schedule (see Trainer.train);
-            # fail loudly rather than hang in a collective.
-            raise NotImplementedError(
-                "multi-host multitask training is not supported yet; "
-                "run one process (multi-chip single-host works)"
-            )
         cfg = self.params.dict
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))
         save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        # Multi-host: same scheme as Trainer.train — one worker per host
+        # (deterministic order), host-disjoint speaker sampling, shared
+        # length-draw seed so the k-th batch's shape agrees everywhere.
+        nproc, pid = jax.process_count(), jax.process_index()
+        glob_speakers = int(cfg.get("num_speakers_per_batch", 64))
+        if nproc > 1:
+            assert glob_speakers % nproc == 0, (
+                "num_speakers_per_batch=%d must divide across %d hosts"
+                % (glob_speakers, nproc)
+            )
         loader = KaldiDataRandomQueueV2(
             data_dir, ali_dir, spklist,
-            num_parallel=int(cfg.get("num_parallel_datasets", 2)),
+            num_parallel=(
+                1 if nproc > 1 else int(cfg.get("num_parallel_datasets", 2))
+            ),
             max_qsize=int(cfg.get("max_queue_size", 10)),
-            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_speakers=glob_speakers // nproc,
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
-            seed=int(cfg.get("seed", 0)) + int(self.state.step),
+            seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
+            length_seed=(
+                int(cfg.get("seed", 0)) + int(self.state.step)
+                if nproc > 1 else None
+            ),
             **self._loader_kwargs(),
         ).start()
         summary_steps = int(cfg.get("save_summary_steps", 0))
@@ -319,7 +335,10 @@ class TrainerMultiTask(Trainer):
                 feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
                 np.add.at(self.speaker_egs, labels, 1)
                 np.add.at(self.phone_egs, ali.reshape(-1), 1)
-                f, s, a, ln, idx, _ = self._shard_mt(feats, vad, ali, length, labels, resample)
+                f, s, a, ln, idx, _ = self._shard_mt(
+                    feats, vad, ali, length, labels, resample,
+                    local_rows=nproc > 1,
+                )
                 self.state, metrics = self._train_step(self.state, f, s, a, ln, idx, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:
@@ -342,7 +361,12 @@ class TrainerMultiTask(Trainer):
         self._dump_egs_stats()
 
     def _dump_egs_stats(self):
-        """Per-class training-example counts (base_v1.py:950-995)."""
+        """Per-class training-example counts (base_v1.py:950-995).
+
+        Multi-host: each process counts only its own egs; process 0 writes
+        its local counts (a 1/nproc sample of the global distribution)."""
+        if jax.process_index() != 0:
+            return
         root = os.path.dirname(self.model)
         with open(os.path.join(root, "speaker_egs"), "w") as f:
             for i, c in enumerate(self.speaker_egs):

@@ -146,7 +146,9 @@ class TrainerMultiInput(Trainer):
             return loss, endpoints["output"]
 
         self._valid_step = jax.jit(
-            valid_fn, in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh)
+            valid_fn,
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh),
+            out_shardings=(self.rep, self.rep),
         )
 
     def _build_predict(self) -> None:
@@ -170,13 +172,18 @@ class TrainerMultiInput(Trainer):
         aux = {k: v for k, v in features.items() if k != "features"}
         return main, aux
 
-    def _shard_multi(self, features, labels):
+    def _shard_multi(self, features, labels, local_rows: bool = False):
+        """local_rows: arrays are this host's slice of the global batch
+        (multi-host train; valid streams the same global batch everywhere)."""
         main, aux = self._split_main_aux(features)
         names = sorted(aux)
-        padded, b = self._pad_rows(main, *[aux[k] for k in names], labels)
+        if local_rows:
+            padded, b = (main, *[aux[k] for k in names], labels), main.shape[0]
+        else:
+            padded, b = self._pad_rows(main, *[aux[k] for k in names], labels)
         weights = np.zeros((padded[0].shape[0],), np.float32)
         weights[:b] = 1.0
-        put = self._put_rows
+        put = self._from_local if local_rows else self._put_rows
         return (
             put(padded[0]),
             {k: put(v) for k, v in zip(names, padded[1:-1])},
@@ -185,31 +192,42 @@ class TrainerMultiInput(Trainer):
         )
 
     def train(self, data_dir, spklist, learning_rate, aux_data=None) -> None:
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-host multi-input training is not supported yet; "
-                "run one process (multi-chip single-host works)"
-            )
         cfg = self.params.dict
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))
         save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        # Multi-host: one worker per host, host-disjoint speaker sampling,
+        # shared length-draw seed (see Trainer.train).
+        nproc, pid = jax.process_count(), jax.process_index()
+        glob_speakers = int(cfg.get("num_speakers_per_batch", 64))
+        if nproc > 1:
+            assert glob_speakers % nproc == 0, (
+                "num_speakers_per_batch=%d must divide across %d hosts"
+                % (glob_speakers, nproc)
+            )
         loader = KaldiMultiDataRandomQueue(
             data_dir, aux_data, spklist,
-            num_parallel=int(cfg.get("num_parallel_datasets", 4)),
+            num_parallel=(
+                1 if nproc > 1 else int(cfg.get("num_parallel_datasets", 4))
+            ),
             max_qsize=int(cfg.get("max_queue_size", 10)),
-            num_speakers=int(cfg.get("num_speakers_per_batch", 64)),
+            num_speakers=glob_speakers // nproc,
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
             min_len=int(cfg.get("min_segment_len", 200)),
             max_len=int(cfg.get("max_segment_len", 400)),
-            seed=int(cfg.get("seed", 0)) + int(self.state.step),
+            seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
+            length_seed=(
+                int(cfg.get("seed", 0)) + int(self.state.step)
+                if nproc > 1 else None
+            ),
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
         try:
             for local_step in range(num_steps):
                 features, labels = loader.fetch()
-                main, aux, l, _ = self._shard_multi(features, labels)
+                main, aux, l, _ = self._shard_multi(features, labels,
+                                                    local_rows=nproc > 1)
                 self.state, metrics = self._train_step(self.state, main, aux, l, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:
