@@ -79,3 +79,42 @@ def test_tune_lr_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "steepest-descent lr" in out
+
+
+def test_debug_clis(tmp_path, capsys):
+    """train_insight + extract_softmax_weights over a freshly trained model."""
+    import json
+    import os
+
+    from tf_kaldi_speaker_tpu.cli import extract_softmax_weights, train_insight
+    from tf_kaldi_speaker_tpu.kio import read_vec_flt_ark
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+    from test_extract_backend import TINY_CONFIG
+
+    d = make_fake_data_dir(str(tmp_path / "data"), num_speakers=6,
+                           utts_per_speaker=3, dim=20, min_len=80, max_len=120)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(ParamsPlain(**TINY_CONFIG), nnet, dim=20, num_speakers=6)
+    t.build("train", 20, TINY_CONFIG["loss_func"], 6)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+    with open(os.path.join(nnet, "num_speakers"), "w") as f:
+        f.write("6\n")
+
+    rc = train_insight.main([d["data"], d["spklist"], str(tmp_path / "m")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "valid_loss" in out and "eer" in out
+
+    ark = str(tmp_path / "w.ark")
+    rc = extract_softmax_weights.main([str(tmp_path / "m"), ark])
+    assert rc == 0
+    vecs = dict(read_vec_flt_ark(ark))
+    assert len(vecs) == 6
+    for v in vecs.values():
+        assert v.shape == (TINY_CONFIG["num_nodes_last_layer"],)
