@@ -218,11 +218,18 @@ class EntireNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, features, train=False, mask=None, aux_features=None):
-        if self.network_type != "tdnn":
+        if self.network_type == "tdnn":
+            out, endpoints = TDNN(config=self.config, name="tdnn")(
+                features, train=train, mask=mask, aux_features=aux_features
+            )
+        elif self.network_type == "ecapa_tdnn":
+            from .ecapa import ECAPA
+
+            out, endpoints = ECAPA(config=self.config, name="ecapa")(
+                features, train=train, mask=mask, aux_features=aux_features
+            )
+        else:
             raise NotImplementedError("Not implement %s network" % self.network_type)
-        out, endpoints = TDNN(config=self.config, name="tdnn")(
-            features, train=train, mask=mask, aux_features=aux_features
-        )
         endpoints["output"] = out
         if self.config.get("feature_norm", False):
             out = l2_scaling(out, self.config["feature_scaling_factor"])
