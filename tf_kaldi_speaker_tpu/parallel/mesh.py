@@ -23,11 +23,24 @@ MODEL_AXIS = "model"
 def make_mesh(
     devices: Optional[Sequence] = None, model_parallel: int = 1
 ) -> Mesh:
-    """Build a (data[, model]) mesh over the given (default: all) devices."""
+    """Build a (data[, model]) mesh over the given (default: all) devices.
+
+    Multi-host note: ``jax.devices()`` orders devices by process, so the
+    row-major reshape keeps each model-parallel group within one host as
+    long as the LOCAL device count divides ``model_parallel`` — the layout
+    the batch-assembly helpers (make_array_from_process_local_data over
+    contiguous data-axis row blocks) rely on.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     assert n % model_parallel == 0
+    if model_parallel > 1 and jax.process_count() > 1:
+        assert jax.local_device_count() % model_parallel == 0, (
+            "model_parallel=%d must divide the local device count (%d) so "
+            "model groups do not straddle hosts"
+            % (model_parallel, jax.local_device_count())
+        )
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
     if model_parallel == 1:
         return Mesh(arr[:, 0], (DATA_AXIS,))
