@@ -118,3 +118,54 @@ def test_debug_clis(tmp_path, capsys):
     assert len(vecs) == 6
     for v in vecs.values():
         assert v.shape == (TINY_CONFIG["num_nodes_last_layer"],)
+
+
+def test_plot_det_hist_and_lambda_curve(tmp_path):
+    """score_distribution.m + asoftmax_lambda_tuning.m equivalents."""
+    from tf_kaldi_speaker_tpu.cli import plot_det, target_logit_curve
+
+    rng = np.random.RandomState(0)
+    with open(tmp_path / "trials", "w") as ft, open(tmp_path / "scores", "w") as fs:
+        for i in range(200):
+            t = i % 2
+            ft.write("e%d t%d %s\n" % (i, i, "target" if t else "nontarget"))
+            fs.write("e%d t%d %f\n" % (i, i, rng.randn() + 2.5 * t))
+    rc = plot_det.main(["--hist", str(tmp_path / "hist.txt"),
+                        str(tmp_path / "scores"), str(tmp_path / "trials")])
+    assert rc == 0
+    h = np.loadtxt(tmp_path / "hist.txt")
+    assert h.shape == (30, 3)
+    np.testing.assert_allclose(h[:, 1].sum(), 1.0)
+    np.testing.assert_allclose(h[:, 2].sum(), 1.0)
+    # target mass sits at higher scores than nontarget mass
+    assert (h[:, 0] * h[:, 1]).sum() > (h[:, 0] * h[:, 2]).sum()
+
+    rc = target_logit_curve.main([
+        "--lambda-curve", str(tmp_path / "lam.csv"), str(tmp_path / "c.csv")])
+    assert rc == 0
+    rows = open(tmp_path / "lam.csv").read().splitlines()
+    assert rows[0] == "step,lambda,fa"
+    first = rows[1].split(","); last = rows[-1].split(",")
+    assert float(first[1]) == 1000.0       # lambda_base at step 0
+    assert float(last[1]) == 10.0          # floored at lambda_min
+    np.testing.assert_allclose(float(last[2]), 1.0 / 11.0, rtol=1e-4)
+
+
+def test_prepare_feats_no_cmvn_bnf(tmp_path):
+    """prepare_bnfeats_for_egs.sh parity: silence removal WITHOUT CMVN —
+    output frames are the voiced input frames verbatim."""
+    from tf_kaldi_speaker_tpu.cli import prepare_feats
+    from tf_kaldi_speaker_tpu.kio import ark
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    d = make_fake_data_dir(str(tmp_path / "d"), num_speakers=2,
+                           utts_per_speaker=2, dim=8, min_len=50, max_len=80,
+                           with_vad_ali=True, compress=False)
+    rc = prepare_feats.main(["--no-cmvn", "--no-compress",
+                             str(tmp_path / "d"), str(tmp_path / "bnf")])
+    assert rc == 0
+    orig = dict(ark.read_mat_scp(d["feats_scp"]))
+    vad = dict(ark.read_vec_flt_scp(d["vad_scp"]))
+    out = dict(ark.read_mat_scp(str(tmp_path / "bnf" / "feats.scp")))
+    for k in out:
+        np.testing.assert_array_equal(out[k], orig[k][vad[k] > 0.5])

@@ -1,12 +1,14 @@
 """DET curve + operating points from a scores file.
 
 Replaces the MATLAB DETware package (reference misc/DETware_v2.1:
-Compute_DET/Plot_DET/Get_DCF/Min_DCF): writes the DET curve as
-(p_miss, p_fa) text points (plot with anything) and prints EER and
-minDCF08/10/12.
+Compute_DET/Plot_DET/Get_DCF/Min_DCF) and misc/tools/score_distribution.m:
+writes the DET curve as (p_miss, p_fa) text points (plot with anything),
+prints EER and minDCF08/10/12, and with --hist dumps normalized
+target/nontarget score histograms ("center p_target p_nontarget" rows).
 
 Usage:
-    python -m tf_kaldi_speaker_tpu.cli.plot_det scores.txt trials [det_out.txt]
+    python -m tf_kaldi_speaker_tpu.cli.plot_det [--hist hist.txt] \
+        scores.txt trials [det_out.txt]
 scores.txt lines: "enroll test score"; trials: "enroll test target|nontarget".
 """
 
@@ -20,7 +22,12 @@ from ..backend import compute_eer, det_curve, min_dcf08, min_dcf10, min_dcf12
 
 
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    hist_out = None
+    if "--hist" in argv:
+        i = argv.index("--hist")
+        hist_out = argv[i + 1]
+        del argv[i : i + 2]
     if len(argv) < 2:
         print(__doc__, file=sys.stderr)
         return 1
@@ -49,6 +56,18 @@ def main(argv=None) -> int:
         with open(det_out, "w") as f:
             for m, a in zip(p_miss, p_fa):
                 f.write("%g %g\n" % (m, a))
+    if hist_out:
+        # score_distribution.m parity: 30-bin normalized histograms over a
+        # shared grid so target/nontarget overlap is visible.
+        edges = np.linspace(scores.min(), scores.max(), 31)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        h_t, _ = np.histogram(scores[labels == 1], bins=edges)
+        h_n, _ = np.histogram(scores[labels == 0], bins=edges)
+        h_t = h_t / max(h_t.sum(), 1)
+        h_n = h_n / max(h_n.sum(), 1)
+        with open(hist_out, "w") as f:
+            for c, a, b in zip(centers, h_t, h_n):
+                f.write("%g %g %g\n" % (c, a, b))
     eer, _ = compute_eer(scores, labels)
     print("EER: %.4f%%" % (eer * 100))
     print("minDCF08: %.4f" % min_dcf08(scores, labels))

@@ -4,11 +4,13 @@ Replaces the reference's local/nnet3/xvector/prepare_feats_for_egs.sh
 (run.sh:135: apply-cmvn-sliding + select-voiced-frames + copy-feats
 --compress). With --keep-silence it mirrors
 scripts/prepare_feats_for_multitask_egs.sh (CMVN but NO frame dropping, so
-alignments stay frame-aligned).
+alignments stay frame-aligned). With --no-cmvn it mirrors
+scripts/prepare_bnfeats_for_egs.sh (bottleneck features: silence removal
+only — BNFs come out of a network that saw CMVN'd inputs already).
 
 Usage:
     python -m tf_kaldi_speaker_tpu.cli.prepare_feats [--cmn-window 300] \
-        [--keep-silence] data_dir out_dir
+        [--keep-silence] [--no-cmvn] data_dir out_dir
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cmn-window", type=int, default=300)
     parser.add_argument("--keep-silence", action="store_true")
+    parser.add_argument("--no-cmvn", action="store_true",
+                        help="skip sliding CMVN (bottleneck-feature prep)")
     parser.add_argument("--no-compress", action="store_true")
     parser.add_argument("data_dir")
     parser.add_argument("out_dir")
@@ -44,7 +48,8 @@ def main(argv=None) -> int:
     count = skipped = 0
     with open(ark_path, "wb") as f:
         for utt, feats in read_mat_scp(os.path.join(args.data_dir, "feats.scp")):
-            feats = sliding_cmvn(feats, window=args.cmn_window)
+            if not args.no_cmvn:
+                feats = sliding_cmvn(feats, window=args.cmn_window)
             if not args.keep_silence:
                 if utt not in vad:
                     skipped += 1
