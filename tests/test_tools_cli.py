@@ -169,3 +169,40 @@ def test_prepare_feats_no_cmvn_bnf(tmp_path):
     out = dict(ark.read_mat_scp(str(tmp_path / "bnf" / "feats.scp")))
     for k in out:
         np.testing.assert_array_equal(out[k], orig[k][vad[k] > 0.5])
+
+
+def test_extract_bnf_cli(tmp_path):
+    """extract_bnf.sh parity: per-frame bottleneck features aligned 1:1
+    with the input (edge-tiled context), ready for the MI trainer."""
+    import json
+    import os
+
+    from tf_kaldi_speaker_tpu.cli import extract_bnf
+    from tf_kaldi_speaker_tpu.kio import ark
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+    from test_extract_backend import TINY_CONFIG
+
+    d = make_fake_data_dir(str(tmp_path / "d"), num_speakers=3,
+                           utts_per_speaker=2, dim=20, min_len=60, max_len=100)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(ParamsPlain(**TINY_CONFIG), nnet, dim=20, num_speakers=3)
+    t.build("train", 20, TINY_CONFIG["loss_func"], 3)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    rc = extract_bnf.main([
+        str(tmp_path / "m"), "scp:" + d["feats_scp"],
+        "ark,scp:%s,%s" % (tmp_path / "bnf.ark", tmp_path / "bnf.scp"),
+    ])
+    assert rc == 0
+    orig = dict(ark.read_mat_scp(d["feats_scp"]))
+    bnf = dict(ark.read_mat_scp(str(tmp_path / "bnf.scp")))
+    assert sorted(bnf) == sorted(orig)
+    for k in bnf:
+        assert bnf[k].shape[0] == orig[k].shape[0]  # frame-aligned
+        assert np.isfinite(bnf[k]).all()
