@@ -74,3 +74,66 @@ def test_aux_rank_check(tmp_path):
     x = np.zeros((50, 20), np.float32)
     with pytest.raises(AssertionError):
         t.predict(x, {"bnf": np.zeros((49, 20), np.float32)})
+
+
+def test_bnf_chain_end_to_end(tmp_path):
+    """The reference's actual MI pipeline: train a base model, extract
+    frame-level BNFs (extract_bnf.sh equiv), prepare them without CMVN
+    (prepare_bnfeats_for_egs.sh equiv), train the multi-input model on
+    main+bnf streams."""
+    import json
+    import os
+    import shutil
+
+    from tf_kaldi_speaker_tpu.cli import extract_bnf, prepare_feats
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+
+    d = make_fake_data_dir(
+        str(tmp_path / "base"), num_speakers=6, utts_per_speaker=4, dim=20,
+        min_len=100, max_len=160, with_vad_ali=True, compress=False,
+    )
+    # 1) base x-vector model (2 quick steps suffice for BNF extraction)
+    base_cfg = dict(CFG, num_steps_per_epoch=2, save_checkpoints_steps=2)
+    base_cfg.pop("aux_feature_dim"); base_cfg.pop("aux_concat_input")
+    nnet = str(tmp_path / "base_m" / "nnet")
+    t0 = Trainer(ParamsPlain(**base_cfg), nnet, dim=20, num_speakers=6)
+    t0.build("train", 20, "softmax", 6)
+    t0.train(d["data"], d["spklist"], 0.05)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(base_cfg, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    # 2) frame-level BNFs (tdnn5_relu, 64-d) aligned 1:1 with the input
+    bnf_raw = str(tmp_path / "bnf_raw")
+    os.makedirs(bnf_raw)
+    rc = extract_bnf.main([
+        str(tmp_path / "base_m"), "scp:" + d["feats_scp"],
+        "ark,scp:%s,%s" % (os.path.join(bnf_raw, "bnf.ark"),
+                           os.path.join(bnf_raw, "feats.scp")),
+    ])
+    assert rc == 0
+    shutil.copyfile(d["vad_scp"], os.path.join(bnf_raw, "vad.scp"))
+    shutil.copyfile(d["utt2spk"], os.path.join(bnf_raw, "utt2spk"))
+    shutil.copyfile(d["spk2utt"], os.path.join(bnf_raw, "spk2utt"))
+
+    # 3) prepare WITHOUT CMVN; main stream gets the standard prep so both
+    # streams drop the same (voiced) frames and stay frame-aligned
+    rc = prepare_feats.main(["--no-cmvn", bnf_raw, str(tmp_path / "bnf_egs")])
+    assert rc == 0
+    rc = prepare_feats.main([d["data"], str(tmp_path / "main_egs")])
+    assert rc == 0
+
+    # 4) multi-input training on main + bnf
+    mi_cfg = dict(CFG, num_steps_per_epoch=3, save_checkpoints_steps=3,
+                  aux_feature_dim={"bnf": 64}, aux_concat_input=["bnf"])
+    t = TrainerMultiInput(ParamsPlain(**mi_cfg), str(tmp_path / "mi_m" / "nnet"),
+                          dim=20, num_speakers=6)
+    t.build("train", 20, "softmax", 6)
+    t.build("valid", 20, "softmax", 6)
+    aux = {"bnf": str(tmp_path / "bnf_egs")}
+    t.train(str(tmp_path / "main_egs"), d["spklist"], 0.05, aux_data=aux)
+    assert int(t.state.step) == 3
+    loss, emb, labels = t.valid(str(tmp_path / "main_egs"), d["spklist"],
+                                output_embeddings=True, aux_data=aux)
+    assert np.isfinite(loss) and emb.shape[0] > 0
