@@ -33,16 +33,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import kernel_init
-from .pooling import VAR2STD_EPSILON
+from .pooling import VAR2STD_EPSILON, floor_sqrt, masked_moments
 
 
 def _masked_mean_std(x, mask):
     """Masked per-channel mean/std over time. x [B,L,C], mask [B,L]."""
-    m = mask[:, :, None]
-    denom = jnp.maximum(jnp.sum(m, axis=1), 1e-6)
-    mean = jnp.sum(x * m, axis=1) / denom
-    var = jnp.sum(jnp.square(x - mean[:, None, :]) * m, axis=1) / denom
-    return mean, jnp.sqrt(jnp.maximum(var, VAR2STD_EPSILON))
+    mean, var = masked_moments(x, mask)
+    return mean, floor_sqrt(var)
 
 
 class SERes2NetBlock(nn.Module):

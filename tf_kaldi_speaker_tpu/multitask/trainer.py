@@ -263,19 +263,11 @@ class TrainerMultiTask(Trainer):
         _from_local; otherwise every host holds the same global batch
         (valid path) and _put_rows slices its block.
         """
-        n = self.mesh.shape[DATA_AXIS]
         b = feats.shape[0]
-        if b % n != 0 and not local_rows:
-            pad = n - b % n
-
-            def padrep(x, reps):
-                return np.concatenate([x, np.tile(x[-1:], reps)], 0)
-
-            feats = padrep(feats, (pad, 1, 1))
-            ali = padrep(ali, (pad, 1))
-            length = padrep(length, pad)
-            labels = padrep(labels, pad)
-            resample = padrep(resample, pad)
+        if not local_rows:
+            (feats, ali, length, labels, resample), b = self._pad_rows(
+                feats, ali, length, labels, resample
+            )
         if self.all_phone_frames:
             # All-frames mode: the model masks by length; idx is an unused
             # placeholder kept so the jitted signatures stay uniform.

@@ -579,15 +579,10 @@ class Trainer:
         from ..data.pipeline import device_prefetch
 
         def host_batches():
-            n = self.mesh.shape[DATA_AXIS]
             for _ in range(num_steps):
                 batch = loader.fetch()
-                if nproc == 1 and batch[0].shape[0] % n:
-                    pad = n - batch[0].shape[0] % n
-                    batch = tuple(
-                        np.concatenate([x, np.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
-                        for x in batch
-                    )
+                if nproc == 1:
+                    batch, _ = self._pad_rows(*batch)
                 yield batch
 
         try:
@@ -631,12 +626,17 @@ class Trainer:
                         # per-variable histograms (reference trainer.py:431);
                         # skip shards this process cannot read (model-
                         # parallel kernels spanning other hosts)
-                        flat = traverse_util.flatten_dict(self.state.params)
+                        readable = {
+                            "/".join(p): w
+                            for p, w in traverse_util.flatten_dict(
+                                self.state.params
+                            ).items()
+                            if getattr(w, "is_fully_addressable", True)
+                        }
                         writer.histograms(
                             gstep,
-                            {"/".join(p): np.asarray(jax.device_get(w)).ravel()
-                             for p, w in flat.items()
-                             if getattr(w, "is_fully_addressable", True)},
+                            {k: np.asarray(v).ravel()
+                             for k, v in jax.device_get(readable).items()},
                         )
                 if save_every and gstep % save_every == 0:
                     self.save(gstep)
