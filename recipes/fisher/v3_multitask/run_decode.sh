@@ -72,8 +72,23 @@ for data in "$@"; do
       "$mdl" "$graph/HCLG.fst" \
       "ark:$out/loglike.ark" "ark:|gzip -c > $out/lat.1.gz"
     echo "    lattices in $out/lat.1.gz (score with Kaldi local/score.sh)"
+  elif [ "$graph" != "-" ]; then
+    # No Kaldi on the box: the in-repo WFST decoder (best path, native
+    # C++ core) produces transcripts + alignments directly.
+    echo "=== decode: native decode_faster for $name (mdl=$mdl)"
+    $py tf_kaldi_speaker_tpu.cli.decode_faster \
+      --acoustic-scale "$acwt" --beam "$beam" \
+      --word-symbol-table "$graph/words.txt" --text-out "$out/text" \
+      --align-out "ark:$out/ali.ark" \
+      "$mdl" "$graph/HCLG.fst" \
+      "ark:$out/loglike.ark" "ark:$out/words.ark"
+    if [ -f "$data/text" ]; then
+      $py tf_kaldi_speaker_tpu.cli.compute_wer "$data/text" "$out/text" \
+        | tee "$out/wer"
+    fi
   else
-    echo "    latgen-faster-mapped or graph dir unavailable;"
-    echo "    feed $out/loglike.ark to latgen-faster-mapped externally"
+    echo "    no graph dir given; stopping after the loglike dump"
+    echo "    ($out/loglike.ark feeds latgen-faster-mapped or"
+    echo "     tf_kaldi_speaker_tpu.cli.decode_faster)"
   fi
 done

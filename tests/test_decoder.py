@@ -1,0 +1,273 @@
+"""Native WFST decoder: FST codec, beam search, decode/WER CLIs.
+
+Replaces the external `latgen-faster-mapped` decode of the reference
+(nnet/run_decode.sh:77-91): the graph is a hand-built word-loop HCLG over a
+real (in-repo) Kaldi transition model, loglikes are synthesized to favor a
+known word sequence, and the native C++ core is checked exactly against
+the pure-Python token-passing oracle.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tf_kaldi_speaker_tpu.backend.decoder import (
+    WfstDecoder,
+    decode_faster_py,
+    native_available,
+)
+from tf_kaldi_speaker_tpu.backend.wer import (
+    compute_wer,
+    edit_distance,
+    read_text_file,
+)
+from tf_kaldi_speaker_tpu.kio.ark import read_vec_int_ark, write_mat
+from tf_kaldi_speaker_tpu.kio.fst import (
+    build_fst,
+    read_fst,
+    read_words_txt,
+    write_fst,
+)
+from tf_kaldi_speaker_tpu.kio.transition_model import (
+    TransitionModel,
+    write_transition_model,
+)
+
+
+def _bakis_model(num_phones):
+    """3-emitting-state Bakis topology, one pdf per (phone, state)."""
+    entries = [[
+        (0, 0, [(0, 0.75), (1, 0.25)]),
+        (1, 1, [(1, 0.75), (2, 0.25)]),
+        (2, 2, [(2, 0.75), (3, 0.25)]),
+        (-1, -1, []),
+    ]]
+    phones = list(range(1, num_phones + 1))
+    phone2idx = [-1] + [0] * num_phones
+    tuples = []
+    pdf = 0
+    for p in phones:
+        for st in range(3):
+            tuples.append((p, st, pdf, pdf))
+            pdf += 1
+    log_probs = np.zeros(1 + 6 * num_phones, np.float32)
+    return TransitionModel(phones, phone2idx, entries, tuples, log_probs)
+
+
+def _word_loop_graph(tm, num_words):
+    """HCLG-style word loop: each word = one phone's 3-state HMM chain.
+
+    Arc into each emitting state carries that state's forward tid (frame-
+    consuming), self-loops carry the self tid, word olabel on the entry
+    arc — the standard shape add-self-loops produces.
+    """
+    arcs = []
+    finals = {0: 0.0}
+    state = 1
+    word_tids = {}
+    for w in range(1, num_words + 1):
+        prev = 0
+        tids = []
+        for st in range(3):
+            ts = (w - 1) * 3 + st + 1  # transition-state (1-based)
+            self_tid = tm.state2id[ts]  # transitions[0] is the self-loop
+            fwd_tid = self_tid + 1
+            s = state
+            state += 1
+            arcs.append(
+                (prev, fwd_tid, w if st == 0 else 0,
+                 0.5 if st == 0 else 0.0, s)
+            )
+            arcs.append((s, self_tid, 0, 0.1, s))
+            tids.append((self_tid, fwd_tid))
+            prev = s
+        arcs.append((prev, 0, 0, 0.0, 0))
+        word_tids[w] = tids
+    return build_fst(0, state, arcs, finals), word_tids
+
+
+def _synth_loglikes(tm, word_tids, seq, frames_per_state=3, noise=0.1,
+                    seed=0):
+    rng = np.random.default_rng(seed)
+    num_pdfs = tm.num_pdfs
+    rows, align = [], []
+    for w in seq:
+        for st in range(3):
+            self_tid, fwd_tid = word_tids[w][st]
+            pdf = tm.tid2pdf[fwd_tid]
+            for k in range(frames_per_state):
+                row = np.full(num_pdfs, -8.0, np.float32)
+                row[pdf] = -0.5
+                rows.append(row + rng.normal(0, noise, num_pdfs).astype(np.float32))
+                align.append(fwd_tid if k == 0 else self_tid)
+    return np.stack(rows), align
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tm = _bakis_model(num_phones=4)
+    fst, word_tids = _word_loop_graph(tm, num_words=4)
+    return tm, fst, word_tids
+
+
+def test_fst_roundtrip_vector_and_const(setup, tmp_path):
+    _, fst, _ = setup
+    for kind in ("vector", "const"):
+        path = str(tmp_path / ("g_%s.fst" % kind))
+        write_fst(path, fst, kind)
+        back = read_fst(path)
+        assert back.start == fst.start
+        np.testing.assert_array_equal(back.final, fst.final)
+        np.testing.assert_array_equal(back.arc_offsets, fst.arc_offsets)
+        np.testing.assert_array_equal(back.ilabels, fst.ilabels)
+        np.testing.assert_array_equal(back.olabels, fst.olabels)
+        np.testing.assert_array_equal(back.weights, fst.weights)
+        np.testing.assert_array_equal(back.nextstates, fst.nextstates)
+
+
+def test_const_fst_is_aligned_v1(setup, tmp_path):
+    """Real HCLGs are OpenFst aligned-const files (version 1, 16-byte
+    padded sections) — assert we emit exactly that layout."""
+    _, fst, _ = setup
+    path = str(tmp_path / "g.fst")
+    write_fst(path, fst, "const")
+    with open(path, "rb") as fd:
+        data = fd.read()
+    # magic + "const" + "standard" + version/flags
+    assert struct.unpack("<i", data[:4])[0] == 2125659606
+    n1 = struct.unpack("<i", data[4:8])[0]
+    assert data[8 : 8 + n1] == b"const"
+    pos = 8 + n1
+    n2 = struct.unpack("<i", data[pos : pos + 4])[0]
+    pos += 4 + n2
+    version = struct.unpack("<i", data[pos : pos + 4])[0]
+    assert version == 1
+    # header is followed by padding to a 16-byte boundary
+    header_end = pos + 8 + 8 + 24
+    state_start = (header_end + 15) // 16 * 16
+    assert all(b == 0 for b in data[header_end:state_start])
+
+
+def test_python_decode_recovers_sequence(setup):
+    tm, fst, word_tids = setup
+    seq = [2, 1, 4, 3]
+    loglikes, align = _synth_loglikes(tm, word_tids, seq)
+    res = decode_faster_py(fst, loglikes, tm.tid2pdf[1:], acoustic_scale=1.0,
+                           beam=16.0)
+    assert list(res.words) == seq
+    assert not res.partial
+    assert list(res.alignment) == align
+
+
+def test_native_matches_python_oracle(setup, tmp_path):
+    if not native_available():
+        pytest.skip("native core unavailable")
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    rng = np.random.default_rng(7)
+    for kind in ("vector", "const"):
+        path = str(tmp_path / ("n_%s.fst" % kind))
+        write_fst(path, fst, kind)
+        dec = WfstDecoder(path, tid2pdf, acoustic_scale=0.8, beam=14.0,
+                          max_active=64)
+        assert dec._handle is not None
+        for trial in range(20):
+            t = int(rng.integers(3, 50))
+            ll = rng.normal(-2.0, 1.5, (t, tm.num_pdfs)).astype(np.float32)
+            a = decode_faster_py(fst, ll, tid2pdf, acoustic_scale=0.8,
+                                 beam=14.0, max_active=64)
+            b = dec.decode(ll)
+            assert list(a.words) == list(b.words), trial
+            assert list(a.alignment) == list(b.alignment), trial
+            assert a.partial == b.partial
+            assert abs(a.cost - b.cost) <= 1e-3 * max(1.0, abs(a.cost))
+        dec.close()
+
+
+def test_partial_path_flagged(setup):
+    tm, fst, word_tids = setup
+    # Stop mid-word: only the first state of word 1 is fed -> no final
+    # state reachable, decoder must flag a partial path (Kaldi warns and
+    # emits the partial traceback).
+    loglikes, _ = _synth_loglikes(tm, word_tids, [1])
+    res = decode_faster_py(fst, loglikes[:2], tm.tid2pdf[1:],
+                           acoustic_scale=1.0, beam=16.0)
+    assert res.partial
+    assert len(res.alignment) == 2
+
+
+def test_decode_and_wer_clis(setup, tmp_path):
+    from tf_kaldi_speaker_tpu.cli import compute_wer as wer_cli
+    from tf_kaldi_speaker_tpu.cli import decode_faster as decode_cli
+
+    tm, fst, word_tids = setup
+    mdl = str(tmp_path / "final.mdl")
+    write_transition_model(mdl, tm)
+    graph = str(tmp_path / "HCLG.fst")
+    write_fst(graph, fst, "const")
+    words_txt = str(tmp_path / "words.txt")
+    with open(words_txt, "w") as fd:
+        fd.write("<eps> 0\n")
+        for w in range(1, 5):
+            fd.write("w%d %d\n" % (w, w))
+    assert read_words_txt(words_txt)[3] == "w3"
+
+    seqs = {"utt1": [1, 2, 3], "utt2": [4, 4], "utt3": [2]}
+    loglike_ark = str(tmp_path / "loglike.ark")
+    with open(loglike_ark, "wb") as fd:
+        for key, seq in seqs.items():
+            ll, _ = _synth_loglikes(tm, word_tids, seq,
+                                    seed=sum(map(ord, key)) % 97)
+            write_mat(fd, ll, key=key)
+
+    words_ark = str(tmp_path / "words.ark")
+    ali_ark = str(tmp_path / "ali.ark")
+    text_out = str(tmp_path / "text.hyp")
+    rc = decode_cli.main([
+        "--acoustic-scale", "1.0", "--word-symbol-table", words_txt,
+        "--text-out", text_out, "--align-out", "ark:" + ali_ark,
+        mdl, graph, "ark:" + loglike_ark, "ark:" + words_ark,
+    ])
+    assert rc == 0
+
+    decoded = {k: list(v) for k, v in read_vec_int_ark(words_ark)}
+    assert decoded == seqs
+    # alignments cover every frame and map to the right pdfs
+    for key, ali in read_vec_int_ark(ali_ark):
+        assert len(ali) == 9 * len(seqs[key])
+    hyp = read_text_file(text_out)
+    assert hyp["utt1"] == ["w1", "w2", "w3"]
+
+    # WER CLI: perfect hyp = 0%; corrupt one word and re-score
+    ref_text = str(tmp_path / "text.ref")
+    with open(ref_text, "w") as fd:
+        for key, seq in seqs.items():
+            fd.write("%s %s\n" % (key, " ".join("w%d" % w for w in seq)))
+    assert wer_cli.main([ref_text, text_out]) == 0
+    stats = compute_wer(read_text_file(ref_text), read_text_file(text_out))
+    assert stats.errors == 0 and stats.wer == 0.0
+
+    bad = dict(hyp)
+    bad["utt2"] = ["w1", "w4"]
+    stats = compute_wer(read_text_file(ref_text), bad)
+    assert stats.substitutions == 1 and stats.errors == 1
+    assert stats.wrong_sentences == 1 and stats.sentences == 3
+
+
+def test_edit_distance_counts():
+    assert edit_distance("abc", "abc") == (0, 0, 0, 0)
+    assert edit_distance("abc", "axc") == (1, 0, 0, 1)
+    assert edit_distance("abc", "abxc") == (1, 1, 0, 0)
+    assert edit_distance("abc", "ac") == (1, 0, 1, 0)
+    assert edit_distance("", "ab") == (2, 2, 0, 0)
+    assert edit_distance("ab", "") == (2, 0, 2, 0)
+    # prefer substitution over ins+del on ties
+    assert edit_distance("ab", "cd") == (2, 0, 0, 2)
+
+
+def test_wer_missing_utterance_scored_as_deletions():
+    stats = compute_wer({"a": ["x", "y"]}, {})
+    assert stats.missing == ["a"]
+    assert stats.deletions == 2 and stats.errors == 2
+    assert stats.wer == 100.0

@@ -9,7 +9,9 @@ from .metrics import (
     min_dcf10,
     min_dcf12,
 )
+from .decoder import DecodeResult, WfstDecoder, decode_faster_py
 from .plda import Plda, train_plda
+from .wer import compute_wer, edit_distance, read_text_file
 from .scoring import (
     LDA,
     cosine_score_trials,
@@ -20,8 +22,14 @@ from .scoring import (
 )
 
 __all__ = [
+    "DecodeResult",
     "LDA",
     "Plda",
+    "WfstDecoder",
+    "compute_wer",
+    "decode_faster_py",
+    "edit_distance",
+    "read_text_file",
     "compute_cos_pairwise_eer",
     "compute_eer",
     "compute_min_dcf",

@@ -1,0 +1,291 @@
+"""WFST beam decoding for the multitask phone head (hybrid ASR).
+
+Replaces the external Kaldi ``latgen-faster-mapped`` + ``lattice-best-path``
+pair from the reference decode flow (reference nnet/run_decode.sh:77-91):
+HCLG graph + per-frame pdf log-likelihoods -> best word sequence and
+frame-level transition-id alignment. "Mapped" semantics: graph input labels
+are transition-ids, scored as ``-acoustic_scale * loglike[t, tid2pdf[tid]]``.
+
+Two implementations with identical semantics:
+- the native core (native/wfst_decoder.cpp via ctypes; GIL released, so a
+  thread pool parallelizes across utterances), used when available;
+- a pure-Python token-passing reference (`decode_faster_py`), the test
+  oracle and automatic fallback.
+
+Both are Viterbi beam searches with epsilon closure and max-active
+pruning — equivalent to Kaldi's faster-decoder followed by best-path
+extraction. Full lattice generation/determinization + LM rescoring remain
+external (SURVEY §2.4), but the end product users actually score with
+(transcripts + WER) no longer needs any Kaldi binary.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..kio.fst import StdFst, read_fst
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _load_failed
+    if os.environ.get("TFKS_DISABLE_NATIVE") == "1":
+        _load_failed = True
+        return None
+    src_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+    )
+    src = os.path.join(src_dir, "wfst_decoder.cpp")
+    so = os.path.join(src_dir, "libwfstdecode.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", src, "-o", so],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.tfks_fst_load.restype = ctypes.c_void_p
+        lib.tfks_fst_load.argtypes = [ctypes.c_char_p]
+        lib.tfks_fst_free.argtypes = [ctypes.c_void_p]
+        for fn in (lib.tfks_fst_states, lib.tfks_fst_arcs, lib.tfks_fst_start):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.tfks_decode_faster.restype = ctypes.c_int
+        lib.tfks_decode_faster.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        return lib
+    except Exception:
+        _load_failed = True
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is None and not _load_failed:
+            _lib = _build_and_load()
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+@dataclass
+class DecodeResult:
+    words: np.ndarray  # int32 word ids (olabels > 0), in order
+    alignment: np.ndarray  # int32 transition-ids, one per frame
+    cost: float  # total tropical cost of the best path
+    partial: bool  # True if no final state was reachable
+
+
+class WfstDecoder:
+    """Beam decoder over an HCLG graph.
+
+    ``tid2pdf[i]`` maps transition-id ``i+1`` to its pdf row in the loglike
+    matrix (build it with ``TransitionModel.ali_to_pdf(np.arange(1, N+1))``).
+    """
+
+    def __init__(
+        self,
+        graph_path: str,
+        tid2pdf: np.ndarray,
+        acoustic_scale: float = 0.1,
+        beam: float = 13.0,
+        max_active: int = 7000,
+    ):
+        self.tid2pdf = np.ascontiguousarray(tid2pdf, dtype=np.int32)
+        self.acoustic_scale = float(acoustic_scale)
+        self.beam = float(beam)
+        self.max_active = int(max_active)
+        self._handle = None
+        self._fst: Optional[StdFst] = None
+        lib = _get_lib()
+        if lib is not None:
+            h = lib.tfks_fst_load(graph_path.encode())
+            if h:
+                self._handle = h
+        if self._handle is None:
+            self._fst = read_fst(graph_path)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            _get_lib().tfks_fst_free(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - finalizer
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def decode(self, loglikes: np.ndarray) -> DecodeResult:
+        loglikes = np.ascontiguousarray(loglikes, dtype=np.float32)
+        if loglikes.ndim != 2:
+            raise ValueError("loglikes must be [num_frames, num_pdfs]")
+        if self._handle is not None:
+            return self._decode_native(loglikes)
+        return decode_faster_py(
+            self._fst, loglikes, self.tid2pdf,
+            acoustic_scale=self.acoustic_scale, beam=self.beam,
+            max_active=self.max_active,
+        )
+
+    def _decode_native(self, loglikes: np.ndarray) -> DecodeResult:
+        lib = _get_lib()
+        t, p = loglikes.shape
+        cap_w = t + 16
+        words = np.empty(cap_w, dtype=np.int32)
+        align = np.empty(t + 1, dtype=np.int32)
+        nw = ctypes.c_int32()
+        na = ctypes.c_int32()
+        cost = ctypes.c_float()
+        rc = lib.tfks_decode_faster(
+            self._handle,
+            loglikes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            t, p,
+            self.tid2pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(self.tid2pdf),
+            self.acoustic_scale, self.beam, self.max_active,
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap_w,
+            align.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), t + 1,
+            ctypes.byref(nw), ctypes.byref(na), ctypes.byref(cost),
+        )
+        if rc < 0:
+            raise RuntimeError("native decode failed (rc=%d)" % rc)
+        return DecodeResult(
+            words=words[: nw.value].copy(),
+            alignment=align[: na.value].copy(),
+            cost=float(cost.value),
+            partial=rc == 1,
+        )
+
+
+def decode_faster_py(
+    fst: StdFst,
+    loglikes: np.ndarray,
+    tid2pdf: np.ndarray,
+    acoustic_scale: float = 0.1,
+    beam: float = 13.0,
+    max_active: int = 7000,
+) -> DecodeResult:
+    """Pure-Python token-passing Viterbi (oracle for the native core)."""
+    loglikes = np.asarray(loglikes, dtype=np.float32)
+    t_total, num_pdfs = loglikes.shape
+    tid2pdf = np.asarray(tid2pdf)
+    if fst.start < 0:
+        raise ValueError("empty decoding graph")
+
+    # arena of backpointers: (prev, ilabel, olabel)
+    arena: List[Tuple[int, int, int]] = []
+
+    def eps_closure(toks: dict) -> None:
+        if not toks:
+            return
+        best = min(c for c, _ in toks.values())
+        cutoff = best + beam
+        queue = list(toks.keys())
+        while queue:
+            s = queue.pop()
+            cost, bp = toks[s]
+            if cost > cutoff:
+                continue
+            lo, hi = fst.arc_offsets[s], fst.arc_offsets[s + 1]
+            for a in range(lo, hi):
+                if fst.ilabels[a] != 0:
+                    continue
+                nc = cost + float(fst.weights[a])
+                if nc > cutoff:
+                    continue
+                ns = int(fst.nextstates[a])
+                old = toks.get(ns)
+                if old is None or nc < old[0]:
+                    arena.append((bp, 0, int(fst.olabels[a])))
+                    toks[ns] = (nc, len(arena) - 1)
+                    queue.append(ns)
+                    if nc < best:
+                        best = nc
+                        cutoff = best + beam
+
+    toks = {int(fst.start): (0.0, -1)}
+    eps_closure(toks)
+
+    for t in range(t_total):
+        frame = loglikes[t]
+        costs = [c for c, _ in toks.values()]
+        cutoff = min(costs) + beam
+        if max_active > 0 and len(costs) > max_active:
+            cutoff = min(cutoff, float(np.partition(costs, max_active - 1)[max_active - 1]))
+        nxt: dict = {}
+        next_best = np.inf
+        for s, (cost, bp) in toks.items():
+            if cost > cutoff:
+                continue
+            lo, hi = fst.arc_offsets[s], fst.arc_offsets[s + 1]
+            for a in range(lo, hi):
+                il = int(fst.ilabels[a])
+                if il == 0:
+                    continue
+                nc = cost + float(fst.weights[a]) - acoustic_scale * float(
+                    frame[tid2pdf[il - 1]]
+                )
+                if nc >= next_best + beam:
+                    continue
+                next_best = min(next_best, nc)
+                ns = int(fst.nextstates[a])
+                old = nxt.get(ns)
+                if old is None or nc < old[0]:
+                    arena.append((bp, il, int(fst.olabels[a])))
+                    nxt[ns] = (nc, len(arena) - 1)
+        if not nxt:
+            raise RuntimeError("beam collapsed at frame %d" % t)
+        toks = nxt
+        eps_closure(toks)
+
+    best_cost, best_bp, partial = np.inf, -1, True
+    for s, (cost, bp) in toks.items():
+        fw = float(fst.final[s])
+        if np.isfinite(fw) and cost + fw < best_cost:
+            best_cost, best_bp, partial = cost + fw, bp, False
+    if partial:
+        for s, (cost, bp) in toks.items():
+            if cost < best_cost:
+                best_cost, best_bp = cost, bp
+    words: List[int] = []
+    align: List[int] = []
+    bp = best_bp
+    while bp >= 0:
+        prev, il, ol = arena[bp]
+        if ol > 0:
+            words.append(ol)
+        if il > 0:
+            align.append(il)
+        bp = prev
+    return DecodeResult(
+        words=np.array(words[::-1], dtype=np.int32),
+        alignment=np.array(align[::-1], dtype=np.int32),
+        cost=float(best_cost),
+        partial=partial,
+    )

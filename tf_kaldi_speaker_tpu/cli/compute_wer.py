@@ -1,0 +1,30 @@
+"""WER scoring CLI (Kaldi ``compute-wer`` equivalent).
+
+Closes the decode-and-score loop natively: reference text + decoded text
+(from cli.decode_faster --text-out) -> %WER/%SER report, same output shape
+as the Kaldi binary the reference's scoring scripts parse.
+
+Usage:
+    python -m tf_kaldi_speaker_tpu.cli.compute_wer ref_text hyp_text
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..backend.wer import compute_wer, read_text_file
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("ref", help="reference transcripts (utt word ...)")
+    parser.add_argument("hyp", help="hypothesis transcripts")
+    args = parser.parse_args(argv)
+    stats = compute_wer(read_text_file(args.ref), read_text_file(args.hyp))
+    print(stats.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,6 +19,7 @@ from .ark import (
     write_vec_flt,
     write_vec_int,
 )
+from .fst import StdFst, build_fst, read_fst, read_words_txt, write_fst
 from .native_decode import native_available
 from .reader import FeatureReader, FeatureReaderV2
 from .rspecifier import open_or_fd, popen, read_key, SubprocessFailed
@@ -27,8 +28,13 @@ __all__ = [
     "FeatureReader",
     "FeatureReaderV2",
     "SubprocessFailed",
+    "StdFst",
+    "build_fst",
     "compress_matrix",
     "native_available",
+    "read_fst",
+    "read_words_txt",
+    "write_fst",
     "open_or_fd",
     "popen",
     "read_ali_ark",

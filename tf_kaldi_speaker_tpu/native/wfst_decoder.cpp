@@ -1,0 +1,453 @@
+// Native WFST beam decoder for the multitask phone head.
+//
+// The reference decodes its hybrid acoustic model with the external Kaldi
+// binary `latgen-faster-mapped` (reference nnet/run_decode.sh:77-91): HCLG
+// graph + per-frame pdf log-likelihoods -> word sequence. This library
+// re-provides the decode natively: an OpenFst reader (vector/const fsts,
+// tropical StdArc — the HCLG on-disk formats) and a token-passing Viterbi
+// beam search with epsilon closure and max-active pruning, equivalent to
+// Kaldi's faster-decoder followed by best-path extraction ("mapped" =
+// graph ilabels are transition-ids, scored through a tid->pdf map).
+//
+// Exposed C ABI (ctypes from backend/decoder.py; GIL is released during
+// calls, so Python-level thread pools parallelize across utterances):
+//   void*   tfks_fst_load(path)             -> handle or NULL
+//   void    tfks_fst_free(handle)
+//   int64_t tfks_fst_states(handle), tfks_fst_arcs(handle),
+//           tfks_fst_start(handle)
+//   int     tfks_decode_faster(handle, loglikes[T*P], T, P,
+//               tid2pdf[num_tids], num_tids, acoustic_scale, beam,
+//               max_active, out_words, cap_words, out_align, cap_align,
+//               out_nwords, out_nalign, out_cost)
+//     -> 0 full path, 1 partial path (no final state reached),
+//        negative TFKS_ERR_* on failure
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <vector>
+
+#define TFKS_ERR_IO -1
+#define TFKS_ERR_FORMAT -2
+#define TFKS_ERR_CAPACITY -3
+#define TFKS_ERR_EMPTY -4
+#define TFKS_ERR_LABEL -5
+
+namespace {
+
+constexpr int32_t kFstMagic = 2125659606;
+constexpr int32_t kSymbolTableMagic = 2125658996;
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+struct Fst {
+  int64_t start = -1;
+  std::vector<float> final_w;      // [nstates], +inf = non-final
+  std::vector<int64_t> offsets;    // [nstates+1] CSR
+  std::vector<int32_t> ilabels, olabels, nextstates;
+  std::vector<float> weights;
+};
+
+struct Reader {
+  const uint8_t *p, *end;
+  bool ok = true;
+  bool read(void *out, size_t n) {
+    if (p + n > end) { ok = false; return false; }
+    std::memcpy(out, p, n);
+    p += n;
+    return true;
+  }
+  bool skip(size_t n) {
+    if (p + n > end) { ok = false; return false; }
+    p += n;
+    return true;
+  }
+  template <typename T> T get() {
+    T v{};
+    read(&v, sizeof(T));
+    return v;
+  }
+  bool read_string(std::string *s) {
+    int32_t n = get<int32_t>();
+    if (!ok || n < 0 || n > (1 << 20) || p + n > end) { ok = false; return false; }
+    s->assign(reinterpret_cast<const char *>(p), n);
+    p += n;
+    return true;
+  }
+  bool align(const uint8_t *base, size_t alignment) {
+    size_t pos = static_cast<size_t>(p - base);
+    size_t pad = (alignment - pos % alignment) % alignment;
+    return skip(pad);
+  }
+};
+
+bool skip_symbol_table(Reader &r) {
+  if (r.get<int32_t>() != kSymbolTableMagic || !r.ok) return false;
+  std::string name;
+  if (!r.read_string(&name)) return false;
+  r.get<int64_t>();  // available key
+  int64_t size = r.get<int64_t>();
+  if (!r.ok || size < 0) return false;
+  for (int64_t i = 0; i < size; ++i) {
+    std::string sym;
+    if (!r.read_string(&sym)) return false;
+    r.get<int64_t>();
+  }
+  return r.ok;
+}
+
+#pragma pack(push, 1)
+struct RawArc {
+  int32_t ilabel, olabel;
+  float weight;
+  int32_t nextstate;
+};
+struct ConstState {
+  float final_w;
+  uint32_t pos, narcs, niepsilons, noepsilons;
+};
+#pragma pack(pop)
+static_assert(sizeof(RawArc) == 16, "arc layout");
+static_assert(sizeof(ConstState) == 20, "const state layout");
+
+Fst *load_fst(const char *path) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(static_cast<size_t>(size));
+  if (size <= 0 || std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+
+  Reader r{buf.data(), buf.data() + buf.size()};
+  if (r.get<int32_t>() != kFstMagic || !r.ok) return nullptr;
+  std::string fsttype, arctype;
+  if (!r.read_string(&fsttype) || !r.read_string(&arctype)) return nullptr;
+  if (arctype != "standard") return nullptr;
+  int32_t version = r.get<int32_t>();
+  int32_t flags = r.get<int32_t>();
+  r.get<uint64_t>();  // properties
+  int64_t start = r.get<int64_t>();
+  int64_t nstates = r.get<int64_t>();
+  int64_t narcs = r.get<int64_t>();
+  if (!r.ok || nstates < 0) return nullptr;
+  if ((flags & 1) && !skip_symbol_table(r)) return nullptr;
+  if ((flags & 2) && !skip_symbol_table(r)) return nullptr;
+
+  auto fst = new Fst();
+  fst->start = start;
+  fst->final_w.resize(nstates);
+  fst->offsets.assign(nstates + 1, 0);
+
+  if (fsttype == "vector") {
+    if (version < 2) { delete fst; return nullptr; }
+    std::vector<RawArc> arcs;
+    if (narcs > 0) arcs.reserve(narcs);
+    for (int64_t s = 0; s < nstates; ++s) {
+      fst->final_w[s] = r.get<float>();
+      int64_t n = r.get<int64_t>();
+      if (!r.ok || n < 0) { delete fst; return nullptr; }
+      size_t base = arcs.size();
+      arcs.resize(base + n);
+      if (n && !r.read(arcs.data() + base, n * sizeof(RawArc))) {
+        delete fst;
+        return nullptr;
+      }
+      fst->offsets[s + 1] = static_cast<int64_t>(arcs.size());
+    }
+    int64_t total = fst->offsets[nstates];
+    fst->ilabels.resize(total);
+    fst->olabels.resize(total);
+    fst->weights.resize(total);
+    fst->nextstates.resize(total);
+    for (int64_t i = 0; i < total; ++i) {
+      fst->ilabels[i] = arcs[i].ilabel;
+      fst->olabels[i] = arcs[i].olabel;
+      fst->weights[i] = arcs[i].weight;
+      fst->nextstates[i] = arcs[i].nextstate;
+    }
+  } else if (fsttype == "const") {
+    if (version != 1 && version != 2) { delete fst; return nullptr; }
+    if (narcs < 0) { delete fst; return nullptr; }
+    bool aligned = version == 1;
+    if (aligned && !r.align(buf.data(), 16)) { delete fst; return nullptr; }
+    std::vector<ConstState> states(nstates);
+    if (nstates && !r.read(states.data(), nstates * sizeof(ConstState))) {
+      delete fst;
+      return nullptr;
+    }
+    if (aligned && !r.align(buf.data(), 16)) { delete fst; return nullptr; }
+    std::vector<RawArc> arcs(narcs);
+    if (narcs && !r.read(arcs.data(), narcs * sizeof(RawArc))) {
+      delete fst;
+      return nullptr;
+    }
+    fst->ilabels.resize(narcs);
+    fst->olabels.resize(narcs);
+    fst->weights.resize(narcs);
+    fst->nextstates.resize(narcs);
+    int64_t w = 0;
+    for (int64_t s = 0; s < nstates; ++s) {
+      fst->final_w[s] = states[s].final_w;
+      int64_t pos = states[s].pos, n = states[s].narcs;
+      if (pos < 0 || pos + n > narcs) { delete fst; return nullptr; }
+      for (int64_t i = 0; i < n; ++i, ++w) {
+        const RawArc &a = arcs[pos + i];
+        fst->ilabels[w] = a.ilabel;
+        fst->olabels[w] = a.olabel;
+        fst->weights[w] = a.weight;
+        fst->nextstates[w] = a.nextstate;
+      }
+      fst->offsets[s + 1] = w;
+    }
+  } else {
+    delete fst;
+    return nullptr;
+  }
+  // Validate arc targets and labels once at load so the decode hot loop
+  // can skip bounds checks.
+  for (int32_t ns : fst->nextstates) {
+    if (ns < 0 || ns >= nstates) { delete fst; return nullptr; }
+  }
+  return fst;
+}
+
+// ---------------------------------------------------------------------------
+// Token-passing Viterbi beam search (Kaldi faster-decoder semantics).
+
+struct BackPtr {
+  int32_t prev;    // index into the arena, -1 at origin
+  int32_t ilabel;  // >0 consumed a frame (transition-id)
+  int32_t olabel;  // >0 emits a word
+};
+
+struct Token {
+  int32_t state;
+  float cost;
+  int32_t bp;  // arena index, -1 for the initial token
+};
+
+class Decoder {
+ public:
+  explicit Decoder(const Fst &fst) : fst_(fst), tok_idx_(fst.final_w.size(), -1) {}
+
+  // Returns 0 (full), 1 (partial) or a negative error.
+  int Decode(const float *loglikes, int32_t num_frames, int32_t num_pdfs,
+             const int32_t *tid2pdf, int32_t num_tids, float acoustic_scale,
+             float beam, int32_t max_active, std::vector<int32_t> *words,
+             std::vector<int32_t> *alignment, float *total_cost) {
+    // Precheck labels once: every emitting ilabel must map into the
+    // loglike matrix.
+    for (int32_t il : fst_.ilabels) {
+      if (il > num_tids || (il > 0 && (tid2pdf[il - 1] < 0 ||
+                                       tid2pdf[il - 1] >= num_pdfs)))
+        return TFKS_ERR_LABEL;
+    }
+    if (fst_.start < 0) return TFKS_ERR_EMPTY;
+
+    arena_.clear();
+    cur_.clear();
+    ClearIndex();
+    cur_.push_back({static_cast<int32_t>(fst_.start), 0.0f, -1});
+    tok_idx_[fst_.start] = 0;
+    touched_.push_back(static_cast<int32_t>(fst_.start));
+    ProcessNonemitting(beam);
+
+    for (int32_t t = 0; t < num_frames; ++t) {
+      const float *frame = loglikes + static_cast<int64_t>(t) * num_pdfs;
+      float cutoff = GetCutoff(beam, max_active);
+      next_.clear();
+      // Swap index ownership: from here tok_idx_ indexes next_.
+      for (int32_t s : touched_) tok_idx_[s] = -1;
+      touched_.clear();
+      float next_best = kInf;
+      for (const Token &tok : cur_) {
+        if (tok.cost > cutoff) continue;
+        int64_t lo = fst_.offsets[tok.state], hi = fst_.offsets[tok.state + 1];
+        for (int64_t a = lo; a < hi; ++a) {
+          int32_t il = fst_.ilabels[a];
+          if (il == 0) continue;
+          float ac = -acoustic_scale * frame[tid2pdf[il - 1]];
+          float nc = tok.cost + fst_.weights[a] + ac;
+          if (nc >= next_best + beam) continue;
+          if (nc < next_best) next_best = nc;
+          Relax(next_, fst_.nextstates[a], nc,
+                PushBp(tok.bp, il, fst_.olabels[a]));
+        }
+      }
+      cur_.swap(next_);
+      if (cur_.empty()) return TFKS_ERR_EMPTY;  // beam collapsed
+      ProcessNonemitting(beam);
+    }
+
+    // Pick the best token, preferring ones in final states.
+    const Token *best = nullptr;
+    bool partial = true;
+    float best_cost = kInf;
+    for (const Token &tok : cur_) {
+      float fw = fst_.final_w[tok.state];
+      if (fw != kInf && tok.cost + fw < best_cost) {
+        best_cost = tok.cost + fw;
+        best = &tok;
+        partial = false;
+      }
+    }
+    if (!best) {
+      for (const Token &tok : cur_) {
+        if (tok.cost < best_cost) {
+          best_cost = tok.cost;
+          best = &tok;
+        }
+      }
+    }
+    if (!best) return TFKS_ERR_EMPTY;
+    *total_cost = best_cost;
+    words->clear();
+    alignment->clear();
+    for (int32_t bp = best->bp; bp >= 0; bp = arena_[bp].prev) {
+      if (arena_[bp].olabel > 0) words->push_back(arena_[bp].olabel);
+      if (arena_[bp].ilabel > 0) alignment->push_back(arena_[bp].ilabel);
+    }
+    std::reverse(words->begin(), words->end());
+    std::reverse(alignment->begin(), alignment->end());
+    return partial ? 1 : 0;
+  }
+
+ private:
+  int32_t PushBp(int32_t prev, int32_t ilabel, int32_t olabel) {
+    arena_.push_back({prev, ilabel, olabel});
+    return static_cast<int32_t>(arena_.size()) - 1;
+  }
+
+  void ClearIndex() {
+    std::fill(tok_idx_.begin(), tok_idx_.end(), -1);
+    touched_.clear();
+  }
+
+  // Insert-or-improve a token for `state` in `toks`.
+  bool Relax(std::vector<Token> &toks, int32_t state, float cost, int32_t bp) {
+    int32_t idx = tok_idx_[state];
+    if (idx < 0 || idx >= static_cast<int32_t>(toks.size()) ||
+        toks[idx].state != state) {
+      tok_idx_[state] = static_cast<int32_t>(toks.size());
+      touched_.push_back(state);
+      toks.push_back({state, cost, bp});
+      return true;
+    }
+    if (cost < toks[idx].cost) {
+      toks[idx].cost = cost;
+      toks[idx].bp = bp;
+      return true;
+    }
+    return false;
+  }
+
+  // Expand epsilon (ilabel==0) arcs until closure, beam-pruned around the
+  // in-frame best. Re-queues states whose cost improves; zero-cost epsilon
+  // cycles terminate because re-queue requires strict improvement.
+  void ProcessNonemitting(float beam) {
+    float best = kInf;
+    for (const Token &t : cur_) best = std::min(best, t.cost);
+    float cutoff = best + beam;
+    queue_.clear();
+    for (size_t i = 0; i < cur_.size(); ++i)
+      queue_.push_back(static_cast<int32_t>(i));
+    while (!queue_.empty()) {
+      int32_t ti = queue_.back();
+      queue_.pop_back();
+      Token tok = cur_[ti];  // copy: cur_ may reallocate below
+      if (tok.cost > cutoff) continue;
+      int64_t lo = fst_.offsets[tok.state], hi = fst_.offsets[tok.state + 1];
+      for (int64_t a = lo; a < hi; ++a) {
+        if (fst_.ilabels[a] != 0) continue;
+        float nc = tok.cost + fst_.weights[a];
+        if (nc > cutoff) continue;
+        if (Relax(cur_, fst_.nextstates[a], nc,
+                  PushBp(tok.bp, 0, fst_.olabels[a]))) {
+          queue_.push_back(tok_idx_[fst_.nextstates[a]]);
+          if (nc < best) {
+            best = nc;
+            cutoff = best + beam;
+          }
+        }
+      }
+    }
+  }
+
+  // Beam cutoff, tightened so at most max_active tokens survive.
+  float GetCutoff(float beam, int32_t max_active) {
+    float best = kInf;
+    for (const Token &t : cur_) best = std::min(best, t.cost);
+    float cutoff = best + beam;
+    if (max_active > 0 && static_cast<int32_t>(cur_.size()) > max_active) {
+      costs_.clear();
+      for (const Token &t : cur_) costs_.push_back(t.cost);
+      std::nth_element(costs_.begin(), costs_.begin() + max_active - 1,
+                       costs_.end());
+      cutoff = std::min(cutoff, costs_[max_active - 1]);
+    }
+    return cutoff;
+  }
+
+  const Fst &fst_;
+  std::vector<int32_t> tok_idx_;   // state -> index in the "owning" vector
+  std::vector<int32_t> touched_;   // states with a live tok_idx_ entry
+  std::vector<Token> cur_, next_;
+  std::vector<int32_t> queue_;
+  std::vector<BackPtr> arena_;
+  std::vector<float> costs_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void *tfks_fst_load(const char *path) { return load_fst(path); }
+
+void tfks_fst_free(void *h) { delete static_cast<Fst *>(h); }
+
+int64_t tfks_fst_states(void *h) {
+  return static_cast<int64_t>(static_cast<Fst *>(h)->final_w.size());
+}
+
+int64_t tfks_fst_arcs(void *h) {
+  return static_cast<int64_t>(static_cast<Fst *>(h)->ilabels.size());
+}
+
+int64_t tfks_fst_start(void *h) { return static_cast<Fst *>(h)->start; }
+
+int tfks_decode_faster(void *h, const float *loglikes, int32_t num_frames,
+                       int32_t num_pdfs, const int32_t *tid2pdf,
+                       int32_t num_tids, float acoustic_scale, float beam,
+                       int32_t max_active, int32_t *out_words,
+                       int32_t cap_words, int32_t *out_align,
+                       int32_t cap_align, int32_t *out_nwords,
+                       int32_t *out_nalign, float *out_cost) {
+  Fst *fst = static_cast<Fst *>(h);
+  if (!fst) return TFKS_ERR_IO;
+  Decoder dec(*fst);
+  std::vector<int32_t> words, alignment;
+  float cost = 0.0f;
+  int rc = dec.Decode(loglikes, num_frames, num_pdfs, tid2pdf, num_tids,
+                      acoustic_scale, beam, max_active, &words, &alignment,
+                      &cost);
+  if (rc < 0) return rc;
+  if (static_cast<int32_t>(words.size()) > cap_words ||
+      static_cast<int32_t>(alignment.size()) > cap_align)
+    return TFKS_ERR_CAPACITY;
+  std::copy(words.begin(), words.end(), out_words);
+  std::copy(alignment.begin(), alignment.end(), out_align);
+  *out_nwords = static_cast<int32_t>(words.size());
+  *out_nalign = static_cast<int32_t>(alignment.size());
+  *out_cost = cost;
+  return rc;
+}
+
+}  // extern "C"
