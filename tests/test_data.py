@@ -126,3 +126,35 @@ def test_multi_sampler_aux_alignment(tmp_path):
     assert set(feats) == {"features", "aux"}
     np.testing.assert_allclose(feats["features"], feats["aux"], atol=1e-6)
     s.close()
+
+
+def test_device_prefetch_threaded_matches_inline():
+    """The transfer-thread path must yield the same batches in the same
+    order as the inline double-buffer, propagate worker exceptions, and
+    terminate cleanly on early exit."""
+    from tf_kaldi_speaker_tpu.data import device_prefetch
+
+    batches = [
+        (np.full((2, 3), i, np.float32), np.array([i], np.int32))
+        for i in range(7)
+    ]
+    inline = list(device_prefetch(iter(batches), threaded=False))
+    threaded = list(device_prefetch(iter(batches), threaded=True))
+    assert len(inline) == len(threaded) == 7
+    for (af, al), (bf, bl) in zip(inline, threaded):
+        np.testing.assert_array_equal(np.asarray(af), np.asarray(bf))
+        np.testing.assert_array_equal(np.asarray(al), np.asarray(bl))
+
+    def boom():
+        yield batches[0]
+        raise ValueError("worker failed")
+
+    it = device_prefetch(boom(), threaded=True)
+    next(it)
+    with pytest.raises(ValueError, match="worker failed"):
+        next(it)
+
+    # early close while the producer still has items in flight
+    it = device_prefetch(iter(batches), threaded=True, depth=1)
+    next(it)
+    it.close()

@@ -112,32 +112,94 @@ class PrefetchLoader:
 
 
 def device_prefetch(
-    iterator: Iterator, sharding=None, depth: int = 2, put_fn=None
+    iterator: Iterator,
+    sharding=None,
+    depth: int = 2,
+    put_fn=None,
+    threaded: bool = None,
 ) -> Iterator:
-    """Double-buffer host batches onto device ahead of consumption.
+    """Keep ``depth`` batches in flight onto the device ahead of consumption.
 
-    ``jax.device_put`` is async; keeping ``depth`` batches in flight
-    overlaps the host→device copy (and host decode) with TPU compute.
     ``put_fn`` overrides the placement (multi-host: assemble the global
     array from this process's local rows).
+
+    By default the host→device copies run on a dedicated transfer thread:
+    over a remote/tunneled device ``jax.device_put`` largely blocks on the
+    copy, and issuing it inline serializes transfer with step dispatch —
+    measured on the axon tunnel that turns a ~9 ms/batch copy + ~3 ms step
+    into a ~20 ms/step loop. With the transfer thread the loop runs at
+    ``max(copy, compute)``. Set ``threaded=False`` (or
+    ``TFKS_TRANSFER_THREAD=0``) for the inline double-buffer, e.g. when the
+    put must happen on the caller's thread.
     """
-    buf = []
+    import os
+
+    if threaded is None:
+        threaded = os.environ.get("TFKS_TRANSFER_THREAD", "1") == "1"
 
     def _put(x):
         if put_fn is not None:
             return put_fn(x)
         return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
 
-    it = iter(iterator)
-    try:
-        for _ in range(depth):
-            buf.append(jax.tree.map(_put, next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.pop(0)
+    if not threaded:
+        buf = []
+        it = iter(iterator)
         try:
-            buf.append(jax.tree.map(_put, next(it)))
+            for _ in range(depth):
+                buf.append(jax.tree.map(_put, next(it)))
         except StopIteration:
             pass
-        yield out
+        while buf:
+            out = buf.pop(0)
+            try:
+                buf.append(jax.tree.map(_put, next(it)))
+            except StopIteration:
+                pass
+            yield out
+        return
+
+    q: queue.Queue = queue.Queue(depth)
+    stop = threading.Event()
+    DONE = object()
+
+    def _work():
+        try:
+            for batch in iterator:
+                dev = jax.tree.map(_put, batch)
+                while not stop.is_set():
+                    try:
+                        q.put(dev, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            item = DONE
+        except BaseException as e:  # re-raised on the consumer thread
+            item = e
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=_work, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)
