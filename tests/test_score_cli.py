@@ -79,3 +79,88 @@ def test_score_cli_cosine_and_plda(tmp_path, capsys):
     out = capsys.readouterr().out
     eer_plda = float(out.split("EER: ")[1].split("%")[0])
     assert eer_plda < 20.0
+
+
+def test_snorm_stats_and_formula():
+    from tf_kaldi_speaker_tpu.backend.scoring import (
+        adaptive_snorm,
+        cosine_matrix,
+        snorm_stats,
+    )
+
+    m = np.array([[1.0, 5.0, 3.0, 2.0], [0.0, -1.0, 4.0, 2.0]])
+    mu, sd = snorm_stats(m, topk=2)
+    np.testing.assert_allclose(mu, [4.0, 3.0])
+    np.testing.assert_allclose(sd, [1.0, 1.0])
+    mu_all, _ = snorm_stats(m, topk=0)
+    np.testing.assert_allclose(mu_all, m.mean(axis=1))
+
+    trials = [("e1", "t1"), ("e1", "t2")]
+    raw = np.array([2.0, 0.5])
+    out = adaptive_snorm(
+        raw, trials,
+        {"e1": (1.0, 2.0)}, {"t1": (0.0, 1.0), "t2": (0.5, 0.5)},
+    )
+    np.testing.assert_allclose(out, [0.5 * (0.5 + 2.0), 0.5 * (-0.25 + 0.0)])
+
+    a = np.random.RandomState(0).randn(3, 8)
+    b = np.random.RandomState(1).randn(5, 8)
+    cm = cosine_matrix(a, b)
+    for i in range(3):
+        for j in range(5):
+            expect = a[i] @ b[j] / (np.linalg.norm(a[i]) * np.linalg.norm(b[j]))
+            np.testing.assert_allclose(cm[i, j], expect, rtol=1e-12)
+
+
+def test_score_cli_asnorm(tmp_path, capsys):
+    """AS-Norm via --cohort-scp on both backends: runs, changes the scores,
+    and keeps the synthetic separable set at a sane EER."""
+    rng = np.random.RandomState(3)
+    train, train_u2s = make_embeddings(rng, n_spk=20, per=8)
+    evalset, eval_u2s = make_embeddings(np.random.RandomState(4), n_spk=8, per=6)
+    cohort, _ = make_embeddings(np.random.RandomState(5), n_spk=15, per=2)
+
+    enroll = {k: v for k, v in evalset.items() if int(k[-1]) < 3}
+    test = {k: v for k, v in evalset.items() if int(k[-1]) >= 3}
+    train_scp = write_xvectors(str(tmp_path / "train"), train)
+    enroll_scp = write_xvectors(str(tmp_path / "enroll"), enroll)
+    test_scp = write_xvectors(str(tmp_path / "test"), test)
+    cohort_scp = write_xvectors(str(tmp_path / "cohort"), cohort)
+    with open(str(tmp_path / "train_u2s"), "w") as f:
+        for k, s in train_u2s.items():
+            f.write("%s %s\n" % (k, s))
+
+    trials_path = str(tmp_path / "trials")
+    with open(trials_path, "w") as f:
+        for e in sorted(enroll):
+            for t in sorted(test):
+                f.write("%s %s %s\n" % (
+                    e, t,
+                    "target" if eval_u2s[t] == eval_u2s[e] else "nontarget"))
+
+    def run(extra, scores_name):
+        rc = score_cli.main([
+            "--backend", extra[0], "--enroll-scp", enroll_scp,
+            "--test-scp", test_scp, "--trials", trials_path,
+            "--scores", str(tmp_path / scores_name), *extra[1:],
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        eer = float(out.split("EER: ")[1].split("%")[0])
+        scores = np.loadtxt(str(tmp_path / scores_name), usecols=2)
+        return eer, scores
+
+    eer_raw, s_raw = run(["cosine"], "raw.scores")
+    eer_norm, s_norm = run(
+        ["cosine", "--cohort-scp", cohort_scp, "--snorm-topk", "10"],
+        "norm.scores")
+    assert not np.allclose(s_raw, s_norm)
+    assert eer_norm <= eer_raw + 5.0  # sane on separable data
+
+    plda_args = ["plda", "--train-scp", train_scp,
+                 "--train-utt2spk", str(tmp_path / "train_u2s")]
+    eer_p, sp = run(plda_args, "p.scores")
+    eer_pn, spn = run(plda_args + ["--cohort-scp", cohort_scp,
+                                   "--snorm-topk", "10"], "pn.scores")
+    assert not np.allclose(sp, spn)
+    assert eer_pn <= eer_p + 5.0

@@ -125,3 +125,47 @@ class LDA:
     def transform_vecs(self, x: np.ndarray) -> np.ndarray:
         assert self.transform is not None
         return (np.asarray(x, dtype=np.float64) - self.mean) @ self.transform.T
+
+
+def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N, D] x [C, D] -> [N, C] cosine similarities (vectorized)."""
+    an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    return an @ bn.T
+
+
+def snorm_stats(
+    cohort_scores: np.ndarray, topk: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row mean/std of the top-``topk`` cohort scores (all if 0).
+
+    The top-K selection is what makes S-norm *adaptive* (AS-Norm1): each
+    model is normalized against the cohort members closest to it.
+    """
+    s = np.asarray(cohort_scores, np.float64)
+    if topk and topk < s.shape[1]:
+        s = -np.partition(-s, topk - 1, axis=1)[:, :topk]
+    mu = s.mean(axis=1)
+    sd = np.maximum(s.std(axis=1), 1e-12)
+    return mu, sd
+
+
+def adaptive_snorm(
+    scores: np.ndarray,
+    trials: Iterable[Tuple[str, str]],
+    enroll_cohort: Dict[str, Tuple[float, float]],
+    test_cohort: Dict[str, Tuple[float, float]],
+) -> np.ndarray:
+    """Adaptive symmetric score normalization (AS-Norm).
+
+    ``enroll_cohort``/``test_cohort`` map each side's key to its cohort
+    (mean, std) from :func:`snorm_stats`. Beyond the reference's backend
+    (which stops at cosine/PLDA); standard in current SV evaluation:
+    s' = ((s - mu_e)/sd_e + (s - mu_t)/sd_t) / 2.
+    """
+    out = np.empty(len(scores), np.float64)
+    for i, ((e, t), s) in enumerate(zip(trials, scores)):
+        mu_e, sd_e = enroll_cohort[e]
+        mu_t, sd_t = test_cohort[t]
+        out[i] = 0.5 * ((s - mu_e) / sd_e + (s - mu_t) / sd_t)
+    return out

@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     parser.add_argument("--plda-smoothing", type=float, default=0.0)
     parser.add_argument("--adapt-scp", default=None, help="unsupervised PLDA adaptation vectors")
     parser.add_argument("--simple-length-norm", action="store_true")
+    parser.add_argument("--cohort-scp", default=None,
+                        help="apply AS-Norm with this cohort (x-vector scp)")
+    parser.add_argument("--snorm-topk", type=int, default=300,
+                        help="adaptive top-K cohort size (0 = plain S-norm)")
     args = parser.parse_args(argv)
 
     enroll = _load_scp(args.enroll_scp)
@@ -82,8 +86,27 @@ def main(argv=None) -> int:
 
     if args.backend == "cosine":
         from ..backend import cosine_score_trials
+        from ..backend.scoring import (
+            adaptive_snorm,
+            cosine_matrix,
+            snorm_stats,
+        )
 
         scores = cosine_score_trials(enroll, test, trials)
+        if args.cohort_scp:
+            cohort = np.stack(list(_load_scp(args.cohort_scp).values()))
+            e_keys, t_keys = list(enroll), list(test)
+            e_mu, e_sd = snorm_stats(
+                cosine_matrix(np.stack([enroll[k] for k in e_keys]), cohort),
+                args.snorm_topk)
+            t_mu, t_sd = snorm_stats(
+                cosine_matrix(np.stack([test[k] for k in t_keys]), cohort),
+                args.snorm_topk)
+            scores = adaptive_snorm(
+                scores, trials,
+                dict(zip(e_keys, zip(e_mu, e_sd))),
+                dict(zip(t_keys, zip(t_mu, t_sd))),
+            )
     else:
         assert args.train_scp and args.train_utt2spk, "PLDA needs labeled training vectors"
         train = _load_scp(args.train_scp)
@@ -120,6 +143,27 @@ def main(argv=None) -> int:
             enroll_p, enroll_counts, test_p, trials,
             simple_length_norm=args.simple_length_norm,
         )
+        if args.cohort_scp:
+            from ..backend.scoring import adaptive_snorm, snorm_stats
+
+            cohort_p = prep(_load_scp(args.cohort_scp))
+            c_keys = sorted(cohort_p)
+
+            def side_stats(models, counts):
+                keys = list(models)
+                pairs = [(e, c) for e in keys for c in c_keys]
+                m = plda.score_trials(
+                    models, counts, cohort_p, pairs,
+                    simple_length_norm=args.simple_length_norm,
+                ).reshape(len(keys), len(c_keys))
+                mu, sd = snorm_stats(m, args.snorm_topk)
+                return dict(zip(keys, zip(mu, sd)))
+
+            scores = adaptive_snorm(
+                scores, trials,
+                side_stats(enroll_p, enroll_counts),
+                side_stats(test_p, {k: 1 for k in test_p}),
+            )
 
     if args.scores:
         with open(args.scores, "w") as f:
