@@ -228,6 +228,12 @@ class EntireNetwork(nn.Module):
             out, endpoints = ECAPA(config=self.config, name="ecapa")(
                 features, train=train, mask=mask, aux_features=aux_features
             )
+        elif self.network_type == "resnet34":
+            from .resnet import ResNet34
+
+            out, endpoints = ResNet34(config=self.config, name="resnet")(
+                features, train=train, mask=mask, aux_features=aux_features
+            )
         else:
             raise NotImplementedError("Not implement %s network" % self.network_type)
         endpoints["output"] = out
