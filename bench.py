@@ -158,8 +158,16 @@ def main(e2e_headline: bool = False) -> None:
         return time.perf_counter() - t0
 
     # Best of three slope measurements (shared tunnel: a transient stall
-    # in one window must not become the recorded rate).
-    dt = min(run(5 + steps) - run(5) for _ in range(3))
+    # in one window must not become the recorded rate). Min the short and
+    # long windows independently: min(long) - min(short) is the stall-free
+    # slope, whereas min over pairwise differences would select exactly the
+    # pair whose short window stalled.
+    shorts = []
+    longs = []
+    for _ in range(3):
+        shorts.append(run(5))
+        longs.append(run(5 + steps))
+    dt = min(longs) - min(shorts)
 
     n_chips = len(jax.devices())
     chunks_per_sec_per_chip = batch * steps / dt / n_chips

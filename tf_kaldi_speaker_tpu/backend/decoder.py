@@ -22,8 +22,6 @@ external (SURVEY §2.4), but the end product users actually score with
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -39,29 +37,24 @@ _load_failed = False
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     global _load_failed
-    if os.environ.get("TFKS_DISABLE_NATIVE") == "1":
-        _load_failed = True
-        return None
-    src_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
-    )
-    src = os.path.join(src_dir, "wfst_decoder.cpp")
-    so = os.path.join(src_dir, "libwfstdecode.so")
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", src, "-o", so],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(so)
+        from ..kio.native_decode import build_native_lib
+
+        lib = build_native_lib("wfst_decoder.cpp", "libwfstdecode.so")
         lib.tfks_fst_load.restype = ctypes.c_void_p
         lib.tfks_fst_load.argtypes = [ctypes.c_char_p]
         lib.tfks_fst_free.argtypes = [ctypes.c_void_p]
         for fn in (lib.tfks_fst_states, lib.tfks_fst_arcs, lib.tfks_fst_start):
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p]
+        lib.tfks_fst_validate.restype = ctypes.c_int
+        lib.tfks_fst_validate.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.tfks_decoder_new.restype = ctypes.c_void_p
+        lib.tfks_decoder_new.argtypes = [ctypes.c_void_p]
+        lib.tfks_decoder_free.argtypes = [ctypes.c_void_p]
         lib.tfks_decode_faster.restype = ctypes.c_int
         lib.tfks_decode_faster.argtypes = [
             ctypes.c_void_p,
@@ -122,6 +115,12 @@ class WfstDecoder:
         self.max_active = int(max_active)
         self._handle = None
         self._fst: Optional[StdFst] = None
+        # Native decoder contexts are reusable but single-threaded: one per
+        # calling thread (created lazily), all freed before the fst handle.
+        self._tls = threading.local()
+        self._ctxs: list = []
+        self._ctx_lock = threading.Lock()
+        self._validated_pdfs: Optional[int] = None
         lib = _get_lib()
         if lib is not None:
             h = lib.tfks_fst_load(graph_path.encode())
@@ -130,9 +129,26 @@ class WfstDecoder:
         if self._handle is None:
             self._fst = read_fst(graph_path)
 
+    def _thread_ctx(self):
+        ctx = getattr(self._tls, "ctx", None)
+        if ctx is None:
+            ctx = _get_lib().tfks_decoder_new(self._handle)
+            if not ctx:
+                raise RuntimeError("failed to create native decoder context")
+            self._tls.ctx = ctx
+            with self._ctx_lock:
+                self._ctxs.append(ctx)
+        return ctx
+
     def close(self) -> None:
+        lib = _get_lib()
+        with self._ctx_lock:
+            for ctx in self._ctxs:
+                lib.tfks_decoder_free(ctx)
+            self._ctxs = []
+        self._tls = threading.local()
         if self._handle is not None:
-            _get_lib().tfks_fst_free(self._handle)
+            lib.tfks_fst_free(self._handle)
             self._handle = None
 
     def __del__(self):  # pragma: no cover - finalizer
@@ -156,23 +172,46 @@ class WfstDecoder:
     def _decode_native(self, loglikes: np.ndarray) -> DecodeResult:
         lib = _get_lib()
         t, p = loglikes.shape
-        cap_w = t + 16
-        words = np.empty(cap_w, dtype=np.int32)
-        align = np.empty(t + 1, dtype=np.int32)
+        if self._validated_pdfs != p:
+            # Once per (graph, model, num_pdfs): every emitting ilabel must
+            # map into the loglike matrix (keeps the per-utterance hot path
+            # free of the O(num_arcs) scan).
+            rc = lib.tfks_fst_validate(
+                self._handle,
+                self.tid2pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(self.tid2pdf), p,
+            )
+            if rc != 0:
+                raise ValueError(
+                    "graph ilabels do not map into [0, %d) pdfs via the "
+                    "transition model (%d tids)" % (p, len(self.tid2pdf))
+                )
+            self._validated_pdfs = p
+        ctx = self._thread_ctx()
         nw = ctypes.c_int32()
         na = ctypes.c_int32()
         cost = ctypes.c_float()
-        rc = lib.tfks_decode_faster(
-            self._handle,
-            loglikes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            t, p,
-            self.tid2pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(self.tid2pdf),
-            self.acoustic_scale, self.beam, self.max_active,
-            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap_w,
-            align.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), t + 1,
-            ctypes.byref(nw), ctypes.byref(na), ctypes.byref(cost),
-        )
+        cap_w = t + 16
+        while True:
+            # Output-pushed graphs can emit more words than frames through
+            # epsilon-input arcs; grow the buffer on TFKS_ERR_CAPACITY.
+            words = np.empty(cap_w, dtype=np.int32)
+            align = np.empty(t + 1, dtype=np.int32)
+            rc = lib.tfks_decode_faster(
+                ctx,
+                loglikes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                t, p,
+                self.tid2pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(self.tid2pdf),
+                self.acoustic_scale, self.beam, self.max_active,
+                words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap_w,
+                align.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), t + 1,
+                ctypes.byref(nw), ctypes.byref(na), ctypes.byref(cost),
+            )
+            if rc == -3 and cap_w < (1 << 24):  # TFKS_ERR_CAPACITY
+                cap_w *= 4
+                continue
+            break
         if rc < 0:
             raise RuntimeError("native decode failed (rc=%d)" % rc)
         return DecodeResult(

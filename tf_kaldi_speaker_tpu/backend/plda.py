@@ -14,7 +14,7 @@ Kaldi's Plda::LogLikelihoodRatio closed form.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterable, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
@@ -80,10 +80,27 @@ class Plda:
         simple_length_norm: bool = False,
     ) -> np.ndarray:
         """Batch trial scoring (ivector-plda-scoring), vectorized over trials."""
-        e_keys = sorted(enroll)
-        t_keys = sorted(test)
+        e_keys, t_keys, score_matrix = self.score_matrix(
+            enroll, enroll_counts, test, simple_length_norm
+        )
         e_idx = {k: i for i, k in enumerate(e_keys)}
         t_idx = {k: i for i, k in enumerate(t_keys)}
+        return np.asarray(
+            [score_matrix[e_idx[e], t_idx[t]] for e, t in trials]
+        )
+
+    def score_matrix(
+        self,
+        enroll: Dict[str, np.ndarray],
+        enroll_counts: Dict[str, int],
+        test: Dict[str, np.ndarray],
+        simple_length_norm: bool = False,
+    ) -> Tuple[List[str], List[str], np.ndarray]:
+        """All-pairs LLR scores: (sorted enroll keys, sorted test keys,
+        [E, T] matrix). The dense form score_trials indexes — used directly
+        for cohort scoring (AS-Norm) where every pair is needed anyway."""
+        e_keys = sorted(enroll)
+        t_keys = sorted(test)
         E = np.stack([
             self.transform_ivector(enroll[k], enroll_counts.get(k, 1), simple_length_norm)[0]
             for k in e_keys
@@ -117,10 +134,7 @@ class Plda:
             logdet_without + M_LOG_2PI * self.dim
             + np.sum((T * T) / var_without[None, :], axis=1)
         )                                               # [T]
-        score_matrix = lg - lw[None, :]
-        return np.asarray(
-            [score_matrix[e_idx[e], t_idx[t]] for e, t in trials]
-        )
+        return e_keys, t_keys, lg - lw[None, :]
 
     # ------------------------------------------------------------------
     def smooth_within_class_covariance(self, factor: float) -> "Plda":

@@ -14,7 +14,10 @@ thread pool scales across cores.
 Usage:
     python -m tf_kaldi_speaker_tpu.cli.decode_faster \
         --word-symbol-table graph/words.txt --text-out decode/text \
-        final.mdl graph/HCLG.fst ark:loglike.ark ark,t:words.ark
+        final.mdl graph/HCLG.fst ark:loglike.ark ark:words.ark
+
+Word/alignment wspecifiers are written in Kaldi binary form; human-readable
+transcripts come from --text-out.
 """
 
 from __future__ import annotations
@@ -78,7 +81,7 @@ def main(argv=None) -> int:
     fp_align = open_or_fd(args.align_out, "wb") if args.align_out else None
     fp_text = open(args.text_out, "w") if args.text_out else None
 
-    n_ok = n_partial = 0
+    n_ok = n_partial = n_fail = 0
     total_frames = 0
     total_cost = 0.0
     with ThreadPoolExecutor(max_workers=max(1, args.num_threads)) as pool:
@@ -86,10 +89,18 @@ def main(argv=None) -> int:
         # (ordered) writer so output stays deterministic.
         pending = []
         def flush(limit):
-            nonlocal n_ok, n_partial, total_frames, total_cost
+            nonlocal n_ok, n_partial, n_fail, total_frames, total_cost
             while len(pending) > limit:
                 key, frames, fut = pending.pop(0)
-                res = fut.result()
+                try:
+                    res = fut.result()
+                except Exception as e:
+                    # Kaldi's decoders warn and continue on a failed
+                    # utterance (beam collapse etc.); one bad utterance
+                    # must not lose the rest of the split.
+                    logging.warning("%s: decode failed (%s); skipped", key, e)
+                    n_fail += 1
+                    continue
                 write_vec_int(fp_words, res.words, key=key)
                 if fp_align is not None:
                     write_vec_int(fp_align, res.alignment, key=key)
@@ -123,8 +134,9 @@ def main(argv=None) -> int:
         fp_text.close()
     n = n_ok + n_partial
     logging.info(
-        "Decoded %d utterances (%d partial), %d frames, avg cost/frame %.4f.",
-        n, n_partial, total_frames,
+        "Decoded %d utterances (%d partial, %d failed), %d frames, "
+        "avg cost/frame %.4f.",
+        n, n_partial, n_fail, total_frames,
         total_cost / max(1, total_frames),
     )
     return 0 if n else 1

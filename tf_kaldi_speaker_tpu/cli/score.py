@@ -147,15 +147,12 @@ def main(argv=None) -> int:
             from ..backend.scoring import adaptive_snorm, snorm_stats
 
             cohort_p = prep(_load_scp(args.cohort_scp))
-            c_keys = sorted(cohort_p)
 
             def side_stats(models, counts):
-                keys = list(models)
-                pairs = [(e, c) for e in keys for c in c_keys]
-                m = plda.score_trials(
-                    models, counts, cohort_p, pairs,
+                keys, _, m = plda.score_matrix(
+                    models, counts, cohort_p,
                     simple_length_norm=args.simple_length_norm,
-                ).reshape(len(keys), len(c_keys))
+                )
                 mu, sd = snorm_stats(m, args.snorm_topk)
                 return dict(zip(keys, zip(mu, sd)))
 

@@ -24,22 +24,34 @@ _load_failed = False
 _tls = threading.local()
 
 
+def build_native_lib(src_name: str, so_name: str) -> ctypes.CDLL:
+    """Compile (when stale) and dlopen one of the native cores in
+    ``tf_kaldi_speaker_tpu/native``. Shared by every ctypes bridge (this
+    module, backend/decoder.py, scripts/build_native.sh) so the build
+    recipe lives in exactly one place. Raises on any failure — callers
+    wrap it in their own availability caching. ``TFKS_DISABLE_NATIVE=1``
+    raises too (forces the numpy/pure-Python fallbacks)."""
+    if os.environ.get("TFKS_DISABLE_NATIVE") == "1":
+        raise RuntimeError("native cores disabled via TFKS_DISABLE_NATIVE")
+    src_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+    )
+    src = os.path.join(src_dir, src_name)
+    so = os.path.join(src_dir, so_name)
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", src, "-o", so],
+            check=True,
+            capture_output=True,
+        )
+    return ctypes.CDLL(so)
+
+
 def _build_and_load() -> Optional[ctypes.CDLL]:
     global _load_failed
-    if os.environ.get("TFKS_DISABLE_NATIVE") == "1":
-        _load_failed = True
-        return None
-    src_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-    src = os.path.join(src_dir, "ark_decoder.cpp")
-    so = os.path.join(src_dir, "libarkdecode.so")
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(so)
+        lib = build_native_lib("ark_decoder.cpp", "libarkdecode.so")
         lib.tfks_decode_submat.restype = ctypes.c_int
         lib.tfks_decode_submat.argtypes = [
             ctypes.c_char_p,

@@ -15,12 +15,21 @@
 //   void    tfks_fst_free(handle)
 //   int64_t tfks_fst_states(handle), tfks_fst_arcs(handle),
 //           tfks_fst_start(handle)
-//   int     tfks_decode_faster(handle, loglikes[T*P], T, P,
+//   int     tfks_fst_validate(handle, tid2pdf, num_tids, num_pdfs)
+//     -> 0 if every emitting ilabel maps into the loglike matrix; run once
+//        per (graph, model) instead of scanning all arcs per utterance
+//   void*   tfks_decoder_new(fst_handle)    -> reusable decoder context
+//           (NOT thread-safe: one context per thread; the fst handle must
+//           outlive its decoders). Amortizes the O(num_states) token-index
+//           allocation across utterances.
+//   void    tfks_decoder_free(ctx)
+//   int     tfks_decode_faster(ctx, loglikes[T*P], T, P,
 //               tid2pdf[num_tids], num_tids, acoustic_scale, beam,
 //               max_active, out_words, cap_words, out_align, cap_align,
 //               out_nwords, out_nalign, out_cost)
 //     -> 0 full path, 1 partial path (no final state reached),
-//        negative TFKS_ERR_* on failure
+//        negative TFKS_ERR_* on failure (TFKS_ERR_CAPACITY: retry with a
+//        larger out_words/out_align buffer)
 
 #include <algorithm>
 #include <cmath>
@@ -238,23 +247,22 @@ class Decoder {
  public:
   explicit Decoder(const Fst &fst) : fst_(fst), tok_idx_(fst.final_w.size(), -1) {}
 
-  // Returns 0 (full), 1 (partial) or a negative error.
+  // Returns 0 (full), 1 (partial) or a negative error. Label validity
+  // (every emitting ilabel maps into the loglike matrix) is checked once
+  // per (graph, model) via tfks_fst_validate, not per utterance.
   int Decode(const float *loglikes, int32_t num_frames, int32_t num_pdfs,
              const int32_t *tid2pdf, int32_t num_tids, float acoustic_scale,
              float beam, int32_t max_active, std::vector<int32_t> *words,
              std::vector<int32_t> *alignment, float *total_cost) {
-    // Precheck labels once: every emitting ilabel must map into the
-    // loglike matrix.
-    for (int32_t il : fst_.ilabels) {
-      if (il > num_tids || (il > 0 && (tid2pdf[il - 1] < 0 ||
-                                       tid2pdf[il - 1] >= num_pdfs)))
-        return TFKS_ERR_LABEL;
-    }
     if (fst_.start < 0) return TFKS_ERR_EMPTY;
 
     arena_.clear();
     cur_.clear();
-    ClearIndex();
+    // tok_idx_ was initialized to -1 at construction; reset only the
+    // entries the previous utterance touched (the context is reused
+    // across utterances to amortize the O(num_states) allocation).
+    for (int32_t s : touched_) tok_idx_[s] = -1;
+    touched_.clear();
     cur_.push_back({static_cast<int32_t>(fst_.start), 0.0f, -1});
     tok_idx_[fst_.start] = 0;
     touched_.push_back(static_cast<int32_t>(fst_.start));
@@ -278,8 +286,7 @@ class Decoder {
           float nc = tok.cost + fst_.weights[a] + ac;
           if (nc >= next_best + beam) continue;
           if (nc < next_best) next_best = nc;
-          Relax(next_, fst_.nextstates[a], nc,
-                PushBp(tok.bp, il, fst_.olabels[a]));
+          Relax(next_, fst_.nextstates[a], nc, tok.bp, il, fst_.olabels[a]);
         }
       }
       cur_.swap(next_);
@@ -321,29 +328,25 @@ class Decoder {
   }
 
  private:
-  int32_t PushBp(int32_t prev, int32_t ilabel, int32_t olabel) {
-    arena_.push_back({prev, ilabel, olabel});
-    return static_cast<int32_t>(arena_.size()) - 1;
-  }
-
-  void ClearIndex() {
-    std::fill(tok_idx_.begin(), tok_idx_.end(), -1);
-    touched_.clear();
-  }
-
-  // Insert-or-improve a token for `state` in `toks`.
-  bool Relax(std::vector<Token> &toks, int32_t state, float cost, int32_t bp) {
+  // Insert-or-improve a token for `state` in `toks`. The backpointer
+  // arena entry is only allocated when the candidate is accepted —
+  // rejected expansions must not grow the (per-utterance) arena.
+  bool Relax(std::vector<Token> &toks, int32_t state, float cost,
+             int32_t prev_bp, int32_t ilabel, int32_t olabel) {
     int32_t idx = tok_idx_[state];
     if (idx < 0 || idx >= static_cast<int32_t>(toks.size()) ||
         toks[idx].state != state) {
       tok_idx_[state] = static_cast<int32_t>(toks.size());
       touched_.push_back(state);
-      toks.push_back({state, cost, bp});
+      arena_.push_back({prev_bp, ilabel, olabel});
+      toks.push_back({state, cost,
+                      static_cast<int32_t>(arena_.size()) - 1});
       return true;
     }
     if (cost < toks[idx].cost) {
       toks[idx].cost = cost;
-      toks[idx].bp = bp;
+      arena_.push_back({prev_bp, ilabel, olabel});
+      toks[idx].bp = static_cast<int32_t>(arena_.size()) - 1;
       return true;
     }
     return false;
@@ -369,8 +372,8 @@ class Decoder {
         if (fst_.ilabels[a] != 0) continue;
         float nc = tok.cost + fst_.weights[a];
         if (nc > cutoff) continue;
-        if (Relax(cur_, fst_.nextstates[a], nc,
-                  PushBp(tok.bp, 0, fst_.olabels[a]))) {
+        if (Relax(cur_, fst_.nextstates[a], nc, tok.bp, 0,
+                  fst_.olabels[a])) {
           queue_.push_back(tok_idx_[fst_.nextstates[a]]);
           if (nc < best) {
             best = nc;
@@ -423,21 +426,40 @@ int64_t tfks_fst_arcs(void *h) {
 
 int64_t tfks_fst_start(void *h) { return static_cast<Fst *>(h)->start; }
 
-int tfks_decode_faster(void *h, const float *loglikes, int32_t num_frames,
+int tfks_fst_validate(void *h, const int32_t *tid2pdf, int32_t num_tids,
+                      int32_t num_pdfs) {
+  Fst *fst = static_cast<Fst *>(h);
+  if (!fst) return TFKS_ERR_IO;
+  for (int32_t il : fst->ilabels) {
+    if (il > num_tids ||
+        (il > 0 && (tid2pdf[il - 1] < 0 || tid2pdf[il - 1] >= num_pdfs)))
+      return TFKS_ERR_LABEL;
+  }
+  return 0;
+}
+
+void *tfks_decoder_new(void *fst_handle) {
+  Fst *fst = static_cast<Fst *>(fst_handle);
+  if (!fst) return nullptr;
+  return new Decoder(*fst);
+}
+
+void tfks_decoder_free(void *ctx) { delete static_cast<Decoder *>(ctx); }
+
+int tfks_decode_faster(void *ctx, const float *loglikes, int32_t num_frames,
                        int32_t num_pdfs, const int32_t *tid2pdf,
                        int32_t num_tids, float acoustic_scale, float beam,
                        int32_t max_active, int32_t *out_words,
                        int32_t cap_words, int32_t *out_align,
                        int32_t cap_align, int32_t *out_nwords,
                        int32_t *out_nalign, float *out_cost) {
-  Fst *fst = static_cast<Fst *>(h);
-  if (!fst) return TFKS_ERR_IO;
-  Decoder dec(*fst);
+  Decoder *dec = static_cast<Decoder *>(ctx);
+  if (!dec) return TFKS_ERR_IO;
   std::vector<int32_t> words, alignment;
   float cost = 0.0f;
-  int rc = dec.Decode(loglikes, num_frames, num_pdfs, tid2pdf, num_tids,
-                      acoustic_scale, beam, max_active, &words, &alignment,
-                      &cost);
+  int rc = dec->Decode(loglikes, num_frames, num_pdfs, tid2pdf, num_tids,
+                       acoustic_scale, beam, max_active, &words, &alignment,
+                       &cost);
   if (rc < 0) return rc;
   if (static_cast<int32_t>(words.size()) > cap_words ||
       static_cast<int32_t>(alignment.size()) > cap_align)
