@@ -78,6 +78,7 @@ for data in "$@"; do
     echo "=== decode: native decode_faster for $name (mdl=$mdl)"
     $py tf_kaldi_speaker_tpu.cli.decode_faster \
       --acoustic-scale "$acwt" --beam "$beam" \
+      --lattice-out "$out/lat.txt" --lattice-beam "$latbeam" \
       --word-symbol-table "$graph/words.txt" --text-out "$out/text" \
       --align-out "ark:$out/ali.ark" \
       "$mdl" "$graph/HCLG.fst" \
@@ -85,6 +86,13 @@ for data in "$@"; do
     if [ -f "$data/text" ]; then
       $py tf_kaldi_speaker_tpu.cli.compute_wer "$data/text" "$out/text" \
         | tee "$out/wer"
+      # local/score.sh equivalent: sweep 1/lmwt over the lattices and keep
+      # the best operating point (no re-decode needed).
+      $py tf_kaldi_speaker_tpu.cli.lattice_best_path \
+        --sweep-lmwt 5:15 --ref-text "$data/text" \
+        --word-symbol-table "$graph/words.txt" \
+        --text-out "$out/text.best" \
+        "$out/lat.txt" "ark:$out/words.best.ark" | tee "$out/wer.best"
     fi
   else
     echo "    no graph dir given; stopping after the loglike dump"

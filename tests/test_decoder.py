@@ -271,3 +271,170 @@ def test_wer_missing_utterance_scored_as_deletions():
     assert stats.missing == ["a"]
     assert stats.deletions == 2 and stats.errors == 2
     assert stats.wer == 100.0
+
+
+# ---------------------------------------------------------------------------
+# Lattice generation (latgen-faster-mapped semantics)
+
+
+def test_lattice_best_path_equals_viterbi(setup):
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    ll, align = _synth_loglikes(tm, word_tids, [2, 1, 4, 3], noise=0.4,
+                                seed=3)
+    ref = decode_faster_py(fst, ll, tid2pdf, acoustic_scale=0.7, beam=16.0)
+    lat, partial = decode_lattice_py(fst, ll, tid2pdf, acoustic_scale=0.7,
+                                     beam=16.0, lattice_beam=10.0)
+    assert not partial
+    w, a, c = lat.best_path(acoustic_scale=0.7, lm_scale=1.0)
+    assert w == list(ref.words)
+    assert a == list(ref.alignment)
+    assert abs(c - ref.cost) < 1e-3
+    # the lattice holds real alternatives, not just the best path
+    assert lat.num_paths_bounded() > 1
+
+
+def test_lattice_scale_sweep_matches_direct_decode(setup):
+    """Rescoring property: best path through the lattice at a DIFFERENT
+    acoustic scale equals re-decoding at that scale (wide beams so the
+    alternatives stay inside the lattice) — the reason lattices exist."""
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    ll, _ = _synth_loglikes(tm, word_tids, [1, 3], noise=0.5, seed=9)
+    lat, _ = decode_lattice_py(fst, ll, tid2pdf, acoustic_scale=0.7,
+                               beam=20.0, lattice_beam=14.0)
+    for scale in (0.4, 0.7, 1.0, 1.4):
+        direct = decode_faster_py(fst, ll, tid2pdf, acoustic_scale=scale,
+                                  beam=24.0)
+        w, _, c = lat.best_path(acoustic_scale=scale)
+        assert w == list(direct.words), scale
+        assert abs(c - direct.cost) < 1e-3, scale
+
+
+def test_lattice_native_matches_oracle(setup, tmp_path):
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+
+    if not native_available():
+        pytest.skip("native core unavailable")
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    path = str(tmp_path / "lat.fst")
+    write_fst(path, fst, "vector")
+    dec = WfstDecoder(path, tid2pdf, acoustic_scale=0.6, beam=14.0,
+                      max_active=64)
+    assert dec._handle is not None
+    rng = np.random.default_rng(21)
+    for trial in range(15):
+        t = int(rng.integers(4, 40))
+        ll = rng.normal(-2, 1.5, (t, tm.num_pdfs)).astype(np.float32)
+        a, pa = decode_lattice_py(fst, ll, tid2pdf, acoustic_scale=0.6,
+                                  beam=14.0, lattice_beam=6.0, max_active=64)
+        b, pb = dec.decode_lattice(ll, lattice_beam=6.0)
+        assert pa == pb
+        assert a.num_states == b.num_states, trial
+        ka = sorted((x.src, x.dst, x.ilabel, x.olabel,
+                     round(x.graph_cost, 5), round(x.acoustic_cost, 4))
+                    for x in a.arcs)
+        kb = sorted((x.src, x.dst, x.ilabel, x.olabel,
+                     round(x.graph_cost, 5), round(x.acoustic_cost, 4))
+                    for x in b.arcs)
+        assert ka == kb, trial
+        assert a.finals == b.finals
+    dec.close()
+
+
+def test_lattice_text_roundtrip(setup, tmp_path):
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+    from tf_kaldi_speaker_tpu.backend.lattice import (
+        read_lattice_ark,
+        write_lattice,
+    )
+
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    path = str(tmp_path / "lat.txt")
+    lats = {}
+    with open(path, "w") as fd:
+        for i, seq in enumerate(([2], [4, 1], [3, 3, 2])):
+            ll, _ = _synth_loglikes(tm, word_tids, seq, noise=0.3, seed=i)
+            lat, _ = decode_lattice_py(fst, ll, tid2pdf, acoustic_scale=0.8,
+                                       beam=15.0, lattice_beam=8.0)
+            lats["u%d" % i] = lat
+            write_lattice(fd, lat, "u%d" % i)
+    back = dict(read_lattice_ark(path))
+    assert set(back) == set(lats)
+    for k, lat in lats.items():
+        b = back[k]
+        assert b.num_states == lat.num_states
+        assert len(b.arcs) == len(lat.arcs)
+        assert b.finals.keys() == lat.finals.keys()
+        w0, a0, c0 = lat.best_path(acoustic_scale=0.8)
+        w1, a1, c1 = b.best_path(acoustic_scale=0.8)
+        assert (w0, a0) == (w1, a1)
+        assert abs(c0 - c1) < 1e-4
+
+
+def test_lattice_clis(setup, tmp_path):
+    """decode_faster --lattice-out -> lattice_best_path (incl. the lmwt
+    sweep against a reference text)."""
+    from tf_kaldi_speaker_tpu.cli import decode_faster as decode_cli
+    from tf_kaldi_speaker_tpu.cli import lattice_best_path as lbp_cli
+
+    tm, fst, word_tids = setup
+    mdl = str(tmp_path / "final.mdl")
+    write_transition_model(mdl, tm)
+    graph = str(tmp_path / "HCLG.fst")
+    write_fst(graph, fst, "const")
+    words_txt = str(tmp_path / "words.txt")
+    with open(words_txt, "w") as fd:
+        fd.write("<eps> 0\n")
+        for w in range(1, 5):
+            fd.write("w%d %d\n" % (w, w))
+
+    seqs = {"utt1": [1, 2], "utt2": [4]}
+    loglike_ark = str(tmp_path / "loglike.ark")
+    with open(loglike_ark, "wb") as fd:
+        for key, seq in seqs.items():
+            ll, _ = _synth_loglikes(tm, word_tids, seq, noise=0.3,
+                                    seed=len(seq))
+            write_mat(fd, ll, key=key)
+
+    lat_out = str(tmp_path / "lat.txt")
+    rc = decode_cli.main([
+        "--acoustic-scale", "1.0", "--lattice-out", lat_out,
+        "--word-symbol-table", words_txt,
+        "--text-out", str(tmp_path / "text.hyp"),
+        mdl, graph, "ark:" + loglike_ark,
+        "ark:" + str(tmp_path / "words.ark"),
+    ])
+    assert rc == 0
+    decoded = {k: list(v)
+               for k, v in read_vec_int_ark(str(tmp_path / "words.ark"))}
+    assert decoded == seqs
+
+    # best-path CLI at the decode scale reproduces the words
+    rc = lbp_cli.main([
+        "--acoustic-scale", "1.0", "--word-symbol-table", words_txt,
+        "--text-out", str(tmp_path / "text.lbp"),
+        lat_out, "ark:" + str(tmp_path / "words2.ark"),
+    ])
+    assert rc == 0
+    again = {k: list(v)
+             for k, v in read_vec_int_ark(str(tmp_path / "words2.ark"))}
+    assert again == seqs
+
+    # lmwt sweep against the true transcripts finds a 0% WER operating point
+    ref_text = str(tmp_path / "ref.text")
+    with open(ref_text, "w") as fd:
+        for k, seq in seqs.items():
+            fd.write("%s %s\n" % (k, " ".join("w%d" % w for w in seq)))
+    rc = lbp_cli.main([
+        "--sweep-lmwt", "1:3", "--ref-text", ref_text,
+        "--word-symbol-table", words_txt,
+        lat_out, "ark:" + str(tmp_path / "words3.ark"),
+    ])
+    assert rc == 0

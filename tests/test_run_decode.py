@@ -123,3 +123,14 @@ def test_run_decode_sh_native(tmp_path):
     with open(os.path.join(out, "wer")) as f:
         wer_line = f.readline()
     assert wer_line.startswith("%WER")
+
+    # lattice artifacts: archive readable, best-path sweep ran
+    from tf_kaldi_speaker_tpu.backend.lattice import read_lattice_ark
+
+    lats = dict(read_lattice_ark(os.path.join(out, "lat.txt")))
+    assert set(lats) == set(utts)
+    for u in utts:
+        w, a, c = lats[u].best_path(acoustic_scale=0.1)
+        assert len(a) == lls[u].shape[0]
+    with open(os.path.join(out, "wer.best")) as f:
+        assert "best lmwt" in f.read()

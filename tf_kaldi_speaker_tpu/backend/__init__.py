@@ -9,7 +9,13 @@ from .metrics import (
     min_dcf10,
     min_dcf12,
 )
-from .decoder import DecodeResult, WfstDecoder, decode_faster_py
+from .decoder import (
+    DecodeResult,
+    WfstDecoder,
+    decode_faster_py,
+    decode_lattice_py,
+)
+from .lattice import Lattice, LatticeArc, read_lattice_ark, write_lattice
 from .plda import Plda, train_plda
 from .wer import compute_wer, edit_distance, read_text_file
 from .scoring import (
@@ -24,12 +30,17 @@ from .scoring import (
 __all__ = [
     "DecodeResult",
     "LDA",
+    "Lattice",
+    "LatticeArc",
     "Plda",
     "WfstDecoder",
     "compute_wer",
     "decode_faster_py",
+    "decode_lattice_py",
     "edit_distance",
+    "read_lattice_ark",
     "read_text_file",
+    "write_lattice",
     "compute_cos_pairwise_eer",
     "compute_eer",
     "compute_min_dcf",

@@ -14,9 +14,12 @@ Two implementations with identical semantics:
 
 Both are Viterbi beam searches with epsilon closure and max-active
 pruning — equivalent to Kaldi's faster-decoder followed by best-path
-extraction. Full lattice generation/determinization + LM rescoring remain
-external (SURVEY §2.4), but the end product users actually score with
-(transcripts + WER) no longer needs any Kaldi binary.
+extraction. :func:`decode_lattice_py` additionally generates pruned word
+lattices (latgen-faster-mapped semantics; see ``backend/lattice.py`` for
+the container, interchange format and scale-sweep best path), so the full
+decode-and-score loop — transcripts, WER, scale sweeps — runs with zero
+Kaldi binaries. Lattice *determinization* (compacting to one path per word
+sequence) is not provided; raw lattices serve the same scoring uses.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from __future__ import annotations
 import ctypes
 import threading
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -65,6 +68,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.tfks_decode_lattice.restype = ctypes.c_int
+        lib.tfks_decode_lattice.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
         return lib
     except Exception:
@@ -168,6 +184,89 @@ class WfstDecoder:
             acoustic_scale=self.acoustic_scale, beam=self.beam,
             max_active=self.max_active,
         )
+
+    def decode_lattice(self, loglikes: np.ndarray, lattice_beam: float = 8.0):
+        """Pruned raw lattice + partial flag (latgen-faster-mapped)."""
+        loglikes = np.ascontiguousarray(loglikes, dtype=np.float32)
+        if loglikes.ndim != 2:
+            raise ValueError("loglikes must be [num_frames, num_pdfs]")
+        if self._handle is not None:
+            return self._decode_lattice_native(loglikes, lattice_beam)
+        return decode_lattice_py(
+            self._fst, loglikes, self.tid2pdf,
+            acoustic_scale=self.acoustic_scale, beam=self.beam,
+            lattice_beam=lattice_beam, max_active=self.max_active,
+        )
+
+    def _decode_lattice_native(self, loglikes: np.ndarray,
+                               lattice_beam: float):
+        from .lattice import Lattice, LatticeArc
+
+        lib = _get_lib()
+        t, p = loglikes.shape
+        if self._validated_pdfs != p:
+            rc = lib.tfks_fst_validate(
+                self._handle,
+                self.tid2pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(self.tid2pdf), p,
+            )
+            if rc != 0:
+                raise ValueError(
+                    "graph ilabels do not map into [0, %d) pdfs via the "
+                    "transition model (%d tids)" % (p, len(self.tid2pdf))
+                )
+            self._validated_pdfs = p
+        ctx = self._thread_ctx()
+        cap_arcs = max(4096, 64 * t)
+        cap_finals = 4096
+        narcs = ctypes.c_int32()
+        nfinals = ctypes.c_int32()
+        nstates = ctypes.c_int32()
+        start = ctypes.c_int32()
+        while True:
+            arcs = np.empty(4 * cap_arcs, dtype=np.int32)
+            arc_costs = np.empty(2 * cap_arcs, dtype=np.float32)
+            finals = np.empty(cap_finals, dtype=np.int32)
+            final_costs = np.empty(cap_finals, dtype=np.float32)
+            rc = lib.tfks_decode_lattice(
+                ctx,
+                loglikes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                t, p,
+                self.tid2pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(self.tid2pdf),
+                self.acoustic_scale, self.beam, float(lattice_beam),
+                self.max_active,
+                arcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                arc_costs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cap_arcs,
+                finals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                final_costs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cap_finals,
+                ctypes.byref(narcs), ctypes.byref(nfinals),
+                ctypes.byref(nstates), ctypes.byref(start),
+            )
+            if rc == -3 and cap_arcs < (1 << 27):  # TFKS_ERR_CAPACITY
+                cap_arcs *= 4
+                cap_finals *= 4
+                continue
+            break
+        if rc < 0:
+            raise RuntimeError("native lattice decode failed (rc=%d)" % rc)
+        quads = arcs[: 4 * narcs.value].reshape(-1, 4)
+        costs = arc_costs[: 2 * narcs.value].reshape(-1, 2)
+        lat = Lattice(
+            num_states=int(nstates.value),
+            arcs=[
+                LatticeArc(int(s), int(d), int(il), int(ol), float(g), float(a))
+                for (s, d, il, ol), (g, a) in zip(quads, costs)
+            ],
+            finals={
+                int(finals[i]): (float(final_costs[i]), 0.0)
+                for i in range(nfinals.value)
+            },
+            start=int(start.value),
+        )
+        return lat, rc == 1
 
     def _decode_native(self, loglikes: np.ndarray) -> DecodeResult:
         lib = _get_lib()
@@ -328,3 +427,185 @@ def decode_faster_py(
         cost=float(best_cost),
         partial=partial,
     )
+
+
+def decode_lattice_py(
+    fst: StdFst,
+    loglikes: np.ndarray,
+    tid2pdf: np.ndarray,
+    acoustic_scale: float = 0.1,
+    beam: float = 13.0,
+    lattice_beam: float = 8.0,
+    max_active: int = 7000,
+):
+    """Lattice-generating beam decode (latgen-faster-mapped semantics).
+
+    Token-passing like :func:`decode_faster_py`, but every surviving arc
+    expansion is kept as a lattice link; after the last frame the token
+    graph is pruned to paths within ``lattice_beam`` of the best and
+    emitted as a :class:`~.lattice.Lattice`. Acoustic costs are stored
+    UNSCALED (as latgen writes them), so scale sweeps at scoring time are
+    exact without re-decoding.
+    """
+    from .lattice import Lattice, LatticeArc
+
+    loglikes = np.asarray(loglikes, dtype=np.float32)
+    t_total, _num_pdfs = loglikes.shape
+    tid2pdf = np.asarray(tid2pdf)
+    if fst.start < 0:
+        raise ValueError("empty decoding graph")
+
+    # Global token table: cost (scaled domain), frame, links (incoming:
+    # (src_tok, ilabel, olabel, graph_cost, raw_acoustic_cost)).
+    tok_cost: List[float] = []
+    tok_frame: List[int] = []
+    tok_links: List[List[Tuple[int, int, int, float, float]]] = []
+    tok_linkset: List[set] = []
+
+    def new_tok(frame: int, cost: float) -> int:
+        tok_cost.append(cost)
+        tok_frame.append(frame)
+        tok_links.append([])
+        tok_linkset.append(set())
+        return len(tok_cost) - 1
+
+    def add_link(dst: int, src: int, il: int, ol: int, gc: float, ac: float):
+        key = (src, il, ol, gc, ac)
+        if key not in tok_linkset[dst]:
+            tok_linkset[dst].add(key)
+            tok_links[dst].append(key)
+
+    def eps_closure(frame: int, toks: dict) -> None:
+        best = min((tok_cost[t] for t in toks.values()), default=np.inf)
+        cutoff = best + beam
+        queue = list(toks.items())
+        while queue:
+            s, ti = queue.pop()
+            cost = tok_cost[ti]
+            if cost > cutoff:
+                continue
+            lo, hi = fst.arc_offsets[s], fst.arc_offsets[s + 1]
+            for a in range(lo, hi):
+                if fst.ilabels[a] != 0:
+                    continue
+                gc = float(fst.weights[a])
+                nc = cost + gc
+                if nc > cutoff:
+                    continue
+                ns = int(fst.nextstates[a])
+                dst = toks.get(ns)
+                if dst is None:
+                    dst = new_tok(frame, nc)
+                    toks[ns] = dst
+                    queue.append((ns, dst))
+                elif nc < tok_cost[dst]:
+                    tok_cost[dst] = nc
+                    queue.append((ns, dst))
+                add_link(dst, ti, 0, int(fst.olabels[a]), gc, 0.0)
+                if nc < best:
+                    best = nc
+                    cutoff = best + beam
+
+    toks: dict = {int(fst.start): new_tok(0, 0.0)}
+    eps_closure(0, toks)
+
+    for t in range(t_total):
+        frame = loglikes[t]
+        costs = [tok_cost[ti] for ti in toks.values()]
+        cutoff = min(costs) + beam
+        if max_active > 0 and len(costs) > max_active:
+            cutoff = min(cutoff, float(
+                np.partition(costs, max_active - 1)[max_active - 1]))
+        nxt: dict = {}
+        next_best = np.inf
+        for s, ti in toks.items():
+            cost = tok_cost[ti]
+            if cost > cutoff:
+                continue
+            lo, hi = fst.arc_offsets[s], fst.arc_offsets[s + 1]
+            for a in range(lo, hi):
+                il = int(fst.ilabels[a])
+                if il == 0:
+                    continue
+                gc = float(fst.weights[a])
+                raw_ac = -float(frame[tid2pdf[il - 1]])
+                nc = cost + gc + acoustic_scale * raw_ac
+                if nc >= next_best + beam:
+                    continue
+                next_best = min(next_best, nc)
+                ns = int(fst.nextstates[a])
+                dst = nxt.get(ns)
+                if dst is None:
+                    dst = new_tok(t + 1, nc)
+                    nxt[ns] = dst
+                elif nc < tok_cost[dst]:
+                    tok_cost[dst] = nc
+                add_link(dst, ti, il, int(fst.olabels[a]), gc, raw_ac)
+        if not nxt:
+            raise RuntimeError("beam collapsed at frame %d" % t)
+        toks = nxt
+        eps_closure(t + 1, toks)
+
+    # Final tokens: (token, final graph cost). Partial path fallback keeps
+    # every last-frame token with zero final cost (Kaldi
+    # GetRawLattice(use_final_probs=false)).
+    finals: Dict[int, float] = {}
+    partial = True
+    for s, ti in toks.items():
+        fw = float(fst.final[s])
+        if np.isfinite(fw):
+            finals[ti] = fw
+            partial = False
+    if partial:
+        finals = {ti: 0.0 for ti in toks.values()}
+
+    # Backward pass over the token DAG (tokens are created in topological
+    # order: frame-majority, eps links point to earlier ids... except
+    # in-frame improvement loops — iterate in reverse id order, which is
+    # reverse-topological for all emitting links and converges for eps
+    # chains because link costs are nonnegative; repeat until stable).
+    n = len(tok_cost)
+    INF = float("inf")
+    beta = [INF] * n
+    for ti, fw in finals.items():
+        beta[ti] = fw  # scaled domain: final graph cost only
+    while True:
+        changed = False
+        for dst in range(n - 1, -1, -1):
+            bd = beta[dst]
+            if bd == INF:
+                continue
+            for (src, il, ol, gc, ac) in tok_links[dst]:
+                cand = bd + gc + acoustic_scale * ac
+                if cand < beta[src] - 1e-12:
+                    beta[src] = cand
+                    changed = True
+        if not changed:
+            break
+
+    best_total = min(tok_cost[ti] + fw for ti, fw in finals.items())
+    # alpha = tok_cost is the exact forward best; prune by
+    # alpha(src) + link + beta(dst) - best <= lattice_beam.
+    keep_tok = [
+        i for i in range(n)
+        if beta[i] != INF and tok_cost[i] + beta[i] - best_total <= lattice_beam
+    ]
+    renum = {ti: j for j, ti in enumerate(keep_tok)}
+    arcs = []
+    for dst in keep_tok:
+        for (src, il, ol, gc, ac) in tok_links[dst]:
+            if src not in renum:
+                continue
+            if (tok_cost[src] + gc + acoustic_scale * ac + beta[dst]
+                    - best_total) > lattice_beam + 1e-9:
+                continue
+            arcs.append(LatticeArc(renum[src], renum[dst], il, ol, gc, ac))
+    lat = Lattice(
+        num_states=len(keep_tok),
+        arcs=arcs,
+        finals={renum[ti]: (fw, 0.0) for ti, fw in finals.items()
+                if ti in renum},
+        start=renum[next(i for i in keep_tok if tok_frame[i] == 0
+                         and tok_cost[i] == 0.0)],
+    )
+    return lat, partial

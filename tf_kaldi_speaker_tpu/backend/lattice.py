@@ -1,0 +1,196 @@
+"""Lattices: container, Kaldi-text interchange, best-path with scales.
+
+Completes the native decode toolchain (reference nnet/run_decode.sh +
+egs ``local/score.sh``): the lattice decoder in ``backend/decoder.py`` /
+``native/wfst_decoder.cpp`` emits these, and scoring sweeps
+acoustic/LM scales over them WITHOUT re-decoding — the reason Kaldi
+recipes keep lattices at all.
+
+The on-disk format is Kaldi's text ``Lattice`` archive (what
+``lattice-copy --write-compact=false ark:in 'ark,t:-'`` prints):
+
+    utt-id
+    <from> <to> <ilabel(tid)> <olabel(word)> <graph_cost>,<acoustic_cost>
+    ...
+    <final-state> [<graph_cost>,<acoustic_cost>]
+    <blank line>
+
+States are topologically numbered by the decoder (0 = start). Costs are
+tropical; total path cost = lm_scale * graph + acoustic_scale * acoustic
+(Kaldi applies the inverse acoustic scale at write time — we store the
+UNSCALED acoustic cost, as latgen does with --acoustic-scale compensation,
+so rescoring sweeps are exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, TextIO, Tuple
+
+import numpy as np
+
+
+@dataclass
+class LatticeArc:
+    src: int
+    dst: int
+    ilabel: int  # transition-id (0 = epsilon)
+    olabel: int  # word id (0 = epsilon)
+    graph_cost: float
+    acoustic_cost: float
+
+
+@dataclass
+class Lattice:
+    """Acyclic weighted word/alignment lattice for one utterance."""
+
+    num_states: int
+    arcs: List[LatticeArc] = field(default_factory=list)
+    # state -> (graph_cost, acoustic_cost); only final states present
+    finals: Dict[int, Tuple[float, float]] = field(default_factory=dict)
+    start: int = 0
+
+    def num_paths_bounded(self, bound: int = 1 << 20) -> int:
+        """Path count (capped) — test/diagnostic helper."""
+        order = self.topological_order()
+        counts = {self.start: 1}
+        out: Dict[int, List[LatticeArc]] = {}
+        for a in self.arcs:
+            out.setdefault(a.src, []).append(a)
+        total = 0
+        for s in order:
+            c = counts.get(s, 0)
+            if not c:
+                continue
+            if s in self.finals:
+                total = min(bound, total + c)
+            for a in out.get(s, ()):
+                counts[a.dst] = min(bound, counts.get(a.dst, 0) + c)
+        return total
+
+    def topological_order(self) -> List[int]:
+        indeg = [0] * self.num_states
+        out: Dict[int, List[int]] = {}
+        for a in self.arcs:
+            indeg[a.dst] += 1
+            out.setdefault(a.src, []).append(a.dst)
+        stack = [s for s in range(self.num_states) if indeg[s] == 0]
+        order = []
+        while stack:
+            s = stack.pop()
+            order.append(s)
+            for d in out.get(s, ()):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    stack.append(d)
+        if len(order) != self.num_states:
+            raise ValueError("lattice has a cycle")
+        return order
+
+    def best_path(
+        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+    ) -> Tuple[List[int], List[int], float]:
+        """Shortest path under scaled costs: (words, alignment, total_cost).
+
+        Equivalent to ``lattice-scale --acoustic-scale=a --lm-scale=l`` +
+        ``lattice-best-path``; sweeping scales here replaces re-decoding.
+        """
+        order = self.topological_order()
+        INF = float("inf")
+        cost = [INF] * self.num_states
+        back: List[Tuple[int, int]] = [(-1, -1)] * self.num_states  # (state, arc idx)
+        cost[self.start] = 0.0
+        out: Dict[int, List[Tuple[int, LatticeArc]]] = {}
+        for i, a in enumerate(self.arcs):
+            out.setdefault(a.src, []).append((i, a))
+        for s in order:
+            if cost[s] == INF:
+                continue
+            for i, a in out.get(s, ()):
+                c = cost[s] + lm_scale * a.graph_cost + acoustic_scale * a.acoustic_cost
+                if c < cost[a.dst]:
+                    cost[a.dst] = c
+                    back[a.dst] = (s, i)
+        best_state, best_cost = -1, INF
+        for s, (g, ac) in self.finals.items():
+            if cost[s] == INF:
+                continue
+            c = cost[s] + lm_scale * g + acoustic_scale * ac
+            if c < best_cost:
+                best_state, best_cost = s, c
+        if best_state < 0:
+            raise ValueError("lattice has no reachable final state")
+        words: List[int] = []
+        align: List[int] = []
+        s = best_state
+        while s != self.start:
+            ps, ai = back[s]
+            a = self.arcs[ai]
+            if a.olabel > 0:
+                words.append(a.olabel)
+            if a.ilabel > 0:
+                align.append(a.ilabel)
+            s = ps
+        return words[::-1], align[::-1], best_cost
+
+
+def write_lattice(fd: TextIO, lat: Lattice, key: str) -> None:
+    """Write one utterance in Kaldi text-Lattice archive form."""
+    fd.write("%s\n" % key)
+    for a in lat.arcs:
+        fd.write(
+            "%d %d %d %d %.7g,%.7g\n"
+            % (a.src, a.dst, a.ilabel, a.olabel, a.graph_cost, a.acoustic_cost)
+        )
+    for s in sorted(lat.finals):
+        g, ac = lat.finals[s]
+        if g == 0.0 and ac == 0.0:
+            fd.write("%d\n" % s)
+        else:
+            fd.write("%d %.7g,%.7g\n" % (s, g, ac))
+    fd.write("\n")
+
+
+def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
+    """Read a text-Lattice archive (yields (utt-id, Lattice))."""
+    with open(path) as fd:
+        key = None
+        arcs: List[LatticeArc] = []
+        finals: Dict[int, Tuple[float, float]] = {}
+        max_state = -1
+
+        def emit():
+            n = max_state + 1
+            return Lattice(num_states=max(n, 1), arcs=list(arcs),
+                           finals=dict(finals))
+
+        for line in fd:
+            parts = line.split()
+            if not parts:
+                if key is not None:
+                    yield key, emit()
+                key, arcs, finals, max_state = None, [], {}, -1
+                continue
+            if key is None:
+                if len(parts) != 1:
+                    raise ValueError("expected utterance id, got %r" % line)
+                key = parts[0]
+                continue
+            if len(parts) in (1, 2):  # final state
+                s = int(parts[0])
+                if len(parts) == 2:
+                    g, ac = parts[1].split(",")
+                    finals[s] = (float(g), float(ac))
+                else:
+                    finals[s] = (0.0, 0.0)
+                max_state = max(max_state, s)
+            elif len(parts) == 5:
+                g, ac = parts[4].split(",")
+                a = LatticeArc(int(parts[0]), int(parts[1]), int(parts[2]),
+                               int(parts[3]), float(g), float(ac))
+                arcs.append(a)
+                max_state = max(max_state, a.src, a.dst)
+            else:
+                raise ValueError("bad lattice line %r" % line)
+        if key is not None:
+            yield key, emit()

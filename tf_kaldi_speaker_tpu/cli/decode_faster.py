@@ -31,7 +31,8 @@ import numpy as np
 
 from ..kio import open_or_fd, read_mat_rspec, read_words_txt, write_vec_int
 from ..kio.transition_model import read_transition_model
-from ..backend.decoder import WfstDecoder, native_available
+from ..backend.decoder import DecodeResult, WfstDecoder, native_available
+from ..backend.lattice import write_lattice
 
 
 def main(argv=None) -> int:
@@ -48,6 +49,12 @@ def main(argv=None) -> int:
     parser.add_argument("--align-out", default=None,
                         help="wspecifier for frame-level transition-id "
                         "alignments")
+    parser.add_argument("--lattice-out", default=None,
+                        help="also generate pruned lattices (latgen mode) "
+                        "and write them here as a Kaldi text-Lattice "
+                        "archive; words/alignments then come from the "
+                        "lattice best path")
+    parser.add_argument("--lattice-beam", type=float, default=8.0)
     parser.add_argument("--num-threads", type=int, default=4)
     parser.add_argument("mdl", help="Kaldi final.mdl (transition model)")
     parser.add_argument("graph", help="HCLG.fst")
@@ -80,6 +87,22 @@ def main(argv=None) -> int:
     fp_words = open_or_fd(args.wspecifier, "wb")
     fp_align = open_or_fd(args.align_out, "wb") if args.align_out else None
     fp_text = open(args.text_out, "w") if args.text_out else None
+    fp_lat = open(args.lattice_out, "w") if args.lattice_out else None
+
+    def decode_one(loglikes):
+        if fp_lat is None:
+            return decoder.decode(loglikes), None
+        # Lattice mode: one decode yields the lattice AND (via its best
+        # path at the decode scales) the words/alignment outputs.
+        lat, partial = decoder.decode_lattice(
+            loglikes, lattice_beam=args.lattice_beam)
+        words, align, cost = lat.best_path(
+            acoustic_scale=args.acoustic_scale, lm_scale=1.0)
+        return DecodeResult(
+            words=np.asarray(words, np.int32),
+            alignment=np.asarray(align, np.int32),
+            cost=cost, partial=partial,
+        ), lat
 
     n_ok = n_partial = n_fail = 0
     total_frames = 0
@@ -93,7 +116,7 @@ def main(argv=None) -> int:
             while len(pending) > limit:
                 key, frames, fut = pending.pop(0)
                 try:
-                    res = fut.result()
+                    res, lat = fut.result()
                 except Exception as e:
                     # Kaldi's decoders warn and continue on a failed
                     # utterance (beam collapse etc.); one bad utterance
@@ -102,6 +125,8 @@ def main(argv=None) -> int:
                     n_fail += 1
                     continue
                 write_vec_int(fp_words, res.words, key=key)
+                if fp_lat is not None:
+                    write_lattice(fp_lat, lat, key)
                 if fp_align is not None:
                     write_vec_int(fp_align, res.alignment, key=key)
                 if fp_text is not None:
@@ -122,7 +147,7 @@ def main(argv=None) -> int:
         for key, loglikes in read_mat_rspec(args.rspecifier):
             pending.append(
                 (key, loglikes.shape[0],
-                 pool.submit(decoder.decode, loglikes.astype(np.float32)))
+                 pool.submit(decode_one, loglikes.astype(np.float32)))
             )
             flush(2 * args.num_threads)
         flush(0)
@@ -132,6 +157,8 @@ def main(argv=None) -> int:
         fp_align.close()
     if fp_text is not None:
         fp_text.close()
+    if fp_lat is not None:
+        fp_lat.close()
     n = n_ok + n_partial
     logging.info(
         "Decoded %d utterances (%d partial, %d failed), %d frames, "

@@ -30,6 +30,14 @@
 //     -> 0 full path, 1 partial path (no final state reached),
 //        negative TFKS_ERR_* on failure (TFKS_ERR_CAPACITY: retry with a
 //        larger out_words/out_align buffer)
+//   int     tfks_decode_lattice(ctx, loglikes[T*P], T, P, tid2pdf,
+//               num_tids, acoustic_scale, beam, lattice_beam, max_active,
+//               out_arcs[4*cap_arcs], out_arc_costs[2*cap_arcs], cap_arcs,
+//               out_finals[cap_finals], out_final_costs[cap_finals],
+//               cap_finals, out_narcs, out_nfinals, out_nstates, out_start)
+//     -> pruned raw lattice (latgen-faster-mapped semantics); arcs are
+//        (src,dst,ilabel,olabel) int32 quads with (graph, UNSCALED
+//        acoustic) cost pairs; same 0/1/negative return convention
 
 #include <algorithm>
 #include <cmath>
@@ -406,6 +414,223 @@ class Decoder {
   std::vector<int32_t> queue_;
   std::vector<BackPtr> arena_;
   std::vector<float> costs_;
+
+  // ------------------------------------------------------------------
+  // Lattice generation (latgen-faster-mapped semantics): token passing
+  // where every surviving arc expansion is kept as a lattice link, then
+  // the token DAG is pruned to paths within lattice_beam of the best.
+  // Mirrors decode_lattice_py in backend/decoder.py (the test oracle).
+
+  struct Link {
+    int32_t src, il, ol;
+    float gc, ac;  // graph cost, UNSCALED acoustic cost
+  };
+
+ public:
+  int DecodeLattice(const float *loglikes, int32_t num_frames,
+                    int32_t num_pdfs, const int32_t *tid2pdf,
+                    int32_t num_tids, float acoustic_scale, float beam,
+                    float lattice_beam, int32_t max_active,
+                    std::vector<int32_t> *arc_fields,  // src,dst,il,ol x N
+                    std::vector<float> *arc_costs,     // gc,ac x N
+                    std::vector<int32_t> *final_states,
+                    std::vector<float> *final_costs, int32_t *num_states_out,
+                    int32_t *start_out) {
+    if (fst_.start < 0) return TFKS_ERR_EMPTY;
+    lt_cost_.clear();
+    lt_links_.clear();
+    for (int32_t s : touched_) tok_idx_[s] = -1;
+    touched_.clear();
+    // cur frame: tok_idx_[state] -> global token id; lt_states_ lists the
+    // frame's (state, tok) pairs for iteration.
+    lt_states_.clear();
+    int32_t start_tok = NewTok(0, 0.0f);
+    tok_idx_[fst_.start] = start_tok;
+    touched_.push_back(static_cast<int32_t>(fst_.start));
+    lt_states_.push_back({static_cast<int32_t>(fst_.start), start_tok});
+    LatticeEpsClosure(0, beam);
+
+    for (int32_t t = 0; t < num_frames; ++t) {
+      const float *frame = loglikes + static_cast<int64_t>(t) * num_pdfs;
+      float best = kInf;
+      for (auto &st : lt_states_) best = std::min(best, lt_cost_[st.tok]);
+      float cutoff = best + beam;
+      if (max_active > 0 &&
+          static_cast<int32_t>(lt_states_.size()) > max_active) {
+        costs_.clear();
+        for (auto &st : lt_states_) costs_.push_back(lt_cost_[st.tok]);
+        std::nth_element(costs_.begin(), costs_.begin() + max_active - 1,
+                         costs_.end());
+        cutoff = std::min(cutoff, costs_[max_active - 1]);
+      }
+      std::vector<StateTok> prev;
+      prev.swap(lt_states_);
+      for (int32_t s : touched_) tok_idx_[s] = -1;
+      touched_.clear();
+      float next_best = kInf;
+      for (auto &st : prev) {
+        float cost = lt_cost_[st.tok];
+        if (cost > cutoff) continue;
+        int64_t lo = fst_.offsets[st.state], hi = fst_.offsets[st.state + 1];
+        for (int64_t a = lo; a < hi; ++a) {
+          int32_t il = fst_.ilabels[a];
+          if (il == 0) continue;
+          float gc = fst_.weights[a];
+          float raw_ac = -frame[tid2pdf[il - 1]];
+          float nc = cost + gc + acoustic_scale * raw_ac;
+          if (nc >= next_best + beam) continue;
+          if (nc < next_best) next_best = nc;
+          int32_t ns = fst_.nextstates[a];
+          int32_t dst = tok_idx_[ns];
+          if (dst < 0) {
+            dst = NewTok(t + 1, nc);
+            tok_idx_[ns] = dst;
+            touched_.push_back(ns);
+            lt_states_.push_back({ns, dst});
+          } else if (nc < lt_cost_[dst]) {
+            lt_cost_[dst] = nc;
+          }
+          AddLink(dst, {st.tok, il, fst_.olabels[a], gc, raw_ac});
+        }
+      }
+      if (lt_states_.empty()) return TFKS_ERR_EMPTY;
+      LatticeEpsClosure(t + 1, beam);
+    }
+
+    // Final tokens (partial fallback: every last-frame token, cost 0).
+    std::vector<std::pair<int32_t, float>> finals;
+    for (auto &st : lt_states_) {
+      float fw = fst_.final_w[st.state];
+      if (fw != kInf) finals.push_back({st.tok, fw});
+    }
+    bool partial = finals.empty();
+    if (partial)
+      for (auto &st : lt_states_) finals.push_back({st.tok, 0.0f});
+
+    // Backward pass over the token DAG; token ids are topological except
+    // in-frame eps improvement loops, so iterate to a fixed point.
+    size_t n = lt_cost_.size();
+    std::vector<float> beta(n, kInf);
+    for (auto &f : finals) beta[f.first] = std::min(beta[f.first], f.second);
+    bool changed = true;
+    while (changed) {
+      changed = false;
+      for (int64_t dst = n - 1; dst >= 0; --dst) {
+        float bd = beta[dst];
+        if (bd == kInf) continue;
+        for (const Link &l : lt_links_[dst]) {
+          float cand = bd + l.gc + acoustic_scale * l.ac;
+          if (cand < beta[l.src] - 1e-12f) {
+            beta[l.src] = cand;
+            changed = true;
+          }
+        }
+      }
+    }
+    float best_total = kInf;
+    for (auto &f : finals)
+      best_total = std::min(best_total, lt_cost_[f.first] + f.second);
+
+    std::vector<int32_t> renum(n, -1);
+    int32_t kept = 0;
+    for (size_t i = 0; i < n; ++i) {
+      if (beta[i] != kInf &&
+          lt_cost_[i] + beta[i] - best_total <= lattice_beam)
+        renum[i] = kept++;
+    }
+    if (renum[start_tok] < 0) return TFKS_ERR_EMPTY;
+    arc_fields->clear();
+    arc_costs->clear();
+    final_states->clear();
+    final_costs->clear();
+    for (size_t dst = 0; dst < n; ++dst) {
+      if (renum[dst] < 0) continue;
+      for (const Link &l : lt_links_[dst]) {
+        if (renum[l.src] < 0) continue;
+        if (lt_cost_[l.src] + l.gc + acoustic_scale * l.ac + beta[dst] -
+                best_total >
+            lattice_beam + 1e-9f)
+          continue;
+        arc_fields->push_back(renum[l.src]);
+        arc_fields->push_back(renum[dst]);
+        arc_fields->push_back(l.il);
+        arc_fields->push_back(l.ol);
+        arc_costs->push_back(l.gc);
+        arc_costs->push_back(l.ac);
+      }
+    }
+    for (auto &f : finals) {
+      if (renum[f.first] >= 0) {
+        final_states->push_back(renum[f.first]);
+        final_costs->push_back(f.second);
+      }
+    }
+    *num_states_out = kept;
+    *start_out = renum[start_tok];
+    return partial ? 1 : 0;
+  }
+
+ private:
+  struct StateTok {
+    int32_t state, tok;
+  };
+
+  int32_t NewTok(int32_t, float cost) {
+    lt_cost_.push_back(cost);
+    lt_links_.emplace_back();
+    return static_cast<int32_t>(lt_cost_.size()) - 1;
+  }
+
+  void AddLink(int32_t dst, Link l) {
+    // Dedup re-expansions (same src/arc): link lists are short, linear scan.
+    for (const Link &e : lt_links_[dst])
+      if (e.src == l.src && e.il == l.il && e.ol == l.ol && e.gc == l.gc &&
+          e.ac == l.ac)
+        return;
+    lt_links_[dst].push_back(l);
+  }
+
+  void LatticeEpsClosure(int32_t frame, float beam) {
+    float best = kInf;
+    for (auto &st : lt_states_) best = std::min(best, lt_cost_[st.tok]);
+    float cutoff = best + beam;
+    lt_queue_.clear();
+    for (auto &st : lt_states_) lt_queue_.push_back(st);
+    while (!lt_queue_.empty()) {
+      StateTok st = lt_queue_.back();
+      lt_queue_.pop_back();
+      float cost = lt_cost_[st.tok];
+      if (cost > cutoff) continue;
+      int64_t lo = fst_.offsets[st.state], hi = fst_.offsets[st.state + 1];
+      for (int64_t a = lo; a < hi; ++a) {
+        if (fst_.ilabels[a] != 0) continue;
+        float gc = fst_.weights[a];
+        float nc = cost + gc;
+        if (nc > cutoff) continue;
+        int32_t ns = fst_.nextstates[a];
+        int32_t dst = tok_idx_[ns];
+        if (dst < 0) {
+          dst = NewTok(frame, nc);
+          tok_idx_[ns] = dst;
+          touched_.push_back(ns);
+          lt_states_.push_back({ns, dst});
+          lt_queue_.push_back({ns, dst});
+        } else if (nc < lt_cost_[dst]) {
+          lt_cost_[dst] = nc;
+          lt_queue_.push_back({ns, dst});
+        }
+        AddLink(dst, {st.tok, 0, fst_.olabels[a], gc, 0.0f});
+        if (nc < best) {
+          best = nc;
+          cutoff = best + beam;
+        }
+      }
+    }
+  }
+
+  std::vector<float> lt_cost_;
+  std::vector<std::vector<Link>> lt_links_;
+  std::vector<StateTok> lt_states_, lt_queue_;
 };
 
 }  // namespace
@@ -445,6 +670,40 @@ void *tfks_decoder_new(void *fst_handle) {
 }
 
 void tfks_decoder_free(void *ctx) { delete static_cast<Decoder *>(ctx); }
+
+int tfks_decode_lattice(void *ctx, const float *loglikes, int32_t num_frames,
+                        int32_t num_pdfs, const int32_t *tid2pdf,
+                        int32_t num_tids, float acoustic_scale, float beam,
+                        float lattice_beam, int32_t max_active,
+                        int32_t *out_arcs, float *out_arc_costs,
+                        int32_t cap_arcs, int32_t *out_finals,
+                        float *out_final_costs, int32_t cap_finals,
+                        int32_t *out_narcs, int32_t *out_nfinals,
+                        int32_t *out_nstates, int32_t *out_start) {
+  Decoder *dec = static_cast<Decoder *>(ctx);
+  if (!dec) return TFKS_ERR_IO;
+  std::vector<int32_t> arc_fields, final_states;
+  std::vector<float> arc_costs, final_costs;
+  int32_t num_states = 0, start = 0;
+  int rc = dec->DecodeLattice(loglikes, num_frames, num_pdfs, tid2pdf,
+                              num_tids, acoustic_scale, beam, lattice_beam,
+                              max_active, &arc_fields, &arc_costs,
+                              &final_states, &final_costs, &num_states,
+                              &start);
+  if (rc < 0) return rc;
+  int32_t narcs = static_cast<int32_t>(arc_fields.size() / 4);
+  int32_t nfinals = static_cast<int32_t>(final_states.size());
+  if (narcs > cap_arcs || nfinals > cap_finals) return TFKS_ERR_CAPACITY;
+  std::copy(arc_fields.begin(), arc_fields.end(), out_arcs);
+  std::copy(arc_costs.begin(), arc_costs.end(), out_arc_costs);
+  std::copy(final_states.begin(), final_states.end(), out_finals);
+  std::copy(final_costs.begin(), final_costs.end(), out_final_costs);
+  *out_narcs = narcs;
+  *out_nfinals = nfinals;
+  *out_nstates = num_states;
+  *out_start = start;
+  return rc;
+}
 
 int tfks_decode_faster(void *ctx, const float *loglikes, int32_t num_frames,
                        int32_t num_pdfs, const int32_t *tid2pdf,
