@@ -7,6 +7,7 @@ known word sequence, and the native C++ core is checked exactly against
 the pure-Python token-passing oracle.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -438,3 +439,45 @@ def test_lattice_clis(setup, tmp_path):
         lat_out, "ark:" + str(tmp_path / "words3.ark"),
     ])
     assert rc == 0
+
+
+def test_fst_codec_fuzz_roundtrip():
+    """Random FSTs round-trip both on-disk formats bit-exactly, and the
+    native loader agrees with the Python reader (guards the codec against
+    layout drift — no OpenFst exists here to cross-check, so the two
+    independent readers checking each other is the defense)."""
+    import tempfile
+
+    from tf_kaldi_speaker_tpu.backend import decoder as dec_mod
+
+    rng = np.random.default_rng(123)
+    for trial in range(10):
+        n_states = int(rng.integers(2, 40))
+        n_arcs = int(rng.integers(1, 120))
+        arcs = [
+            (int(rng.integers(0, n_states)), int(rng.integers(0, 50)),
+             int(rng.integers(0, 30)), float(np.float32(rng.normal())),
+             int(rng.integers(0, n_states)))
+            for _ in range(n_arcs)
+        ]
+        finals = {int(s): float(np.float32(abs(rng.normal())))
+                  for s in rng.integers(0, n_states, 3)}
+        fst = build_fst(int(rng.integers(0, n_states)), n_states, arcs, finals)
+        with tempfile.TemporaryDirectory() as td:
+            for kind in ("vector", "const"):
+                p = os.path.join(td, kind + ".fst")
+                write_fst(p, fst, kind)
+                back = read_fst(p)
+                np.testing.assert_array_equal(back.ilabels, fst.ilabels)
+                np.testing.assert_array_equal(back.weights, fst.weights)
+                np.testing.assert_array_equal(back.final, fst.final)
+                np.testing.assert_array_equal(back.arc_offsets, fst.arc_offsets)
+                assert back.start == fst.start
+                if native_available():
+                    lib = dec_mod._get_lib()
+                    h = lib.tfks_fst_load(p.encode())
+                    assert h, (trial, kind)
+                    assert lib.tfks_fst_states(h) == fst.num_states
+                    assert lib.tfks_fst_arcs(h) == fst.num_arcs
+                    assert lib.tfks_fst_start(h) == fst.start
+                    lib.tfks_fst_free(h)

@@ -87,11 +87,14 @@ class PrefetchLoader:
                         raise DataOutOfRange
                     raise RuntimeError("All data workers exited unexpectedly")
 
-    def __iter__(self):
+    def __iter__(self, _done=DataOutOfRange):
+        # _done bound at def time: when a leftover generator is finalized
+        # during interpreter shutdown, module globals may already be None
+        # and `except DataOutOfRange` would itself raise.
         try:
             while True:
                 yield self.fetch()
-        except DataOutOfRange:
+        except _done:
             return
 
     def stop(self) -> None:
