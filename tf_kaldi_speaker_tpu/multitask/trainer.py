@@ -322,15 +322,25 @@ class TrainerMultiTask(Trainer):
         if self.speaker_egs is None:
             self.speaker_egs = np.zeros(self.num_speakers, np.int64)
             self.phone_egs = np.zeros(self.num_phones, np.int64)
-        try:
-            for local_step in range(num_steps):
-                feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
+        # Stage fetch + egs counting + host->device transfer on the prefetch
+        # thread so the copy of batch k+1 overlaps step k (Trainer.train
+        # scheme; the single thread keeps _mask_rng/egs order deterministic).
+        from ..data.pipeline import device_prefetch
+
+        def staged():
+            for _ in range(num_steps):
+                feats, vad, ali, length, labels, resample, _vp = loader.fetch()
                 np.add.at(self.speaker_egs, labels, 1)
                 np.add.at(self.phone_egs, ali.reshape(-1), 1)
-                f, s, a, ln, idx, _ = self._shard_mt(
+                yield self._shard_mt(
                     feats, vad, ali, length, labels, resample,
                     local_rows=nproc > 1,
                 )
+
+        try:
+            for local_step, (f, s, a, ln, idx, _) in enumerate(
+                device_prefetch(staged(), put_fn=lambda x: x, depth=2)
+            ):
                 self.state, metrics = self._train_step(self.state, f, s, a, ln, idx, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:

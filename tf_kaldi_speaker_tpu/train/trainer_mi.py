@@ -223,11 +223,21 @@ class TrainerMultiInput(Trainer):
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
-        try:
-            for local_step in range(num_steps):
+
+        # Stage fetch + host->device transfer on the prefetch thread so the
+        # copy of batch k+1 overlaps step k (same as Trainer.train).
+        from ..data.pipeline import device_prefetch
+
+        def staged():
+            for _ in range(num_steps):
                 features, labels = loader.fetch()
-                main, aux, l, _ = self._shard_multi(features, labels,
-                                                    local_rows=nproc > 1)
+                yield self._shard_multi(features, labels,
+                                        local_rows=nproc > 1)
+
+        try:
+            for local_step, (main, aux, l, _) in enumerate(
+                device_prefetch(staged(), put_fn=lambda x: x, depth=2)
+            ):
                 self.state, metrics = self._train_step(self.state, main, aux, l, lr)
                 gstep = int(self.state.step)
                 if show and local_step % show == 0:
