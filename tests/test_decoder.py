@@ -481,3 +481,61 @@ def test_fst_codec_fuzz_roundtrip():
                     assert lib.tfks_fst_arcs(h) == fst.num_arcs
                     assert lib.tfks_fst_start(h) == fst.start
                     lib.tfks_fst_free(h)
+
+
+def test_lattice_posteriors_and_confidences(setup):
+    """Forward-backward arc posteriors: mass across the start cut is 1,
+    confident (clean-loglike) best-path words approach posterior 1, and
+    the --confidence-out CLI emits them."""
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+    from tf_kaldi_speaker_tpu.backend.lattice import (
+        arc_posteriors,
+        best_path_confidences,
+        write_lattice,
+    )
+
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    ll, _ = _synth_loglikes(tm, word_tids, [2, 3], noise=0.6, seed=5)
+    lat, _ = decode_lattice_py(fst, ll, tid2pdf, acoustic_scale=0.8,
+                               beam=18.0, lattice_beam=12.0)
+    post = arc_posteriors(lat, acoustic_scale=0.8)
+    start_mass = sum(
+        post[i] for i, a in enumerate(lat.arcs) if a.src == lat.start)
+    assert abs(start_mass - 1.0) < 1e-6
+    assert np.all(post >= 0) and np.all(post <= 1 + 1e-9)
+    conf = best_path_confidences(lat, acoustic_scale=0.8)
+    assert [w for w, _ in conf] == [2, 3]
+    assert all(c > 0.5 for _, c in conf)
+
+
+def test_lattice_confidence_cli(setup, tmp_path):
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+    from tf_kaldi_speaker_tpu.backend.lattice import write_lattice
+    from tf_kaldi_speaker_tpu.cli import lattice_best_path as lbp_cli
+
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    lat_path = str(tmp_path / "lat.txt")
+    with open(lat_path, "w") as fd:
+        ll, _ = _synth_loglikes(tm, word_tids, [1, 4], noise=0.3, seed=2)
+        lat, _ = decode_lattice_py(fst, ll, tid2pdf, acoustic_scale=1.0,
+                                   beam=16.0, lattice_beam=8.0)
+        write_lattice(fd, lat, "u0")
+    words_txt = str(tmp_path / "words.txt")
+    with open(words_txt, "w") as fd:
+        fd.write("<eps> 0\n")
+        for w in range(1, 5):
+            fd.write("w%d %d\n" % (w, w))
+    conf_out = str(tmp_path / "conf")
+    rc = lbp_cli.main([
+        "--acoustic-scale", "1.0", "--word-symbol-table", words_txt,
+        "--confidence-out", conf_out,
+        lat_path, "ark:" + str(tmp_path / "w.ark"),
+    ])
+    assert rc == 0
+    line = open(conf_out).read().split()
+    assert line[0] == "u0"
+    toks = [t.rsplit(":", 1) for t in line[1:]]
+    assert [t[0] for t in toks] == ["w1", "w4"]
+    assert all(0.0 <= float(t[1]) <= 1.0 for t in toks)

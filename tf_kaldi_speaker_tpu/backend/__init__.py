@@ -15,7 +15,14 @@ from .decoder import (
     decode_faster_py,
     decode_lattice_py,
 )
-from .lattice import Lattice, LatticeArc, read_lattice_ark, write_lattice
+from .lattice import (
+    Lattice,
+    LatticeArc,
+    arc_posteriors,
+    best_path_confidences,
+    read_lattice_ark,
+    write_lattice,
+)
 from .plda import Plda, train_plda
 from .wer import compute_wer, edit_distance, read_text_file
 from .scoring import (
@@ -34,6 +41,8 @@ __all__ = [
     "LatticeArc",
     "Plda",
     "WfstDecoder",
+    "arc_posteriors",
+    "best_path_confidences",
     "compute_wer",
     "decode_faster_py",
     "decode_lattice_py",

@@ -194,3 +194,71 @@ def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
                 raise ValueError("bad lattice line %r" % line)
         if key is not None:
             yield key, emit()
+
+
+def arc_posteriors(
+    lat: Lattice, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+) -> np.ndarray:
+    """Posterior probability of each arc under the scaled lattice
+    distribution (Kaldi ``lattice-to-post``): log-domain forward/backward
+    over the acyclic lattice; posterior(arc) =
+    exp(alpha[src] + logw(arc) + beta[dst] - total), where logw = the
+    negated scaled tropical cost. Arc posteriors sum to 1 across any
+    topological cut; per-word confidences come from the best path's arcs.
+    """
+    order = lat.topological_order()
+    NEG = -np.inf
+    logw = np.array(
+        [-(lm_scale * a.graph_cost + acoustic_scale * a.acoustic_cost)
+         for a in lat.arcs]
+    )
+    out: Dict[int, list] = {}
+    inn: Dict[int, list] = {}
+    for i, a in enumerate(lat.arcs):
+        out.setdefault(a.src, []).append(i)
+        inn.setdefault(a.dst, []).append(i)
+    alpha = np.full(lat.num_states, NEG)
+    alpha[lat.start] = 0.0
+    for s in order:
+        if alpha[s] == NEG:
+            continue
+        for i in out.get(s, ()):
+            d = lat.arcs[i].dst
+            alpha[d] = np.logaddexp(alpha[d], alpha[s] + logw[i])
+    beta = np.full(lat.num_states, NEG)
+    for s, (g, ac) in lat.finals.items():
+        beta[s] = -(lm_scale * g + acoustic_scale * ac)
+    for s in reversed(order):
+        for i in out.get(s, ()):
+            a = lat.arcs[i]
+            if beta[a.dst] != NEG:
+                beta[s] = np.logaddexp(beta[s], logw[i] + beta[a.dst])
+    total = NEG
+    for s, (g, ac) in lat.finals.items():
+        if alpha[s] != NEG:
+            total = np.logaddexp(
+                total, alpha[s] - (lm_scale * g + acoustic_scale * ac))
+    if total == NEG:
+        raise ValueError("lattice has no complete path")
+    post = np.zeros(len(lat.arcs))
+    for i, a in enumerate(lat.arcs):
+        if alpha[a.src] != NEG and beta[a.dst] != NEG:
+            post[i] = np.exp(alpha[a.src] + logw[i] + beta[a.dst] - total)
+    return post
+
+
+def best_path_confidences(
+    lat: Lattice, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+):
+    """Best-path words with per-word posterior confidences: for each
+    word-emitting arc on the best path, the total posterior of lattice
+    arcs carrying the same word label (a light-weight stand-in for
+    Kaldi's MBR/sausage confidences)."""
+    words, _, _ = lat.best_path(acoustic_scale=acoustic_scale,
+                                lm_scale=lm_scale)
+    post = arc_posteriors(lat, acoustic_scale, lm_scale)
+    by_word: Dict[int, float] = {}
+    for i, a in enumerate(lat.arcs):
+        if a.olabel > 0:
+            by_word[a.olabel] = by_word.get(a.olabel, 0.0) + post[i]
+    return [(w, min(1.0, by_word.get(w, 0.0))) for w in words]

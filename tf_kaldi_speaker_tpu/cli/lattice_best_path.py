@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                         "scales (requires --word-symbol-table)")
     parser.add_argument("--align-out", default=None,
                         help="wspecifier for transition-id alignments")
+    parser.add_argument("--confidence-out", default=None,
+                        help="write 'utt word:posterior ...' per-word "
+                        "confidences (lattice forward-backward; requires "
+                        "--word-symbol-table)")
     parser.add_argument("--sweep-lmwt", default=None, metavar="LO:HI",
                         help="score acoustic-scale=1/lmwt for each integer "
                         "lmwt in [LO, HI] against --ref-text and keep the "
@@ -102,6 +106,20 @@ def main(argv=None) -> int:
         fp_align.close()
     if fp_text is not None:
         fp_text.close()
+
+    if args.confidence_out:
+        if words_tab is None:
+            parser.error("--confidence-out requires --word-symbol-table")
+        from ..backend.lattice import best_path_confidences
+
+        scale = (1.0 / best[0]) if args.sweep_lmwt else args.acoustic_scale
+        with open(args.confidence_out, "w") as fd:
+            for key, lat in lats:
+                conf = best_path_confidences(
+                    lat, acoustic_scale=scale, lm_scale=args.lm_scale)
+                fd.write("%s %s\n" % (key, " ".join(
+                    "%s:%.4f" % (words_tab.get(int(w), "<unk#%d>" % w), c)
+                    for w, c in conf)))
     return 0 if res else 1
 
 
