@@ -190,6 +190,9 @@ def device_prefetch(
 
     t = threading.Thread(target=_work, daemon=True)
     t.start()
+    # Bound now: if a leftover generator is finalized at interpreter
+    # shutdown, the `queue` module global may already be None.
+    empty_exc = queue.Empty
     try:
         while True:
             item = q.get()
@@ -203,6 +206,6 @@ def device_prefetch(
         try:
             while True:
                 q.get_nowait()
-        except queue.Empty:
+        except empty_exc:
             pass
         t.join(timeout=5.0)
