@@ -539,3 +539,16 @@ def test_lattice_confidence_cli(setup, tmp_path):
     toks = [t.rsplit(":", 1) for t in line[1:]]
     assert [t[0] for t in toks] == ["w1", "w4"]
     assert all(0.0 <= float(t[1]) <= 1.0 for t in toks)
+
+
+def test_lattice_depth_stats(setup):
+    from tf_kaldi_speaker_tpu.backend.decoder import decode_lattice_py
+    from tf_kaldi_speaker_tpu.backend.lattice import depth_stats
+
+    tm, fst, word_tids = setup
+    ll, _ = _synth_loglikes(tm, word_tids, [2, 3], noise=0.6, seed=5)
+    lat, _ = decode_lattice_py(fst, ll, tm.tid2pdf[1:], acoustic_scale=0.8,
+                               beam=18.0, lattice_beam=12.0)
+    mean_d, max_d = depth_stats(lat)
+    assert mean_d >= 1.0 and max_d >= 1  # at least the best path per frame
+    assert max_d >= mean_d

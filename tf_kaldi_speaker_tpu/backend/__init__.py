@@ -20,6 +20,7 @@ from .lattice import (
     LatticeArc,
     arc_posteriors,
     best_path_confidences,
+    depth_stats,
     read_lattice_ark,
     write_lattice,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "compute_wer",
     "decode_faster_py",
     "decode_lattice_py",
+    "depth_stats",
     "edit_distance",
     "read_lattice_ark",
     "read_text_file",

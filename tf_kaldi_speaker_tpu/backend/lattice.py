@@ -262,3 +262,34 @@ def best_path_confidences(
         if a.olabel > 0:
             by_word[a.olabel] = by_word.get(a.olabel, 0.0) + post[i]
     return [(w, min(1.0, by_word.get(w, 0.0))) for w in words]
+
+
+def depth_stats(lat: Lattice) -> Tuple[float, int]:
+    """Lattice depth: mean/max number of frame-consuming arcs per frame
+    (the headline statistic of Kaldi's diagnostic analyze_lats.sh).
+
+    Frame index of a state = number of emitting arcs on any path from the
+    start (well-defined: every path to a state consumes the same number of
+    frames)."""
+    order = lat.topological_order()
+    frame = [-1] * lat.num_states
+    frame[lat.start] = 0
+    out: Dict[int, List[LatticeArc]] = {}
+    for a in lat.arcs:
+        out.setdefault(a.src, []).append(a)
+    per_frame: Dict[int, int] = {}
+    for s in order:
+        if frame[s] < 0:
+            continue
+        for a in out.get(s, ()):
+            nf = frame[s] + (1 if a.ilabel > 0 else 0)
+            if a.ilabel > 0:
+                per_frame[frame[s]] = per_frame.get(frame[s], 0) + 1
+            if frame[a.dst] < 0:
+                frame[a.dst] = nf
+            elif frame[a.dst] != nf:
+                raise ValueError("inconsistent frame alignment in lattice")
+    if not per_frame:
+        return 0.0, 0
+    counts = list(per_frame.values())
+    return float(np.mean(counts)), int(max(counts))

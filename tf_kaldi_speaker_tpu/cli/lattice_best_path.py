@@ -63,7 +63,15 @@ def main(argv=None) -> int:
                      "--word-symbol-table")
 
     lats = list(read_lattice_ark(args.lattice_ark))
-    logging.info("Read %d lattices.", len(lats))
+    if lats:
+        # analyze_lats.sh headline diagnostic
+        from ..backend.lattice import depth_stats
+
+        means = [depth_stats(lat)[0] for _, lat in lats]
+        logging.info("Read %d lattices (mean depth %.2f arcs/frame).",
+                     len(lats), float(np.mean(means)))
+    else:
+        logging.info("Read 0 lattices.")
 
     def transcripts(acoustic_scale, lm_scale):
         out = {}
