@@ -191,7 +191,9 @@ def main(e2e_headline: bool = False) -> None:
         state, losses = multi_step(state, f, l, lr)
     _ = float(losses[-1])
     dt_scan = (time.perf_counter() - t0) / (3 * K)
-    dt = min(dt, dt_scan)
+    # A stalled short window can make the slope estimate ~zero or negative;
+    # never let a bogus slope beat the (always-valid) scan measurement.
+    dt = dt_scan if dt <= 0 else min(dt, dt_scan)
 
     n_chips = len(jax.devices())
     chunks_per_sec_per_chip = batch / dt / n_chips

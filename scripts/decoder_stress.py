@@ -38,8 +38,7 @@ def make_model(num_phones):
         for st in range(3):
             tuples.append((p, st, pdf, pdf))
             pdf += 1
-    return TransitionModel(phones, [-1] + [0] * num_phones, tuples and tuples
-                           and entries, tuples,
+    return TransitionModel(phones, [-1] + [0] * num_phones, entries, tuples,
                            np.zeros(1 + 6 * num_phones, np.float32))
 
 

@@ -460,20 +460,17 @@ def decode_lattice_py(
     tok_cost: List[float] = []
     tok_frame: List[int] = []
     tok_links: List[List[Tuple[int, int, int, float, float]]] = []
-    tok_linkset: List[set] = []
+    tok_expanded: List[bool] = []
 
     def new_tok(frame: int, cost: float) -> int:
         tok_cost.append(cost)
         tok_frame.append(frame)
         tok_links.append([])
-        tok_linkset.append(set())
+        tok_expanded.append(False)
         return len(tok_cost) - 1
 
     def add_link(dst: int, src: int, il: int, ol: int, gc: float, ac: float):
-        key = (src, il, ol, gc, ac)
-        if key not in tok_linkset[dst]:
-            tok_linkset[dst].add(key)
-            tok_links[dst].append(key)
+        tok_links[dst].append((src, il, ol, gc, ac))
 
     def eps_closure(frame: int, toks: dict) -> None:
         best = min((tok_cost[t] for t in toks.values()), default=np.inf)
@@ -484,6 +481,12 @@ def decode_lattice_py(
             cost = tok_cost[ti]
             if cost > cutoff:
                 continue
+            # Links carry arc costs only, so each (source, arc) is linked at
+            # most once — on the source's FIRST expansion under the
+            # then-current cutoff; re-pops after improvement propagate cost
+            # only (identical rule in the native core).
+            first = not tok_expanded[ti]
+            tok_expanded[ti] = True
             lo, hi = fst.arc_offsets[s], fst.arc_offsets[s + 1]
             for a in range(lo, hi):
                 if fst.ilabels[a] != 0:
@@ -501,7 +504,8 @@ def decode_lattice_py(
                 elif nc < tok_cost[dst]:
                     tok_cost[dst] = nc
                     queue.append((ns, dst))
-                add_link(dst, ti, 0, int(fst.olabels[a]), gc, 0.0)
+                if first:
+                    add_link(dst, ti, 0, int(fst.olabels[a]), gc, 0.0)
                 if nc < best:
                     best = nc
                     cutoff = best + beam

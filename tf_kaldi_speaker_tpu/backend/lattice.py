@@ -135,7 +135,14 @@ class Lattice:
 
 
 def write_lattice(fd: TextIO, lat: Lattice, key: str) -> None:
-    """Write one utterance in Kaldi text-Lattice archive form."""
+    """Write one utterance in Kaldi text-Lattice archive form.
+
+    Kaldi/OpenFst text readers take the first state mentioned as the start
+    state; the in-repo decoders always renumber their start token to 0 and
+    list its outgoing arcs first, which we assert rather than assume."""
+    if lat.start != 0:
+        raise ValueError("text lattices require start state 0 (got %d)"
+                         % lat.start)
     fd.write("%s\n" % key)
     for a in lat.arcs:
         fd.write(
@@ -158,11 +165,13 @@ def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
         arcs: List[LatticeArc] = []
         finals: Dict[int, Tuple[float, float]] = {}
         max_state = -1
+        first_state = None
 
         def emit():
             n = max_state + 1
             return Lattice(num_states=max(n, 1), arcs=list(arcs),
-                           finals=dict(finals))
+                           finals=dict(finals),
+                           start=first_state if first_state is not None else 0)
 
         for line in fd:
             parts = line.split()
@@ -170,6 +179,7 @@ def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
                 if key is not None:
                     yield key, emit()
                 key, arcs, finals, max_state = None, [], {}, -1
+                first_state = None
                 continue
             if key is None:
                 if len(parts) != 1:
@@ -178,6 +188,8 @@ def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
                 continue
             if len(parts) in (1, 2):  # final state
                 s = int(parts[0])
+                if first_state is None:
+                    first_state = s
                 if len(parts) == 2:
                     g, ac = parts[1].split(",")
                     finals[s] = (float(g), float(ac))
@@ -188,6 +200,8 @@ def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
                 g, ac = parts[4].split(",")
                 a = LatticeArc(int(parts[0]), int(parts[1]), int(parts[2]),
                                int(parts[3]), float(g), float(ac))
+                if first_state is None:
+                    first_state = a.src
                 arcs.append(a)
                 max_state = max(max_state, a.src, a.dst)
             else:
@@ -247,21 +261,81 @@ def arc_posteriors(
     return post
 
 
+def _state_frames(lat: Lattice) -> List[int]:
+    """Frame index per state (number of emitting arcs from the start —
+    well-defined: every path to a state consumes the same frame count)."""
+    order = lat.topological_order()
+    frame = [-1] * lat.num_states
+    frame[lat.start] = 0
+    out: Dict[int, List[LatticeArc]] = {}
+    for a in lat.arcs:
+        out.setdefault(a.src, []).append(a)
+    for s in order:
+        if frame[s] < 0:
+            continue
+        for a in out.get(s, ()):
+            nf = frame[s] + (1 if a.ilabel > 0 else 0)
+            if frame[a.dst] < 0:
+                frame[a.dst] = nf
+            elif frame[a.dst] != nf:
+                raise ValueError("inconsistent frame alignment in lattice")
+    return frame
+
+
 def best_path_confidences(
     lat: Lattice, acoustic_scale: float = 1.0, lm_scale: float = 1.0
 ):
-    """Best-path words with per-word posterior confidences: for each
-    word-emitting arc on the best path, the total posterior of lattice
-    arcs carrying the same word label (a light-weight stand-in for
-    Kaldi's MBR/sausage confidences)."""
+    """Best-path words with PER-OCCURRENCE posterior confidences: for each
+    word arc on the best path, the total posterior of lattice arcs carrying
+    the same word label at the same frame index (a light-weight stand-in
+    for Kaldi's MBR/sausage confidences — time-aligned competitors pool,
+    other occurrences of the same word do not)."""
     words, _, _ = lat.best_path(acoustic_scale=acoustic_scale,
                                 lm_scale=lm_scale)
     post = arc_posteriors(lat, acoustic_scale, lm_scale)
-    by_word: Dict[int, float] = {}
+    frame = _state_frames(lat)
+    pooled: Dict[Tuple[int, int], float] = {}
     for i, a in enumerate(lat.arcs):
         if a.olabel > 0:
-            by_word[a.olabel] = by_word.get(a.olabel, 0.0) + post[i]
-    return [(w, min(1.0, by_word.get(w, 0.0))) for w in words]
+            key = (a.olabel, frame[a.src])
+            pooled[key] = pooled.get(key, 0.0) + post[i]
+    # Recover the best path's word arcs (with their frames) by re-walking
+    # the backtrace the same way best_path does.
+    order = lat.topological_order()
+    INF = float("inf")
+    cost = [INF] * lat.num_states
+    back: List[Tuple[int, int]] = [(-1, -1)] * lat.num_states
+    cost[lat.start] = 0.0
+    out: Dict[int, List[Tuple[int, LatticeArc]]] = {}
+    for i, a in enumerate(lat.arcs):
+        out.setdefault(a.src, []).append((i, a))
+    for s in order:
+        if cost[s] == INF:
+            continue
+        for i, a in out.get(s, ()):
+            c = cost[s] + lm_scale * a.graph_cost + acoustic_scale * a.acoustic_cost
+            if c < cost[a.dst]:
+                cost[a.dst] = c
+                back[a.dst] = (s, i)
+    best_state, best_cost = -1, INF
+    for s, (g, ac) in lat.finals.items():
+        if cost[s] == INF:
+            continue
+        c = cost[s] + lm_scale * g + acoustic_scale * ac
+        if c < best_cost:
+            best_state, best_cost = s, c
+    conf: List[Tuple[int, float]] = []
+    s = best_state
+    while s != lat.start:
+        ps, ai = back[s]
+        a = lat.arcs[ai]
+        if a.olabel > 0:
+            conf.append((a.olabel, min(
+                1.0, pooled.get((a.olabel, frame[a.src]), 0.0))))
+        s = ps
+    conf.reverse()
+    assert [w for w, _ in conf] == list(words)
+    return conf
 
 
 def depth_stats(lat: Lattice) -> Tuple[float, int]:
@@ -271,24 +345,11 @@ def depth_stats(lat: Lattice) -> Tuple[float, int]:
     Frame index of a state = number of emitting arcs on any path from the
     start (well-defined: every path to a state consumes the same number of
     frames)."""
-    order = lat.topological_order()
-    frame = [-1] * lat.num_states
-    frame[lat.start] = 0
-    out: Dict[int, List[LatticeArc]] = {}
-    for a in lat.arcs:
-        out.setdefault(a.src, []).append(a)
+    frame = _state_frames(lat)
     per_frame: Dict[int, int] = {}
-    for s in order:
-        if frame[s] < 0:
-            continue
-        for a in out.get(s, ()):
-            nf = frame[s] + (1 if a.ilabel > 0 else 0)
-            if a.ilabel > 0:
-                per_frame[frame[s]] = per_frame.get(frame[s], 0) + 1
-            if frame[a.dst] < 0:
-                frame[a.dst] = nf
-            elif frame[a.dst] != nf:
-                raise ValueError("inconsistent frame alignment in lattice")
+    for a in lat.arcs:
+        if a.ilabel > 0 and frame[a.src] >= 0:
+            per_frame[frame[a.src]] = per_frame.get(frame[a.src], 0) + 1
     if not per_frame:
         return 0.0, 0
     counts = list(per_frame.values())

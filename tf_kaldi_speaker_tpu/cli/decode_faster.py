@@ -4,9 +4,11 @@ Replaces the external ``latgen-faster-mapped`` + ``lattice-best-path`` +
 ``int2sym.pl`` chain in the reference decode flow (reference
 nnet/run_decode.sh:77-91, egs/fisher/v3/run_v1.sh:244-250): HCLG graph +
 transition model + loglike matrices -> word-id vectors, optional
-frame-level transition-id alignments, and text transcripts. Decoding is
-Viterbi-best-path (Kaldi decode-faster-mapped semantics); full lattices
-for LM rescoring remain external Kaldi.
+frame-level transition-id alignments, and text transcripts. Default mode
+is Viterbi-best-path (decode-faster-mapped semantics); ``--lattice-out``
+switches to lattice generation (latgen semantics), writing pruned
+text-Lattice archives for scale sweeps / confidences via
+cli.lattice_best_path.
 
 Utterances decode in parallel: the native core releases the GIL, so a
 thread pool scales across cores.

@@ -82,7 +82,13 @@ def main(argv=None) -> int:
         return out
 
     if args.sweep_lmwt:
-        lo, hi = (int(x) for x in args.sweep_lmwt.split(":"))
+        try:
+            lo, hi = (int(x) for x in args.sweep_lmwt.split(":"))
+        except ValueError:
+            parser.error("--sweep-lmwt expects LO:HI integers")
+        if lo < 1 or hi < lo:
+            parser.error("--sweep-lmwt needs 1 <= LO <= HI (got %s)"
+                         % args.sweep_lmwt)
         refs = read_text_file(args.ref_text)
         best = None
         for lmwt in range(lo, hi + 1):

@@ -439,6 +439,7 @@ class Decoder {
     if (fst_.start < 0) return TFKS_ERR_EMPTY;
     lt_cost_.clear();
     lt_links_.clear();
+    lt_expanded_.clear();
     for (int32_t s : touched_) tok_idx_[s] = -1;
     touched_.clear();
     // cur frame: tok_idx_[state] -> global token id; lt_states_ lists the
@@ -578,17 +579,11 @@ class Decoder {
   int32_t NewTok(int32_t, float cost) {
     lt_cost_.push_back(cost);
     lt_links_.emplace_back();
+    lt_expanded_.push_back(0);
     return static_cast<int32_t>(lt_cost_.size()) - 1;
   }
 
-  void AddLink(int32_t dst, Link l) {
-    // Dedup re-expansions (same src/arc): link lists are short, linear scan.
-    for (const Link &e : lt_links_[dst])
-      if (e.src == l.src && e.il == l.il && e.ol == l.ol && e.gc == l.gc &&
-          e.ac == l.ac)
-        return;
-    lt_links_[dst].push_back(l);
-  }
+  void AddLink(int32_t dst, Link l) { lt_links_[dst].push_back(l); }
 
   void LatticeEpsClosure(int32_t frame, float beam) {
     float best = kInf;
@@ -601,6 +596,13 @@ class Decoder {
       lt_queue_.pop_back();
       float cost = lt_cost_[st.tok];
       if (cost > cutoff) continue;
+      // Links carry arc costs only (independent of the source's cost), so
+      // each (source, arc) pair is linked at most once — on the source's
+      // FIRST expansion, if it passes the then-current cutoff. Re-pops
+      // after a cost improvement propagate the better cost downstream but
+      // add no links (identical rule in the Python oracle).
+      bool first = !lt_expanded_[st.tok];
+      lt_expanded_[st.tok] = 1;
       int64_t lo = fst_.offsets[st.state], hi = fst_.offsets[st.state + 1];
       for (int64_t a = lo; a < hi; ++a) {
         if (fst_.ilabels[a] != 0) continue;
@@ -619,7 +621,7 @@ class Decoder {
           lt_cost_[dst] = nc;
           lt_queue_.push_back({ns, dst});
         }
-        AddLink(dst, {st.tok, 0, fst_.olabels[a], gc, 0.0f});
+        if (first) AddLink(dst, {st.tok, 0, fst_.olabels[a], gc, 0.0f});
         if (nc < best) {
           best = nc;
           cutoff = best + beam;
@@ -630,6 +632,7 @@ class Decoder {
 
   std::vector<float> lt_cost_;
   std::vector<std::vector<Link>> lt_links_;
+  std::vector<char> lt_expanded_;
   std::vector<StateTok> lt_states_, lt_queue_;
 };
 
