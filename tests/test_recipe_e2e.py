@@ -114,7 +114,7 @@ def test_fisher_v1_recipe(tmp_path):
     )
     proc = subprocess.run(
         ["bash", str(run_sh)], env=env, cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=1200,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=3600,
     )
     assert proc.returncode == 0, proc.stdout[-6000:]
     # speaker-mean enrollment: score file keys are enroll SPEAKERS
@@ -192,7 +192,7 @@ def test_voxceleb_recipe_all_stages(tmp_path):
 
     proc = subprocess.run(
         ["bash", str(run_sh)], env=env, cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=1500,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=3600,
     )
     assert proc.returncode == 0, proc.stdout[-6000:]
 
