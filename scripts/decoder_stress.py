@@ -126,6 +126,22 @@ def main():
           "%d states, %d arcs, partial=%s"
           % (dt, len(rows) / dt, dt / (len(rows) / 100.0), lat.num_states,
              len(lat.arcs), partial))
+
+    # Concurrent decode through one shared decoder (per-thread native
+    # contexts): split the audio into utterances, all must stay correct.
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_utts = 8
+    per = len(rows) // n_utts
+    chunks = [loglikes[i * per:(i + 1) * per] for i in range(n_utts)]
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(dec.decode, chunks))
+    dt = time.perf_counter() - t0
+    got = sum(len(r.words) for r in results)
+    assert all(len(r.alignment) == per for r in results)
+    print("threaded (4 workers, %d utts): %.2f s -> %.0f frames/s total, "
+          "%d words" % (n_utts, dt, n_utts * per / dt, got))
     print("OK")
 
 

@@ -552,3 +552,26 @@ def test_lattice_depth_stats(setup):
     mean_d, max_d = depth_stats(lat)
     assert mean_d >= 1.0 and max_d >= 1  # at least the best path per frame
     assert max_d >= mean_d
+
+
+def test_wfst_decoder_python_fallback(setup, tmp_path, monkeypatch):
+    """With the native core unavailable, WfstDecoder transparently uses the
+    pure-Python implementations for both decode modes."""
+    from tf_kaldi_speaker_tpu.backend import decoder as dec_mod
+
+    tm, fst, word_tids = setup
+    tid2pdf = tm.tid2pdf[1:]
+    path = str(tmp_path / "fb.fst")
+    write_fst(path, fst, "vector")
+    monkeypatch.setattr(dec_mod, "_lib", None)
+    monkeypatch.setattr(dec_mod, "_load_failed", True)
+    dec = dec_mod.WfstDecoder(path, tid2pdf, acoustic_scale=1.0, beam=16.0)
+    assert dec._handle is None and dec._fst is not None
+    ll, align = _synth_loglikes(tm, word_tids, [3, 1], seed=4)
+    res = dec.decode(ll)
+    assert list(res.words) == [3, 1]
+    assert list(res.alignment) == align
+    lat, partial = dec.decode_lattice(ll, lattice_beam=8.0)
+    w, a, c = lat.best_path(acoustic_scale=1.0)
+    assert w == [3, 1] and not partial
+    dec.close()  # no-op without native handles
