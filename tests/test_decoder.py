@@ -575,3 +575,35 @@ def test_wfst_decoder_python_fallback(setup, tmp_path, monkeypatch):
     w, a, c = lat.best_path(acoustic_scale=1.0)
     assert w == [3, 1] and not partial
     dec.close()  # no-op without native handles
+
+
+def test_read_compact_lattice_text(tmp_path):
+    """CompactLattice text (lattice-copy's default) reads into the same
+    container: tid strings expand to per-frame chains, word on the first
+    arc, final alignment strings routed through a fresh final state."""
+    from tf_kaldi_speaker_tpu.backend.lattice import read_lattice_ark
+
+    path = str(tmp_path / "compact.txt")
+    with open(path, "w") as fd:
+        fd.write("utt_c\n")
+        fd.write("0 1 7 1.5,2.5,3_4_5\n")   # word 7 over tids 3,4,5
+        fd.write("0 2 8 0.5,1.0,3_4\n")     # competing word 8
+        fd.write("1 3 0 0,0,\n")            # eps arc, no tids
+        fd.write("2 3 0 0.25,0,6\n")        # eps word, one tid
+        fd.write("3 1.0,0.5,9\n")           # final with alignment string
+        fd.write("\n")
+    key, lat = next(iter(read_lattice_ark(path)))
+    assert key == "utt_c"
+    # chains: 3 tids -> 2 extra states; finals routed through 1 new state
+    words, align, cost = lat.best_path(acoustic_scale=1.0)
+    # best path: 0->2 (word 8, cost 1.5) -> 3 (0.25) -> final chain (1.5)
+    assert words == [8]
+    assert align == [3, 4, 6, 9]
+    ref_cost = (0.5 + 1.0) + 0.25 + (1.0 + 0.5)
+    assert abs(cost - ref_cost) < 1e-6
+    # the 3-tid path exists too
+    from tf_kaldi_speaker_tpu.backend.lattice import arc_posteriors
+    post = arc_posteriors(lat, acoustic_scale=1.0)
+    assert len(post) == len(lat.arcs) and abs(sum(
+        post[i] for i, a in enumerate(lat.arcs) if a.src == lat.start) - 1.0
+    ) < 1e-9

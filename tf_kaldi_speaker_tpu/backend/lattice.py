@@ -87,14 +87,12 @@ class Lattice:
             raise ValueError("lattice has a cycle")
         return order
 
-    def best_path(
+    def best_path_arcs(
         self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
-    ) -> Tuple[List[int], List[int], float]:
-        """Shortest path under scaled costs: (words, alignment, total_cost).
-
-        Equivalent to ``lattice-scale --acoustic-scale=a --lm-scale=l`` +
-        ``lattice-best-path``; sweeping scales here replaces re-decoding.
-        """
+    ) -> Tuple[List[int], float]:
+        """Arc indices of the shortest path under scaled costs, in path
+        order, plus the total cost (shared core of best_path and the
+        confidence extraction)."""
         order = self.topological_order()
         INF = float("inf")
         cost = [INF] * self.num_states
@@ -120,18 +118,26 @@ class Lattice:
                 best_state, best_cost = s, c
         if best_state < 0:
             raise ValueError("lattice has no reachable final state")
-        words: List[int] = []
-        align: List[int] = []
+        path: List[int] = []
         s = best_state
         while s != self.start:
             ps, ai = back[s]
-            a = self.arcs[ai]
-            if a.olabel > 0:
-                words.append(a.olabel)
-            if a.ilabel > 0:
-                align.append(a.ilabel)
+            path.append(ai)
             s = ps
-        return words[::-1], align[::-1], best_cost
+        return path[::-1], best_cost
+
+    def best_path(
+        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+    ) -> Tuple[List[int], List[int], float]:
+        """Shortest path under scaled costs: (words, alignment, total_cost).
+
+        Equivalent to ``lattice-scale --acoustic-scale=a --lm-scale=l`` +
+        ``lattice-best-path``; sweeping scales here replaces re-decoding.
+        """
+        path, best_cost = self.best_path_arcs(acoustic_scale, lm_scale)
+        words = [self.arcs[i].olabel for i in path if self.arcs[i].olabel > 0]
+        align = [self.arcs[i].ilabel for i in path if self.arcs[i].ilabel > 0]
+        return words, align, best_cost
 
 
 def write_lattice(fd: TextIO, lat: Lattice, key: str) -> None:
@@ -159,26 +165,75 @@ def write_lattice(fd: TextIO, lat: Lattice, key: str) -> None:
 
 
 def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
-    """Read a text-Lattice archive (yields (utt-id, Lattice))."""
+    """Read a text lattice archive (yields (utt-id, Lattice)).
+
+    Accepts BOTH Kaldi text forms:
+    - ``Lattice`` (5-field arcs ``src dst tid word g,a``) — what
+      :func:`write_lattice` emits;
+    - ``CompactLattice`` (4-field arcs ``src dst word g,a,tid1_tid2_...``,
+      the default of ``lattice-copy ark:in ark,t:out``) — each compact arc
+      expands into a chain of per-frame arcs with the word on the first,
+      so externally produced lattices score with the same tools.
+    """
     with open(path) as fd:
         key = None
-        arcs: List[LatticeArc] = []
-        finals: Dict[int, Tuple[float, float]] = {}
+        entries: List[tuple] = []
         max_state = -1
         first_state = None
 
         def emit():
-            n = max_state + 1
-            return Lattice(num_states=max(n, 1), arcs=list(arcs),
-                           finals=dict(finals),
+            nonlocal max_state
+            arcs: List[LatticeArc] = []
+            finals: Dict[int, Tuple[float, float]] = {}
+            next_state = max_state + 1
+
+            def chain(src, dst, word, g, ac, tids):
+                nonlocal next_state
+                if not tids:
+                    arcs.append(LatticeArc(src, dst, 0, word, g, ac))
+                    return
+                prev = src
+                for j, tid in enumerate(tids):
+                    last = j == len(tids) - 1
+                    nxt = dst if last else next_state
+                    if not last:
+                        next_state += 1
+                    arcs.append(LatticeArc(
+                        prev, nxt, tid, word if j == 0 else 0,
+                        g if j == 0 else 0.0, ac if j == 0 else 0.0))
+                    prev = nxt
+
+            for e in entries:
+                if e[0] == "arc":
+                    arcs.append(LatticeArc(*e[1:]))
+                elif e[0] == "carc":
+                    chain(*e[1:])
+                else:  # final
+                    _, st, g, ac, tids = e
+                    if tids:
+                        # final weight carries an alignment string: route it
+                        # through a fresh chain to a new final state
+                        fs = next_state
+                        next_state += 1
+                        chain(st, fs, 0, g, ac, tids)
+                        finals[fs] = (0.0, 0.0)
+                    else:
+                        finals[st] = (g, ac)
+            n = max(max_state + 1, next_state)
+            return Lattice(num_states=max(n, 1), arcs=arcs, finals=finals,
                            start=first_state if first_state is not None else 0)
+
+        def parse_weight3(w):
+            g, ac, tids = (w.split(",") + ["", ""])[:3]
+            tid_list = [int(t) for t in tids.split("_") if t] if tids else []
+            return float(g or 0.0), float(ac or 0.0), tid_list
 
         for line in fd:
             parts = line.split()
             if not parts:
                 if key is not None:
                     yield key, emit()
-                key, arcs, finals, max_state = None, [], {}, -1
+                key, entries, max_state = None, [], -1
                 first_state = None
                 continue
             if key is None:
@@ -186,24 +241,34 @@ def read_lattice_ark(path: str) -> Iterable[Tuple[str, Lattice]]:
                     raise ValueError("expected utterance id, got %r" % line)
                 key = parts[0]
                 continue
-            if len(parts) in (1, 2):  # final state
-                s = int(parts[0])
-                if first_state is None:
-                    first_state = s
-                if len(parts) == 2:
-                    g, ac = parts[1].split(",")
-                    finals[s] = (float(g), float(ac))
+            if len(parts) == 1:  # final, unit weight
+                st = int(parts[0])
+                first_state = st if first_state is None else first_state
+                entries.append(("final", st, 0.0, 0.0, []))
+                max_state = max(max_state, st)
+            elif len(parts) == 2:  # final with weight (either form)
+                st = int(parts[0])
+                first_state = st if first_state is None else first_state
+                if parts[1].count(",") >= 2:
+                    g, ac, tids = parse_weight3(parts[1])
                 else:
-                    finals[s] = (0.0, 0.0)
-                max_state = max(max_state, s)
-            elif len(parts) == 5:
-                g, ac = parts[4].split(",")
-                a = LatticeArc(int(parts[0]), int(parts[1]), int(parts[2]),
-                               int(parts[3]), float(g), float(ac))
-                if first_state is None:
-                    first_state = a.src
-                arcs.append(a)
-                max_state = max(max_state, a.src, a.dst)
+                    gs, acs = parts[1].split(",")
+                    g, ac, tids = float(gs), float(acs), []
+                entries.append(("final", st, g, ac, tids))
+                max_state = max(max_state, st)
+            elif len(parts) == 4:  # CompactLattice arc
+                src, dst, word = int(parts[0]), int(parts[1]), int(parts[2])
+                first_state = src if first_state is None else first_state
+                g, ac, tids = parse_weight3(parts[3])
+                entries.append(("carc", src, dst, word, g, ac, tids))
+                max_state = max(max_state, src, dst)
+            elif len(parts) == 5:  # Lattice arc
+                g, ac = parts[4].split(",")[:2]
+                a = ("arc", int(parts[0]), int(parts[1]), int(parts[2]),
+                     int(parts[3]), float(g), float(ac))
+                first_state = a[1] if first_state is None else first_state
+                entries.append(a)
+                max_state = max(max_state, a[1], a[2])
             else:
                 raise ValueError("bad lattice line %r" % line)
         if key is not None:
@@ -290,8 +355,6 @@ def best_path_confidences(
     the same word label at the same frame index (a light-weight stand-in
     for Kaldi's MBR/sausage confidences — time-aligned competitors pool,
     other occurrences of the same word do not)."""
-    words, _, _ = lat.best_path(acoustic_scale=acoustic_scale,
-                                lm_scale=lm_scale)
     post = arc_posteriors(lat, acoustic_scale, lm_scale)
     frame = _state_frames(lat)
     pooled: Dict[Tuple[int, int], float] = {}
@@ -299,43 +362,13 @@ def best_path_confidences(
         if a.olabel > 0:
             key = (a.olabel, frame[a.src])
             pooled[key] = pooled.get(key, 0.0) + post[i]
-    # Recover the best path's word arcs (with their frames) by re-walking
-    # the backtrace the same way best_path does.
-    order = lat.topological_order()
-    INF = float("inf")
-    cost = [INF] * lat.num_states
-    back: List[Tuple[int, int]] = [(-1, -1)] * lat.num_states
-    cost[lat.start] = 0.0
-    out: Dict[int, List[Tuple[int, LatticeArc]]] = {}
-    for i, a in enumerate(lat.arcs):
-        out.setdefault(a.src, []).append((i, a))
-    for s in order:
-        if cost[s] == INF:
-            continue
-        for i, a in out.get(s, ()):
-            c = cost[s] + lm_scale * a.graph_cost + acoustic_scale * a.acoustic_cost
-            if c < cost[a.dst]:
-                cost[a.dst] = c
-                back[a.dst] = (s, i)
-    best_state, best_cost = -1, INF
-    for s, (g, ac) in lat.finals.items():
-        if cost[s] == INF:
-            continue
-        c = cost[s] + lm_scale * g + acoustic_scale * ac
-        if c < best_cost:
-            best_state, best_cost = s, c
-    conf: List[Tuple[int, float]] = []
-    s = best_state
-    while s != lat.start:
-        ps, ai = back[s]
-        a = lat.arcs[ai]
-        if a.olabel > 0:
-            conf.append((a.olabel, min(
-                1.0, pooled.get((a.olabel, frame[a.src]), 0.0))))
-        s = ps
-    conf.reverse()
-    assert [w for w, _ in conf] == list(words)
-    return conf
+    path, _ = lat.best_path_arcs(acoustic_scale, lm_scale)
+    return [
+        (lat.arcs[i].olabel,
+         min(1.0, pooled.get((lat.arcs[i].olabel, frame[lat.arcs[i].src]),
+                             0.0)))
+        for i in path if lat.arcs[i].olabel > 0
+    ]
 
 
 def depth_stats(lat: Lattice) -> Tuple[float, int]:
