@@ -197,18 +197,19 @@ def test_voxceleb_recipe_all_stages(tmp_path):
     assert proc.returncode == 0, proc.stdout[-6000:]
 
     # augmentation actually happened and entered training
+    tail = proc.stdout[-3000:]
     aug_feats = os.path.join(data, "train_aug", "mfcc", "feats.scp")
-    assert os.path.exists(aug_feats)
+    assert os.path.exists(aug_feats), tail
     n_aug = len(open(aug_feats).readlines())
-    assert n_aug > 0
+    assert n_aug > 0, tail
     combined = open(os.path.join(data, "train_combined", "feats.scp")).readlines()
-    assert len(combined) == 100 + n_aug  # 60 dev + 40 vox2 clean + aug copies
+    assert len(combined) == 100 + n_aug, tail  # 60 dev + 40 vox2 + aug
     suffixes = {u.split()[0].rsplit("-", 1)[-1] for u in combined}
-    assert {"reverb", "noise", "music", "babble"} <= suffixes
+    assert {"reverb", "noise", "music", "babble"} <= suffixes, tail
 
     # finetune model trained from the pretrain checkpoint and was scored
-    assert os.path.exists(os.path.join(exp, "m", "nnet", "checkpoint"))
-    assert os.path.exists(os.path.join(exp, "m_ft", "nnet", "checkpoint"))
-    assert os.path.getsize(os.path.join(exp, "scores_cosine.txt")) > 0
-    assert os.path.getsize(os.path.join(exp, "scores_plda.txt")) > 0
-    assert "eer" in proc.stdout.lower()
+    assert os.path.exists(os.path.join(exp, "m", "nnet", "checkpoint")), tail
+    assert os.path.exists(os.path.join(exp, "m_ft", "nnet", "checkpoint")), tail
+    assert os.path.getsize(os.path.join(exp, "scores_cosine.txt")) > 0, tail
+    assert os.path.getsize(os.path.join(exp, "scores_plda.txt")) > 0, tail
+    assert "eer" in proc.stdout.lower(), tail
