@@ -321,6 +321,24 @@ class WfstDecoder:
         )
 
 
+def _validate_labels_py(fst: StdFst, tid2pdf: np.ndarray, num_pdfs: int) -> None:
+    """Python mirror of ``tfks_fst_validate``: reject out-of-range emitting
+    ilabels / pdf ids once per decode instead of IndexError-ing (or silently
+    negative-index-wrapping) mid-utterance in the hot loop."""
+    ilabels = np.asarray(fst.ilabels)
+    if ilabels.size:
+        lo, hi = int(ilabels.min()), int(ilabels.max())
+        if lo < 0 or hi > len(tid2pdf):
+            raise ValueError(
+                "graph ilabels out of range [0, %d]: min=%d max=%d"
+                % (len(tid2pdf), lo, hi))
+    t = np.asarray(tid2pdf)
+    if t.size and (int(t.min()) < 0 or int(t.max()) >= num_pdfs):
+        raise ValueError(
+            "tid2pdf maps outside [0, %d): min=%d max=%d"
+            % (num_pdfs, int(t.min()), int(t.max())))
+
+
 def decode_faster_py(
     fst: StdFst,
     loglikes: np.ndarray,
@@ -335,6 +353,7 @@ def decode_faster_py(
     tid2pdf = np.asarray(tid2pdf)
     if fst.start < 0:
         raise ValueError("empty decoding graph")
+    _validate_labels_py(fst, tid2pdf, num_pdfs)
 
     # arena of backpointers: (prev, ilabel, olabel)
     arena: List[Tuple[int, int, int]] = []
@@ -454,6 +473,7 @@ def decode_lattice_py(
     tid2pdf = np.asarray(tid2pdf)
     if fst.start < 0:
         raise ValueError("empty decoding graph")
+    _validate_labels_py(fst, tid2pdf, _num_pdfs)
 
     # Global token table: cost (scaled domain), frame, links (incoming:
     # (src_tok, ilabel, olabel, graph_cost, raw_acoustic_cost)).
@@ -482,9 +502,12 @@ def decode_lattice_py(
             if cost > cutoff:
                 continue
             # Links carry arc costs only, so each (source, arc) is linked at
-            # most once — on the source's FIRST expansion under the
-            # then-current cutoff; re-pops after improvement propagate cost
-            # only (identical rule in the native core).
+            # most once per EXISTING destination — on the source's FIRST
+            # expansion under the then-current cutoff; re-pops after
+            # improvement propagate cost only. A re-pop that CREATES a
+            # destination must still link it, or the new token survives
+            # pruning with no incoming arc (identical rule in the native
+            # core).
             first = not tok_expanded[ti]
             tok_expanded[ti] = True
             lo, hi = fst.arc_offsets[s], fst.arc_offsets[s + 1]
@@ -497,14 +520,15 @@ def decode_lattice_py(
                     continue
                 ns = int(fst.nextstates[a])
                 dst = toks.get(ns)
-                if dst is None:
+                created = dst is None
+                if created:
                     dst = new_tok(frame, nc)
                     toks[ns] = dst
                     queue.append((ns, dst))
                 elif nc < tok_cost[dst]:
                     tok_cost[dst] = nc
                     queue.append((ns, dst))
-                if first:
+                if first or created:
                     add_link(dst, ti, 0, int(fst.olabels[a]), gc, 0.0)
                 if nc < best:
                     best = nc

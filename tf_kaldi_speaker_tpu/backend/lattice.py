@@ -150,7 +150,10 @@ def write_lattice(fd: TextIO, lat: Lattice, key: str) -> None:
         raise ValueError("text lattices require start state 0 (got %d)"
                          % lat.start)
     fd.write("%s\n" % key)
-    for a in lat.arcs:
+    # OpenFst/Kaldi text readers adopt the first mentioned state as start;
+    # emit state-0 arcs first so an incoming-epsilon ordering (arcs grouped
+    # by destination) can never promote some other src to the start state.
+    for a in sorted(lat.arcs, key=lambda a: a.src != 0):
         fd.write(
             "%d %d %d %d %.7g,%.7g\n"
             % (a.src, a.dst, a.ilabel, a.olabel, a.graph_cost, a.acoustic_cost)

@@ -597,10 +597,12 @@ class Decoder {
       float cost = lt_cost_[st.tok];
       if (cost > cutoff) continue;
       // Links carry arc costs only (independent of the source's cost), so
-      // each (source, arc) pair is linked at most once — on the source's
-      // FIRST expansion, if it passes the then-current cutoff. Re-pops
-      // after a cost improvement propagate the better cost downstream but
-      // add no links (identical rule in the Python oracle).
+      // each (source, arc) pair is linked at most once per EXISTING
+      // destination — on the source's FIRST expansion, if it passes the
+      // then-current cutoff. Re-pops after a cost improvement propagate the
+      // better cost downstream but add no links — EXCEPT when the re-pop
+      // creates a brand-new token, which must be linked or it survives
+      // pruning with no incoming arc (identical rule in the Python oracle).
       bool first = !lt_expanded_[st.tok];
       lt_expanded_[st.tok] = 1;
       int64_t lo = fst_.offsets[st.state], hi = fst_.offsets[st.state + 1];
@@ -611,7 +613,8 @@ class Decoder {
         if (nc > cutoff) continue;
         int32_t ns = fst_.nextstates[a];
         int32_t dst = tok_idx_[ns];
-        if (dst < 0) {
+        bool created = dst < 0;
+        if (created) {
           dst = NewTok(frame, nc);
           tok_idx_[ns] = dst;
           touched_.push_back(ns);
@@ -621,7 +624,7 @@ class Decoder {
           lt_cost_[dst] = nc;
           lt_queue_.push_back({ns, dst});
         }
-        if (first) AddLink(dst, {st.tok, 0, fst_.olabels[a], gc, 0.0f});
+        if (first || created) AddLink(dst, {st.tok, 0, fst_.olabels[a], gc, 0.0f});
         if (nc < best) {
           best = nc;
           cutoff = best + beam;
@@ -659,7 +662,7 @@ int tfks_fst_validate(void *h, const int32_t *tid2pdf, int32_t num_tids,
   Fst *fst = static_cast<Fst *>(h);
   if (!fst) return TFKS_ERR_IO;
   for (int32_t il : fst->ilabels) {
-    if (il > num_tids ||
+    if (il < 0 || il > num_tids ||
         (il > 0 && (tid2pdf[il - 1] < 0 || tid2pdf[il - 1] >= num_pdfs)))
       return TFKS_ERR_LABEL;
   }
