@@ -213,3 +213,47 @@ def test_bf16_compute_dtype_keeps_f32_state(train_env):
         assert leaf.dtype == jnp.float32
     for leaf in jax.tree.leaves(state.batch_stats):
         assert leaf.dtype == jnp.float32
+
+
+def test_grouped_dispatch_matches_per_step(train_env):
+    """steps_per_dispatch>1 (lax.scan K-step program) must match the
+    per-step path when fed identical batches: single length bucket so the
+    length-draw cadence difference (one draw per group vs per batch)
+    cannot change the sampled data; single worker for deterministic order."""
+    root, d = train_env
+    common = dict(num_steps_per_epoch=6, save_checkpoints_steps=6,
+                  num_parallel_datasets=1, min_segment_len=64,
+                  max_segment_len=64, use_nesterov=False)
+    t1, params, _ = make_trainer(root, d, name="g1", steps_per_dispatch=1,
+                                 **common)
+    t1.build("train", 20, params.loss_func, 8)
+    t1.train(d["data"], d["spklist"], learning_rate=0.05)
+
+    t3, params3, _ = make_trainer(root, d, name="g3", steps_per_dispatch=3,
+                                  **common)
+    t3.build("train", 20, params3.loss_func, 8)
+    t3.train(d["data"], d["spklist"], learning_rate=0.05)
+
+    assert int(t1.state.step) == int(t3.state.step) == 6
+    flat1 = jax.tree_util.tree_leaves(t1.state.params)
+    flat3 = jax.tree_util.tree_leaves(t3.state.params)
+    for a, b in zip(flat1, flat3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    bs1 = jax.tree_util.tree_leaves(t1.state.batch_stats)
+    bs3 = jax.tree_util.tree_leaves(t3.state.batch_stats)
+    for a, b in zip(bs1, bs3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grouped_dispatch_device_decode(train_env):
+    """Grouped dispatch through the raw-codes (decode-on-device) path."""
+    root, d = train_env
+    t, params, nnet = make_trainer(
+        root, d, name="g4", steps_per_dispatch=4, num_steps_per_epoch=4,
+        save_checkpoints_steps=4, device_decode=True)
+    t.build("train", 20, params.loss_func, 8)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert int(t.state.step) == 4
+    assert checkpoints.read_pointer(nnet) == 4

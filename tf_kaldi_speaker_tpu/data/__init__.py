@@ -37,6 +37,7 @@ class KaldiDataRandomQueue(PrefetchLoader):
         num_buckets: int = 8,
         raw_codes: bool = False,
         length_seed: "int | None" = None,
+        group: int = 1,
     ):
         spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
         self.num_total_speakers = len(spk2index)
@@ -56,6 +57,7 @@ class KaldiDataRandomQueue(PrefetchLoader):
                 num_total_speakers=self.num_total_speakers,
                 raw_codes=raw_codes,
                 length_seed=length_seed,
+                group=group,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

@@ -62,6 +62,7 @@ class RandomChunkSampler:
         num_total_speakers: Optional[int] = None,
         raw_codes: bool = False,
         length_seed: Optional[int] = None,
+        group: int = 1,
     ):
         self.data_dir = data_dir
         if spk2features is None:
@@ -80,54 +81,72 @@ class RandomChunkSampler:
         # sampling stays host-disjoint.
         self.length_rng = random.Random(seed if length_seed is None else length_seed)
         self.raw_codes = raw_codes
+        # group > 1: yield K batches stacked on a leading axis (all at one
+        # bucket length) so the trainer can run K steps in ONE dispatch
+        # (lax.scan over the leading axis). One length draw per GROUP —
+        # lengths stay uniform over the bucket set, merely correlated
+        # within a group; the multi-host shape contract is per-yield.
+        self.group = int(group)
         self.reader: Optional[FeatureReader] = None
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         if self.reader is None:
             self.reader = FeatureReader(self.data_dir)
-        reader, rng = self.reader, self.rng
+        reader = self.reader
         speakers = list(self.spk2features.keys())
         if len(speakers) < self.num_speakers:
             speakers = speakers * (self.num_speakers // len(speakers) + 1)
-        B = self.num_speakers * self.num_segments
         while True:
             batch_length = self.length_rng.choice(self.buckets)
-            batch_speakers = rng.sample(speakers, self.num_speakers)
-            if self.raw_codes:
-                # Decode-on-device path: ship uint8 codes + per-column headers.
-                features = np.zeros((B, batch_length, reader.dim), dtype=np.uint8)
-                headers = np.zeros((B, 4, reader.dim), dtype=np.float32)
+            if self.group == 1:
+                yield self._one_batch(reader, speakers, batch_length)
             else:
-                features = np.zeros((B, batch_length, reader.dim), dtype=np.float32)
-                headers = None
-            labels = np.zeros((B,), dtype=np.int32)
-            plan = []  # (row, segment) decode work list for the batch call
-            for i in range(self.num_speakers):
-                spk = batch_speakers[i]
-                feature_list: List[str] = []
-                while not feature_list:
-                    feature_list = [
-                        feat
-                        for feat in self.spk2features[spk]
-                        if reader.utt2num_frames[feat.split(" ")[0]] > batch_length
-                    ]
-                    if not feature_list:
-                        spk = rng.choice(list(set(speakers) - set(batch_speakers)))
-                        batch_speakers[i] = spk
-                labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
-                if len(feature_list) < self.num_segments:
-                    feature_list = feature_list * (
-                        self.num_segments // len(feature_list) + 1
-                    )
-                for j, feat in enumerate(rng.sample(feature_list, self.num_segments)):
-                    row = i * self.num_segments + j
-                    plan.append((row, feat))
-            if self.raw_codes:
-                self._read_codes_plan(reader, rng, plan, features, headers, batch_length)
-                yield features, headers, labels
-            else:
-                self._decode_plan(reader, rng, plan, features, batch_length)
-                yield features, labels
+                parts = [
+                    self._one_batch(reader, speakers, batch_length)
+                    for _ in range(self.group)
+                ]
+                yield tuple(
+                    np.stack([p[i] for p in parts]) for i in range(len(parts[0]))
+                )
+
+    def _one_batch(self, reader, speakers, batch_length):
+        rng = self.rng
+        B = self.num_speakers * self.num_segments
+        batch_speakers = rng.sample(speakers, self.num_speakers)
+        if self.raw_codes:
+            # Decode-on-device path: ship uint8 codes + per-column headers.
+            features = np.zeros((B, batch_length, reader.dim), dtype=np.uint8)
+            headers = np.zeros((B, 4, reader.dim), dtype=np.float32)
+        else:
+            features = np.zeros((B, batch_length, reader.dim), dtype=np.float32)
+            headers = None
+        labels = np.zeros((B,), dtype=np.int32)
+        plan = []  # (row, segment) decode work list for the batch call
+        for i in range(self.num_speakers):
+            spk = batch_speakers[i]
+            feature_list: List[str] = []
+            while not feature_list:
+                feature_list = [
+                    feat
+                    for feat in self.spk2features[spk]
+                    if reader.utt2num_frames[feat.split(" ")[0]] > batch_length
+                ]
+                if not feature_list:
+                    spk = rng.choice(list(set(speakers) - set(batch_speakers)))
+                    batch_speakers[i] = spk
+            labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
+            if len(feature_list) < self.num_segments:
+                feature_list = feature_list * (
+                    self.num_segments // len(feature_list) + 1
+                )
+            for j, feat in enumerate(rng.sample(feature_list, self.num_segments)):
+                row = i * self.num_segments + j
+                plan.append((row, feat))
+        if self.raw_codes:
+            self._read_codes_plan(reader, rng, plan, features, headers, batch_length)
+            return features, headers, labels
+        self._decode_plan(reader, rng, plan, features, batch_length)
+        return features, labels
 
     def _decode_plan(self, reader, rng, plan, features, batch_length):
         """Decode the batch work list: ONE native threaded call when the

@@ -357,6 +357,37 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        # Grouped K-step dispatch: batches stacked on a leading axis, ONE
+        # program launch runs K = steps_per_dispatch steps via lax.scan.
+        # Through a high-latency host link (dev tunnel, remote hosts) the
+        # per-step RPC dominates the ~3.5 ms device step; one dispatch +
+        # one stacked transfer per K steps amortizes it (measured 2.7x
+        # loader-fed throughput at K=8). Metrics come back group-meaned.
+        # gsh: [K, B, ...] arrays, batch axis 1 on the data mesh axis.
+        self.gsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def scan_steps(inner, state, stacked, lr):
+            def body(s, xs):
+                return inner(s, *xs, lr)
+
+            state, ms = jax.lax.scan(body, state, stacked)
+            return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        self._train_step_multi = jax.jit(
+            lambda state, features, labels, lr: scan_steps(
+                step_fn, state, (features, labels), lr
+            ),
+            in_shardings=(None, self.gsh, self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+        self._train_step_raw_multi = jax.jit(
+            lambda state, codes, headers, labels, lr: scan_steps(
+                step_fn_raw, state, (codes, headers, labels), lr
+            ),
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+
     def _build_valid(self) -> None:
         loss_override = (
             "e2e_valid_loss" if self.loss_type == "angular_triplet_loss" else None
@@ -507,6 +538,27 @@ class Trainer:
             for x in arrays
         ), b
 
+    def _pad_group_rows(self, *arrays):
+        """Grouped variant of _pad_rows: arrays are [K, B, ...]; pad the
+        BATCH axis (1) to a multiple of the global data-axis size."""
+        n = self.mesh.shape[DATA_AXIS]
+        b = arrays[0].shape[1]
+        if b % n == 0:
+            return arrays, b
+        pad = n - b % n
+        return tuple(
+            np.concatenate(
+                [x, np.tile(x[:, -1:], (1, pad) + (1,) * (x.ndim - 2))], 1
+            )
+            for x in arrays
+        ), b
+
+    def _from_local_grouped(self, local: np.ndarray):
+        """Grouped-batch variant of _from_local ([K, B_local, ...] rows)."""
+        if jax.process_count() == 1:
+            return jax.device_put(local, self.gsh)
+        return jax.make_array_from_process_local_data(self.gsh, local)
+
     def _shard_batch(self, features: np.ndarray, labels: np.ndarray):
         (features, labels), _ = self._pad_rows(features, labels)
         return self._put_rows(features), self._put_rows(labels)
@@ -548,6 +600,12 @@ class Trainer:
             )
         min_len = int(cfg.get("min_segment_len", 200))
         max_len = int(cfg.get("max_segment_len", 400))
+        # K-step dispatch groups: shrink K until it divides num_steps so
+        # the epoch runs exactly num_steps steps with ONE compiled program
+        # (no remainder-shaped recompile). K identical on every host.
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
+        while num_steps % K:
+            K -= 1
         # Multi-host: all hosts must agree on each batch's length (the
         # global array's shape is a collective contract). One worker per
         # host (deterministic production order) + a length-draw RNG seeded
@@ -570,29 +628,45 @@ class Trainer:
                 int(cfg.get("seed", 0)) + int(self.state.step)
                 if nproc > 1 else None
             ),
+            group=K,
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
 
-        # Double-buffered device prefetch: the host→device copy of batch
-        # k+1 overlaps the compute of batch k (data/pipeline.py).
+        # Double-buffered device prefetch: the host→device copy of group
+        # k+1 overlaps the compute of group k (data/pipeline.py).
         from ..data.pipeline import device_prefetch
 
+        if K > 1:
+            step_multi = (
+                self._train_step_raw_multi if device_decode
+                else self._train_step_multi
+            )
+        else:
+            step_multi = None
+
         def host_batches():
-            for _ in range(num_steps):
+            for _ in range(num_steps // K):
                 batch = loader.fetch()
                 if nproc == 1:
-                    batch, _ = self._pad_rows(*batch)
+                    batch, _ = self._pad_group_rows(*batch) if K > 1 \
+                        else self._pad_rows(*batch)
                 yield batch
 
+        sharding = self.gsh if K > 1 else self.bsh
         try:
-            for local_step, batch in enumerate(
+            for local_group, batch in enumerate(
                 device_prefetch(
-                    host_batches(), self.bsh, depth=2,
-                    put_fn=self._from_local if nproc > 1 else None,
+                    host_batches(), sharding, depth=2,
+                    put_fn=(
+                        (self._from_local_grouped if K > 1 else self._from_local)
+                        if nproc > 1 else None
+                    ),
                 )
             ):
-                if device_decode:
+                if K > 1:
+                    self.state, metrics = step_multi(self.state, *batch, lr)
+                elif device_decode:
                     codes, headers, labels = batch
                     self.state, metrics = self._train_step_raw(
                         self.state, codes, headers, labels, lr
@@ -601,6 +675,7 @@ class Trainer:
                     features, labels = batch
                     self.state, metrics = self._train_step(self.state, features, labels, lr)
                 gstep = int(self.state.step)
+                local_step = local_group * K + K - 1
                 if cfg.get("check_numerics", False):
                     # Sanitizer mode (SURVEY §5: the reference only has
                     # NaN asserts in self-tests): fail fast on divergence.
@@ -609,18 +684,22 @@ class Trainer:
                         raise FloatingPointError(
                             "Non-finite loss at step %d: %r" % (gstep, m)
                         )
-                if profile_steps and local_step == 10:
+                if profile_steps and local_group == (10 // K):
                     jax.profiler.start_trace(os.path.join(self.model, "profile"))
-                if profile_steps and local_step == 10 + profile_steps:
+                if profile_steps and local_group == (10 + profile_steps) // K + 1:
                     jax.profiler.stop_trace()
-                if show and local_step % show == 0:
+                if show and (local_step % show) < K:
                     m = jax.device_get(metrics)
                     log.info(
                         "step %d: loss %.4f reg %.4f acc %.3f (%.2f steps/s)",
                         gstep, m["loss"], m["regularization_loss"], m["accuracy"],
                         (local_step + 1) / (time.time() - t0),
                     )
-                if writer and gstep % summary_steps == 0:
+                # Cadences are crossing checks (gstep advances K at a time;
+                # metrics at a crossing are the group mean).
+                if writer and summary_steps and (
+                    gstep // summary_steps > (gstep - K) // summary_steps
+                ):
                     writer.scalars(gstep, jax.device_get(metrics))
                     if cfg.get("save_histograms", True):
                         # per-variable histograms (reference trainer.py:431);
@@ -638,7 +717,7 @@ class Trainer:
                             {k: np.asarray(v).ravel()
                              for k, v in jax.device_get(readable).items()},
                         )
-                if save_every and gstep % save_every == 0:
+                if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
         finally:
             loader.stop()
