@@ -7,11 +7,14 @@ Prints ONE JSON line:
 
 - ``value`` is the DEVICE-STEP rate (one pre-staged batch re-fed; upper
   bound set by the TPU program alone).
-- ``e2e_chunks_per_sec_per_chip`` is the LOADER-FED rate: the real
-  KaldiDataRandomQueue decodes compressed arks (device-decode raw-codes
-  path) and feeds the jitted step through the double-buffered prefetch —
-  i.e. what Trainer.train actually achieves end to end on this host.
-- ``python bench.py --e2e`` makes the e2e rate the headline metric.
+- ``e2e_chunks_per_sec_per_chip`` is the LOADER-FED rate of Trainer.train's
+  device-pool path (compressed corpus staged in HBM once; the host ships
+  only [K, B] chunk-index triples per K-step dispatch) — what Trainer.train
+  achieves end to end; median of 3 windows, spread reported alongside.
+- ``e2e_stream_chunks_per_sec_per_chip`` is the STREAMING fallback rate
+  (corpus larger than the pool budget): grouped raw-code batches, one
+  stacked transfer + one scanned K-step dispatch per group.
+- ``python bench.py --e2e`` makes the pool e2e rate the headline metric.
 
 The flagship config runs with bfloat16 activations (compute_dtype, the
 TPU-native format; params/optimizer/BN stats stay f32).
@@ -36,15 +39,9 @@ import numpy as np
 BASELINE_CHUNKS_PER_SEC = 142.0
 
 
-def bench_e2e(cfg, dim, num_speakers, steps=60):
-    """Loader-fed throughput: real egs dir -> KaldiDataRandomQueue
-    (raw compressed codes) -> device_prefetch -> jitted raw-decode step."""
+def _bench_egs(dim):
     import os
 
-    from tf_kaldi_speaker_tpu.data import KaldiDataRandomQueue
-    from tf_kaldi_speaker_tpu.data.pipeline import device_prefetch
-    from tf_kaldi_speaker_tpu.train.trainer import Trainer
-    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
     from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
 
     egs = "/tmp/tfks_bench_egs"
@@ -53,7 +50,80 @@ def bench_e2e(cfg, dim, num_speakers, steps=60):
             egs, num_speakers=64, utts_per_speaker=12, dim=dim,
             min_len=420, max_len=500, compress=True, seed=0,
         )
+    return egs
 
+
+def bench_e2e_pool(cfg, dim, num_speakers, groups=24, windows=3):
+    """Loader-fed rate of Trainer.train's device-pool path: compressed
+    codes staged in HBM once, each dispatch ships only [K, B] index
+    triples and runs K scanned steps with on-device chunk gather +
+    dequantize (data/device_pool.py). Returns (median, spread) over
+    ``windows`` timed windows."""
+    import os
+    import random
+
+    from tf_kaldi_speaker_tpu.data import bucket_lengths
+    from tf_kaldi_speaker_tpu.data.device_pool import DevicePool
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    egs = _bench_egs(dim)
+    K = int(cfg.get("steps_per_dispatch", 8))
+    trainer = Trainer(
+        ParamsPlain(**dict(cfg, device_pool=True)), "/tmp/tfks_bench_pool/nnet",
+        dim=dim, num_speakers=num_speakers,
+    )
+    trainer.build("train", dim, cfg["loss_func"], num_speakers)
+    pool = DevicePool(egs, os.path.join(egs, "spklist"), sharding=trainer.rep)
+    pool.stage()
+    B = int(cfg["num_speakers_per_batch"]) * int(
+        cfg.get("num_segments_per_speaker", 1)
+    )
+    buckets = bucket_lengths(int(cfg["min_segment_len"]),
+                             int(cfg["max_segment_len"]), 8)
+    rng, lrng = random.Random(0), random.Random(0)
+    lr = jnp.float32(0.01)
+    state = trainer.state
+
+    def one_group(state, L):
+        starts, utts, labels = pool.sample_group(
+            rng, K, int(cfg["num_speakers_per_batch"]),
+            int(cfg.get("num_segments_per_speaker", 1)), L)
+        step = trainer._train_step_pool_multi(L)
+        return step(state, pool.frames, pool.headers,
+                    jax.device_put(starts, trainer.gsh),
+                    jax.device_put(utts, trainer.gsh),
+                    jax.device_put(labels, trainer.gsh), lr)
+
+    # Precompile every bucket length (one XLA program each).
+    for L in buckets:
+        state, m = one_group(state, L)
+    _ = float(m["loss"])
+
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(groups):
+            state, m = one_group(state, lrng.choice(buckets))
+        _ = float(m["loss"])
+        rates.append(groups * K * B / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2] / len(jax.devices()), rates
+
+
+def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
+    """Loader-fed rate of the STREAMING path (corpus larger than the pool
+    budget): KaldiDataRandomQueue raw-codes groups of K stacked batches ->
+    one transfer + one scanned K-step dispatch per group."""
+    import os
+
+    from tf_kaldi_speaker_tpu.data import KaldiDataRandomQueue, bucket_lengths
+    from tf_kaldi_speaker_tpu.data.pipeline import device_prefetch
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    egs = _bench_egs(dim)
+    K = int(cfg.get("steps_per_dispatch", 8))
     cfg = dict(cfg, device_decode=True)
     trainer = Trainer(
         ParamsPlain(**cfg), "/tmp/tfks_bench_e2e/nnet",
@@ -69,7 +139,7 @@ def bench_e2e(cfg, dim, num_speakers, steps=60):
         num_segments=int(cfg.get("num_segments_per_speaker", 1)),
         min_len=int(cfg["min_segment_len"]),
         max_len=int(cfg["max_segment_len"]),
-        seed=0, raw_codes=True,
+        seed=0, raw_codes=True, group=K,
     ).start()
     lr = jnp.float32(0.01)
     state = trainer.state
@@ -79,26 +149,29 @@ def bench_e2e(cfg, dim, num_speakers, steps=60):
     try:
         # Precompile every length bucket (each distinct chunk length is its
         # own XLA program; a compile inside the timed window would dominate).
-        from tf_kaldi_speaker_tpu.data import bucket_lengths
-
         rng = np.random.RandomState(0)
         m = None
         for L in bucket_lengths(int(cfg["min_segment_len"]),
                                 int(cfg["max_segment_len"]), 8):
             codes = jax.device_put(
-                rng.randint(0, 255, (batch, L, dim), dtype=np.uint8), trainer.bsh)
+                rng.randint(0, 255, (K, batch, L, dim), dtype=np.uint8),
+                trainer.gsh)
             headers = jax.device_put(
-                np.tile(np.array([0.0, 1.0, 2.0, 3.0], np.float32)[None, :, None],
-                        (batch, 1, dim)), trainer.bsh)
+                np.tile(np.array([0.0, 1.0, 2.0, 3.0], np.float32)
+                        [None, None, :, None], (K, batch, 1, dim)),
+                trainer.gsh)
             labels = jax.device_put(
-                rng.randint(0, num_speakers, batch).astype(np.int32), trainer.bsh)
-            state, m = trainer._train_step_raw(state, codes, headers, labels, lr)
+                rng.randint(0, num_speakers, (K, batch)).astype(np.int32),
+                trainer.gsh)
+            state, m = trainer._train_step_raw_multi(
+                state, codes, headers, labels, lr)
         _ = float(m["loss"])
 
-        it = device_prefetch(iter(loader), trainer.bsh, depth=2)
-        for _ in range(8):  # queue/prefetch warmup on real batches
+        it = device_prefetch(iter(loader), trainer.gsh, depth=2)
+        for _ in range(3):  # queue/prefetch warmup on real batches
             codes, headers, labels = next(it)
-            state, m = trainer._train_step_raw(state, codes, headers, labels, lr)
+            state, m = trainer._train_step_raw_multi(
+                state, codes, headers, labels, lr)
         _ = float(m["loss"])
         # Two consecutive windows, keep the faster: the tunnel to the chip
         # is shared and a transient stall in one window should not become
@@ -106,15 +179,15 @@ def bench_e2e(cfg, dim, num_speakers, steps=60):
         dt = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for _ in range(groups):
                 codes, headers, labels = next(it)
-                state, m = trainer._train_step_raw(
+                state, m = trainer._train_step_raw_multi(
                     state, codes, headers, labels, lr)
             _ = float(m["loss"])
             dt = min(dt, time.perf_counter() - t0)
     finally:
         loader.stop()
-    return batch * steps / dt / len(jax.devices())
+    return batch * K * groups / dt / len(jax.devices())
 
 
 def main(e2e_headline: bool = False) -> None:
@@ -197,14 +270,20 @@ def main(e2e_headline: bool = False) -> None:
 
     n_chips = len(jax.devices())
     chunks_per_sec_per_chip = batch / dt / n_chips
-    e2e_rate = bench_e2e(cfg, dim, num_speakers)
+    e2e_rate, e2e_spread = bench_e2e_pool(cfg, dim, num_speakers)
+    stream_rate = bench_e2e_stream(cfg, dim, num_speakers)
+    extra = {
+        "e2e_window_spread": [round(r, 0) for r in e2e_spread],
+        "e2e_stream_chunks_per_sec_per_chip": round(stream_rate, 2),
+    }
     if e2e_headline:
         out = {
             "metric": "e2e_train_chunks_per_sec_per_chip",
             "value": round(e2e_rate, 2),
-            "unit": "utterance-chunks/sec/chip (loader-fed)",
+            "unit": "utterance-chunks/sec/chip (loader-fed, device pool)",
             "vs_baseline": round(e2e_rate / BASELINE_CHUNKS_PER_SEC, 3),
             "device_step_chunks_per_sec_per_chip": round(chunks_per_sec_per_chip, 2),
+            **extra,
         }
     else:
         out = {
@@ -214,6 +293,7 @@ def main(e2e_headline: bool = False) -> None:
             "vs_baseline": round(chunks_per_sec_per_chip / BASELINE_CHUNKS_PER_SEC, 3),
             "e2e_chunks_per_sec_per_chip": round(e2e_rate, 2),
             "e2e_vs_baseline": round(e2e_rate / BASELINE_CHUNKS_PER_SEC, 3),
+            **extra,
         }
     print(json.dumps(out))
 

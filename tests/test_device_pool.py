@@ -1,0 +1,123 @@
+"""Device-resident sample pool: staging, on-device gather parity, training.
+
+The pool stages compressed utterance codes into (virtual-)device memory
+once and the train step gathers chunks on-device from host-shipped index
+triples (data/device_pool.py) — the TPU-native replacement for streaming
+feature bytes every step."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from tf_kaldi_speaker_tpu.data.device_pool import DevicePool, gather_chunks
+from tf_kaldi_speaker_tpu.kio.reader import FeatureReader
+from tf_kaldi_speaker_tpu.ops.cm_dequant_pallas import cm_dequantize_jnp
+from tf_kaldi_speaker_tpu.train import checkpoints
+from tf_kaldi_speaker_tpu.train.trainer import Trainer
+from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+from test_trainer import TINY
+
+
+@pytest.fixture(scope="module")
+def pool_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("device_pool")
+    d = make_fake_data_dir(
+        str(root / "train"), num_speakers=8, utts_per_speaker=5, dim=20,
+        min_len=120, max_len=200, compress=True, seed=3,
+    )
+    return root, d
+
+
+def test_pool_gather_matches_host_decode(pool_env):
+    root, d = pool_env
+    pool = DevicePool(d["data"], d["spklist"])
+    pool.stage()
+    assert pool.full_resident
+
+    reader = FeatureReader(d["data"])
+    # Every utterance, a random start each: on-device gather + dequant must
+    # equal the host partial-read decode exactly (same CM math).
+    rng = random.Random(0)
+    L = 64
+    for i, seg in enumerate(pool.utt_seg):
+        n = int(pool.utt_len[i])
+        start = rng.randint(0, n - L)
+        codes, headers = gather_chunks(
+            pool.frames, pool.headers,
+            np.array([int(pool.utt_offset[i]) + start], np.int32),
+            np.array([i], np.int32), L,
+        )
+        got = np.asarray(cm_dequant_ref(codes, headers))[0]
+        want, _ = reader.read_segment(seg, L, start=start)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    reader.close()
+    pool.close()
+
+
+def cm_dequant_ref(codes, headers):
+    return cm_dequantize_jnp(jax.numpy.asarray(codes), jax.numpy.asarray(headers))
+
+
+def test_pool_sample_group_semantics(pool_env):
+    root, d = pool_env
+    pool = DevicePool(d["data"], d["spklist"])
+    pool.stage()
+    rng = random.Random(1)
+    K, NS, M, L = 3, 4, 2, 96
+    starts, utts, labels = pool.sample_group(rng, K, NS, M, L)
+    assert starts.shape == utts.shape == labels.shape == (K, NS * M)
+    for k in range(K):
+        # speaker-balance: M consecutive rows share a label, speakers unique
+        row_labels = labels[k].reshape(NS, M)
+        assert all(len(set(r)) == 1 for r in row_labels)
+        assert len(set(row_labels[:, 0])) == NS
+        for b in range(NS * M):
+            u = utts[k, b]
+            off, n = int(pool.utt_offset[u]), int(pool.utt_len[u])
+            # chunk inside the utterance's own block, utterance longer than L
+            assert n > L
+            assert off <= starts[k, b] <= off + n - L
+            assert int(pool.utt_label[u]) == labels[k, b]
+    pool.close()
+
+
+def test_pool_budget_rotation(pool_env):
+    root, d = pool_env
+    # Budget ~half the corpus: residency must rotate with the round id.
+    reader = FeatureReader(d["data"])
+    total = sum(reader.utt2num_frames.values()) * reader.dim
+    reader.close()
+    pool = DevicePool(d["data"], d["spklist"], budget_bytes=total // 2)
+    pool.stage(0)
+    assert not pool.full_resident
+    res0 = set(pool.spk2utts.keys())
+    assert 0 < len(res0) < 8
+    pool.stage(1)
+    res1 = set(pool.spk2utts.keys())
+    assert res0 != res1
+    pool.close()
+
+
+def test_trainer_device_pool_epoch(pool_env):
+    root, d = pool_env
+    cfg = dict(
+        TINY, device_pool=True, steps_per_dispatch=3, num_steps_per_epoch=6,
+        save_checkpoints_steps=6, min_segment_len=64, max_segment_len=96,
+    )
+    params = ParamsPlain(**cfg)
+    nnet = str(root / "mpool" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, params.loss_func, 8)
+    t.build("valid", 20, params.loss_func, 8)
+    first = t.valid(d["data"], d["spklist"])[0]
+    for _ in range(3):
+        t.train(d["data"], d["spklist"], learning_rate=0.05)
+    after = t.valid(d["data"], d["spklist"])[0]
+    assert int(t.state.step) == 18
+    assert checkpoints.read_pointer(nnet) == 18
+    assert np.isfinite(after)
+    assert after < first, (first, after)

@@ -47,6 +47,11 @@ def get_relu(params: Dict[str, Any]) -> Callable:
     return lambda name: (lambda x: nn.relu(x))
 
 
+# tf.layers.batch_normalization default (the reference never overrides it);
+# flax's default is 1e-5, which would shift every BN output vs real TF.
+TF_BN_EPSILON = 1e-3
+
+
 def l2_scaling(x: jnp.ndarray, scaling_factor: float, epsilon: float = 1e-12) -> jnp.ndarray:
     """L2-normalize along the last axis then scale (common.py:45-58)."""
     square_sum = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
@@ -94,7 +99,8 @@ class DenseBlock(nn.Module):
         endpoints[f"{name}_dense"] = x
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=self.bn_momentum, name="bn"
+                use_running_average=not train, momentum=self.bn_momentum,
+                epsilon=TF_BN_EPSILON, name="bn"
             )(x)
             endpoints[f"{name}_bn"] = x
         if self.activation == "relu":

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import (
+    TF_BN_EPSILON,
     VAR2STD_EPSILON,
     DenseBlock,
     combine_last_two_dimensions,
@@ -163,7 +164,8 @@ class SelfAttentionPooling(nn.Module):
 
         if cfg.get("att_apply_nonlinear", False):
             att = nn.BatchNorm(
-                use_running_average=not train, momentum=bn_momentum, name="att_post_bn"
+                use_running_average=not train, momentum=bn_momentum,
+                epsilon=TF_BN_EPSILON, name="att_post_bn"
             )(att)
             endpoints["att_post_bn"] = att
             att = relu_factory("att_post_prelu")(att)

@@ -19,7 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import get_relu, kernel_init, l2_scaling
+from .layers import TF_BN_EPSILON, get_relu, kernel_init, l2_scaling
 from .pooling import POOLING_REGISTRY
 
 # Frames of left+right context consumed by the VALID convolutions
@@ -47,7 +47,8 @@ class TDNN(nn.Module):
 
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=bn_momentum, name=name
+                use_running_average=not train, momentum=bn_momentum,
+                epsilon=TF_BN_EPSILON, name=name
             )
 
         if aux_features:
@@ -151,16 +152,16 @@ class TDNNFrames(nn.Module):
         for i, ksize in ((1, 5), (2, 5), (3, 7)):
             x = nn.Conv(width, (ksize,), padding="VALID", kernel_init=kernel_init,
                         name=f"tdnn{i}_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum, epsilon=TF_BN_EPSILON,
                              name=f"tdnn{i}_bn")(x)
             x = relu_factory(f"tdnn{i}_prelu")(x)
         x = nn.Dense(width, kernel_init=kernel_init, name="tdnn4_dense")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum, epsilon=TF_BN_EPSILON,
                          name="tdnn4_bn")(x)
         x = relu_factory("tdnn4_prelu")(x)
         x = nn.Dense(cfg.get("num_nodes_pooling_layer", 1500), kernel_init=kernel_init,
                      name="tdnn5_dense")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum, epsilon=TF_BN_EPSILON,
                          name="tdnn5_bn")(x)
         x = relu_factory("tdnn5_prelu")(x)
         return x
@@ -184,7 +185,7 @@ class TDNNTail(nn.Module):
         endpoints: Dict[str, jnp.ndarray] = {"pooling": pooled}
         x = nn.Dense(width, kernel_init=kernel_init, name="tdnn6_dense")(pooled)
         endpoints["tdnn6_dense"] = x
-        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum, epsilon=TF_BN_EPSILON,
                          name="tdnn6_bn")(x)
         endpoints["tdnn6_bn"] = x
         x = relu_factory("tdnn6_prelu")(x)
@@ -193,7 +194,7 @@ class TDNNTail(nn.Module):
                      name="tdnn7_dense")(x)
         endpoints["tdnn7_dense"] = x
         if not cfg.get("last_layer_no_bn", False):
-            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum,
+            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum, epsilon=TF_BN_EPSILON,
                              name="tdnn7_bn")(x)
             endpoints["tdnn7_bn"] = x
         if not cfg.get("last_layer_linear", False):

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..losses import LossHead
-from ..models.layers import kernel_init
+from ..models.layers import TF_BN_EPSILON, kernel_init
 from ..models.pooling import floor_sqrt, masked_moments
 from ..utils.params import ParamsPlain, remove_params_prefix
 
@@ -59,7 +59,8 @@ class MultitaskModel(nn.Module):
         cfg = self.config
         width = cfg.get("tdnn_layer_size", 512)
         pool_width = cfg.get("num_nodes_pooling_layer", 1500)
-        bn_kw = dict(momentum=cfg.get("batchnorm_momentum", 0.99))
+        bn_kw = dict(momentum=cfg.get("batchnorm_momentum", 0.99),
+                     epsilon=TF_BN_EPSILON)
 
         # ---- speaker trunk (scope names match the reference's "encoder")
         spk_layers = []

@@ -191,6 +191,7 @@ class Trainer:
         self._train_step = None
         self._valid_step = None
         self._predict_fns: Dict[str, Any] = {}
+        self._device_pool = None
         self.is_built = False
 
     # ------------------------------------------------------------------
@@ -388,6 +389,41 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        # Device-pool path: the whole (compressed) corpus lives in HBM and
+        # each scanned step gathers its chunks on-device; the host ships
+        # only [K, B] index triples (data/device_pool.py). One compiled
+        # program per bucket length (chunk_len is static for dynamic_slice).
+        from ..data.device_pool import gather_chunks
+
+        def pool_scan_fn(chunk_len: int):
+            def fn(state, frames, headers, starts, utts, labels, lr):
+                def body(s, xs):
+                    st, ut, lb = xs
+                    codes, hdr = gather_chunks(frames, headers, st, ut, chunk_len)
+                    return step_fn_raw(s, codes, hdr, lb, lr)
+
+                state2, ms = jax.lax.scan(body, state, (starts, utts, labels))
+                return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+            return jax.jit(
+                fn,
+                in_shardings=(
+                    None, self.rep, self.rep, self.gsh, self.gsh, self.gsh,
+                    self.rep,
+                ),
+                donate_argnums=(0,),
+            )
+
+        self._pool_step_cache: Dict[int, Any] = {}
+
+        def train_step_pool_multi(chunk_len: int):
+            fn = self._pool_step_cache.get(chunk_len)
+            if fn is None:
+                fn = self._pool_step_cache[chunk_len] = pool_scan_fn(chunk_len)
+            return fn
+
+        self._train_step_pool_multi = train_step_pool_multi
+
     def _build_valid(self) -> None:
         loss_override = (
             "e2e_valid_loss" if self.loss_type == "angular_triplet_loss" else None
@@ -574,6 +610,13 @@ class Trainer:
     def train(self, data_dir: str, spklist: str, learning_rate: float, aux_data=None) -> None:
         """One epoch of num_steps_per_epoch steps (reference trainer.py:451-520)."""
         cfg = self.params.dict
+        if bool(cfg.get("device_pool", False)):
+            if jax.process_count() == 1:
+                return self._train_device_pool(data_dir, spklist, learning_rate)
+            log.warning(
+                "device_pool is single-process only for now; "
+                "falling back to the streaming loader"
+            )
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))
         save_every = int(cfg.get("save_checkpoints_steps", num_steps))
@@ -674,56 +717,147 @@ class Trainer:
                 else:
                     features, labels = batch
                     self.state, metrics = self._train_step(self.state, features, labels, lr)
-                gstep = int(self.state.step)
-                local_step = local_group * K + K - 1
-                if cfg.get("check_numerics", False):
-                    # Sanitizer mode (SURVEY §5: the reference only has
-                    # NaN asserts in self-tests): fail fast on divergence.
-                    m = jax.device_get(metrics)
-                    if not np.isfinite(m["loss"]):
-                        raise FloatingPointError(
-                            "Non-finite loss at step %d: %r" % (gstep, m)
-                        )
-                if profile_steps and local_group == (10 // K):
-                    jax.profiler.start_trace(os.path.join(self.model, "profile"))
-                if profile_steps and local_group == (10 + profile_steps) // K + 1:
-                    jax.profiler.stop_trace()
-                if show and (local_step % show) < K:
-                    m = jax.device_get(metrics)
-                    log.info(
-                        "step %d: loss %.4f reg %.4f acc %.3f (%.2f steps/s)",
-                        gstep, m["loss"], m["regularization_loss"], m["accuracy"],
-                        (local_step + 1) / (time.time() - t0),
-                    )
-                # Cadences are crossing checks (gstep advances K at a time;
-                # metrics at a crossing are the group mean).
-                if writer and summary_steps and (
-                    gstep // summary_steps > (gstep - K) // summary_steps
-                ):
-                    writer.scalars(gstep, jax.device_get(metrics))
-                    if cfg.get("save_histograms", True):
-                        # per-variable histograms (reference trainer.py:431);
-                        # skip shards this process cannot read (model-
-                        # parallel kernels spanning other hosts)
-                        readable = {
-                            "/".join(p): w
-                            for p, w in traverse_util.flatten_dict(
-                                self.state.params
-                            ).items()
-                            if getattr(w, "is_fully_addressable", True)
-                        }
-                        writer.histograms(
-                            gstep,
-                            {k: np.asarray(v).ravel()
-                             for k, v in jax.device_get(readable).items()},
-                        )
-                if save_every and gstep // save_every > (gstep - K) // save_every:
-                    self.save(gstep)
+                self._post_group(
+                    cfg, writer, metrics, K, local_group, t0,
+                    show, summary_steps, save_every, profile_steps,
+                )
         finally:
             loader.stop()
             if writer:
                 writer.close()
         self.save(int(self.state.step))
+
+    def _train_device_pool(
+        self, data_dir: str, spklist: str, learning_rate: float
+    ) -> None:
+        """One epoch fed from the HBM sample pool (data/device_pool.py).
+
+        The host computes [K, B] (start, utt, label) index triples — a few
+        KB per dispatch — and the scanned K-step program gathers +
+        dequantizes the chunks on-device, so the loader-fed rate equals
+        the device-step rate. When the corpus exceeds ``pool_budget_mb``,
+        each epoch holds an epoch-rotated resident speaker subset."""
+        import random as _random
+
+        from ..data import bucket_lengths
+        from ..data.device_pool import DevicePool
+
+        cfg = self.params.dict
+        num_steps = int(cfg["num_steps_per_epoch"])
+        show = int(cfg.get("show_training_progress", 100))
+        save_every = int(cfg.get("save_checkpoints_steps", num_steps))
+        summary_steps = int(cfg.get("save_summary_steps", 0))
+        profile_steps = int(cfg.get("profile_steps", 0))
+        writer = None
+        if summary_steps:
+            from ..utils.summary import SummaryWriter
+
+            writer = SummaryWriter(self.model)
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
+        while num_steps % K:
+            K -= 1
+        num_speakers = int(cfg.get("num_speakers_per_batch", 64))
+        num_segments = int(cfg.get("num_segments_per_speaker", 1))
+        buckets = bucket_lengths(
+            int(cfg.get("min_segment_len", 200)),
+            int(cfg.get("max_segment_len", 400)),
+            int(cfg.get("num_buckets", 8)),
+        )
+        if self._device_pool is None or self._device_pool.data_dir != data_dir:
+            if self._device_pool is not None:
+                self._device_pool.close()
+            self._device_pool = DevicePool(
+                data_dir, spklist,
+                budget_bytes=int(cfg.get("pool_budget_mb", 12000)) << 20,
+                sharding=self.rep,
+                seed=int(cfg.get("seed", 0)),
+            )
+        pool = self._device_pool
+        epoch_round = int(self.state.step) // max(1, num_steps)
+        pool.stage(epoch_round)
+        rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
+        length_rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
+        lr = jnp.float32(learning_rate)
+        t0 = time.time()
+        ndev = self.mesh.shape[DATA_AXIS]
+        try:
+            for local_group in range(num_steps // K):
+                L = length_rng.choice(buckets)
+                starts, utts, labels = pool.sample_group(
+                    rng, K, num_speakers, num_segments, L
+                )
+                if starts.shape[1] % ndev:
+                    (starts, utts, labels), _ = self._pad_group_rows(
+                        starts, utts, labels
+                    )
+                step = self._train_step_pool_multi(L)
+                self.state, metrics = step(
+                    self.state, pool.frames, pool.headers,
+                    jax.device_put(starts, self.gsh),
+                    jax.device_put(utts, self.gsh),
+                    jax.device_put(labels, self.gsh),
+                    lr,
+                )
+                self._post_group(
+                    cfg, writer, metrics, K, local_group, t0,
+                    show, summary_steps, save_every, profile_steps,
+                )
+        finally:
+            if writer:
+                writer.close()
+        self.save(int(self.state.step))
+
+    def _post_group(
+        self, cfg, writer, metrics, K, local_group, t0,
+        show, summary_steps, save_every, profile_steps,
+    ):
+        """Per-dispatch-group bookkeeping: numerics check, profiling window,
+        progress log, summaries, checkpoint. Cadences are crossing checks
+        (gstep advances K at a time; metrics at a crossing are the group
+        mean)."""
+        gstep = int(self.state.step)
+        local_step = local_group * K + K - 1
+        if cfg.get("check_numerics", False):
+            # Sanitizer mode (SURVEY §5: the reference only has
+            # NaN asserts in self-tests): fail fast on divergence.
+            m = jax.device_get(metrics)
+            if not np.isfinite(m["loss"]):
+                raise FloatingPointError(
+                    "Non-finite loss at step %d: %r" % (gstep, m)
+                )
+        if profile_steps and local_group == (10 // K):
+            jax.profiler.start_trace(os.path.join(self.model, "profile"))
+        if profile_steps and local_group == (10 + profile_steps) // K + 1:
+            jax.profiler.stop_trace()
+        if show and (local_step % show) < K:
+            m = jax.device_get(metrics)
+            log.info(
+                "step %d: loss %.4f reg %.4f acc %.3f (%.2f steps/s)",
+                gstep, m["loss"], m["regularization_loss"], m["accuracy"],
+                (local_step + 1) / (time.time() - t0),
+            )
+        if writer and summary_steps and (
+            gstep // summary_steps > (gstep - K) // summary_steps
+        ):
+            writer.scalars(gstep, jax.device_get(metrics))
+            if cfg.get("save_histograms", True):
+                # per-variable histograms (reference trainer.py:431);
+                # skip shards this process cannot read (model-
+                # parallel kernels spanning other hosts)
+                readable = {
+                    "/".join(p): w
+                    for p, w in traverse_util.flatten_dict(
+                        self.state.params
+                    ).items()
+                    if getattr(w, "is_fully_addressable", True)
+                }
+                writer.histograms(
+                    gstep,
+                    {k: np.asarray(v).ravel()
+                     for k, v in jax.device_get(readable).items()},
+                )
+        if save_every and gstep // save_every > (gstep - K) // save_every:
+            self.save(gstep)
 
     def train_tune_lr(self, data_dir: str, spklist: str, tune_period: int = 100) -> None:
         """Exponential LR sweep 1e-5 · 1.15^k (reference trainer.py:522-590);
