@@ -123,6 +123,14 @@ fi
 
 if [ $stage -le 7 ]; then
   echo "=== stage 7: SRE16 PLDA scoring with domain adaptation"
+  # Per-language splits (reference eval_plda_sre16.sh: pooled/tgl/yue):
+  # pass every trials_<lang> file present next to the pooled list.
+  subset_flags=()
+  for lang in tgl yue; do
+    if [ -f "$data_root/sre16_test/trials_$lang" ]; then
+      subset_flags+=(--subset-trials "$lang=$data_root/sre16_test/trials_$lang")
+    fi
+  done
   $py tf_kaldi_speaker_tpu.cli.score --backend plda \
     --enroll-scp "$exp/xvectors_sre16_enroll.scp" \
     --enroll-utt2spk "$data_root/sre16_enroll/utt2spk" \
@@ -132,5 +140,6 @@ if [ $stage -le 7 ]; then
     --train-utt2spk "$data_root/swbd_sre/mfcc/utt2spk" \
     --lda-dim 150 \
     --adapt-scp "$exp/xvectors_sre16_major.scp" \
+    "${subset_flags[@]}" \
     --scores "$exp/scores_sre16.txt"
 fi

@@ -164,3 +164,53 @@ def test_score_cli_asnorm(tmp_path, capsys):
                                    "--snorm-topk", "10"], "pn.scores")
     assert not np.allclose(sp, spn)
     assert eer_pn <= eer_p + 5.0
+
+
+def test_score_cli_subset_trials(tmp_path, capsys):
+    """--subset-trials reports per-subset EER/DCF (SRE16 pooled/tgl/yue
+    protocol, reference eval_plda_sre16.sh) and writes per-subset scores."""
+    rng = np.random.RandomState(2)
+    evalset, eval_u2s = make_embeddings(rng, n_spk=6, per=6)
+    enroll = {k: v for k, v in evalset.items() if int(k[-1]) < 3}
+    test = {k: v for k, v in evalset.items() if int(k[-1]) >= 3}
+    enroll_scp = write_xvectors(str(tmp_path / "enroll"), enroll)
+    test_scp = write_xvectors(str(tmp_path / "test"), test)
+    with open(str(tmp_path / "enroll_u2s"), "w") as f:
+        for k in enroll:
+            f.write("%s %s\n" % (k, eval_u2s[k]))
+
+    spks = sorted({eval_u2s[k] for k in enroll})
+    # "languages": first half of test utts -> tgl, second half -> yue
+    tests_sorted = sorted(test)
+    half = len(tests_sorted) // 2
+    lang = {t: ("tgl" if i < half else "yue") for i, t in enumerate(tests_sorted)}
+    all_lines, sub = [], {"tgl": [], "yue": []}
+    for s in spks:
+        for t in tests_sorted:
+            line = "%s %s %s" % (s, t, "target" if eval_u2s[t] == s else "nontarget")
+            all_lines.append(line)
+            sub[lang[t]].append(line)
+    with open(str(tmp_path / "trials"), "w") as f:
+        f.write("\n".join(all_lines) + "\n")
+    for name, lines in sub.items():
+        with open(str(tmp_path / ("trials_" + name)), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    rc = score_cli.main([
+        "--backend", "cosine",
+        "--enroll-scp", enroll_scp, "--enroll-utt2spk", str(tmp_path / "enroll_u2s"),
+        "--test-scp", test_scp, "--trials", str(tmp_path / "trials"),
+        "--subset-trials", "tgl=%s" % str(tmp_path / "trials_tgl"),
+        "--subset-trials", "yue=%s" % str(tmp_path / "trials_yue"),
+        "--scores", str(tmp_path / "s.scores"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[tgl] EER:" in out and "[yue] EER:" in out
+    assert "[tgl] minDCF08:" in out
+    # per-subset score files partition the pooled file
+    pooled = open(str(tmp_path / "s.scores")).read().splitlines()
+    tgl = open(str(tmp_path / "s.scores.tgl")).read().splitlines()
+    yue = open(str(tmp_path / "s.scores.yue")).read().splitlines()
+    assert len(tgl) + len(yue) == len(pooled)
+    assert set(tgl) | set(yue) == set(pooled)

@@ -70,6 +70,12 @@ def main(argv=None) -> int:
                         help="apply AS-Norm with this cohort (x-vector scp)")
     parser.add_argument("--snorm-topk", type=int, default=300,
                         help="adaptive top-K cohort size (0 = plain S-norm)")
+    parser.add_argument("--subset-trials", action="append", default=[],
+                        metavar="NAME=TRIALS",
+                        help="also report metrics on a trial subset (e.g. "
+                             "tgl=.../trials_tgl), repeatable — the SRE16 "
+                             "per-language protocol (reference "
+                             "eval_plda_sre16.sh: pooled/tgl/yue)")
     args = parser.parse_args(argv)
 
     enroll = _load_scp(args.enroll_scp)
@@ -167,12 +173,31 @@ def main(argv=None) -> int:
             for (e, t), s in zip(trials, scores):
                 f.write("%s %s %f\n" % (e, t, s))
 
-    eer, thresh = compute_eer(scores, targets)
-    dcf08 = min_dcf08(scores, targets)
-    dcf10 = min_dcf10(scores, targets)
-    print("EER: %.4f%%" % (eer * 100.0))
-    print("minDCF08: %.4f" % dcf08)
-    print("minDCF10: %.4f" % dcf10)
+    def report(name, sc, tg):
+        tag = "" if not name else "[%s] " % name
+        eer, _ = compute_eer(sc, tg)
+        print("%sEER: %.4f%%" % (tag, eer * 100.0))
+        print("%sminDCF08: %.4f" % (tag, min_dcf08(sc, tg)))
+        print("%sminDCF10: %.4f" % (tag, min_dcf10(sc, tg)))
+
+    report("", np.asarray(scores), np.asarray(targets))
+    # Per-subset splits (reference eval_plda_sre16.sh filters the pooled
+    # score file by each language's trial list and re-scores).
+    for spec in args.subset_trials:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit("--subset-trials expects NAME=TRIALS, got %r" % spec)
+        sub_pairs = set(map(tuple, read_trials(path)[0]))
+        mask = np.array([tuple(p) in sub_pairs for p in trials], bool)
+        if not mask.any():
+            print("[%s] no trials matched %s" % (name, path))
+            continue
+        report(name, np.asarray(scores)[mask], np.asarray(targets)[mask])
+        if args.scores:
+            with open("%s.%s" % (args.scores, name), "w") as f:
+                for (e, t), s, m in zip(trials, scores, mask):
+                    if m:
+                        f.write("%s %s %f\n" % (e, t, s))
     return 0
 
 
