@@ -390,3 +390,322 @@ def depth_stats(lat: Lattice) -> Tuple[float, int]:
         return 0.0, 0
     counts = list(per_frame.values())
     return float(np.mean(counts)), int(max(counts))
+
+
+# ----------------------------------------------------------------------
+# CompactLattice + determinization
+# ----------------------------------------------------------------------
+
+@dataclass
+class CompactArc:
+    src: int
+    dst: int
+    word: int
+    graph_cost: float
+    acoustic_cost: float
+    tids: Tuple[int, ...] = ()
+
+
+@dataclass
+class CompactLattice:
+    """Word-deterministic lattice: per word sequence exactly one path, arcs
+    carry the transition-id alignment string (Kaldi CompactLattice — the
+    output contract of latgen-faster-mapped determinize-lattice=true,
+    reference nnet/run_decode.sh:77-91)."""
+
+    num_states: int
+    arcs: List[CompactArc] = field(default_factory=list)
+    # state -> (graph_cost, acoustic_cost, tids)
+    finals: Dict[int, Tuple[float, float, Tuple[int, ...]]] = field(
+        default_factory=dict)
+    start: int = 0
+
+    def topological_order(self) -> List[int]:
+        indeg = [0] * self.num_states
+        out: Dict[int, List[int]] = {}
+        for a in self.arcs:
+            indeg[a.dst] += 1
+            out.setdefault(a.src, []).append(a.dst)
+        stack = [s for s in range(self.num_states) if indeg[s] == 0]
+        order = []
+        while stack:
+            s = stack.pop()
+            order.append(s)
+            for d in out.get(s, ()):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    stack.append(d)
+        if len(order) != self.num_states:
+            raise ValueError("compact lattice has a cycle")
+        return order
+
+    def best_path(
+        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+    ) -> Tuple[List[int], List[int], float]:
+        """(words, alignment, total_cost) of the shortest path."""
+        order = self.topological_order()
+        INF = float("inf")
+        cost = [INF] * self.num_states
+        back: Dict[int, CompactArc] = {}
+        cost[self.start] = 0.0
+        out: Dict[int, List[CompactArc]] = {}
+        for a in self.arcs:
+            out.setdefault(a.src, []).append(a)
+        for s in order:
+            if cost[s] == INF:
+                continue
+            for a in out.get(s, ()):
+                c = cost[s] + lm_scale * a.graph_cost + acoustic_scale * a.acoustic_cost
+                if c < cost[a.dst]:
+                    cost[a.dst] = c
+                    back[a.dst] = a
+        best_state, best_cost, best_fin = -1, INF, None
+        for s, (g, ac, tids) in self.finals.items():
+            if cost[s] == INF:
+                continue
+            c = cost[s] + lm_scale * g + acoustic_scale * ac
+            if c < best_cost:
+                best_state, best_cost, best_fin = s, c, tids
+        if best_state < 0:
+            raise ValueError("compact lattice has no reachable final state")
+        rev: List[CompactArc] = []
+        s = best_state
+        while s != self.start:
+            a = back[s]
+            rev.append(a)
+            s = a.src
+        words, align = [], []
+        for a in reversed(rev):
+            if a.word > 0:
+                words.append(a.word)
+            align.extend(a.tids)
+        align.extend(best_fin)
+        return words, align, best_cost
+
+    def paths(self, limit: int = 100000):
+        """Enumerate (word tuple, align tuple, total cost) of every path —
+        test/diagnostic helper (determinized lattices are small)."""
+        out: Dict[int, List[CompactArc]] = {}
+        for a in self.arcs:
+            out.setdefault(a.src, []).append(a)
+        results = []
+        stack = [(self.start, (), (), 0.0, 0.0)]
+        while stack:
+            s, words, tids, g, ac = stack.pop()
+            if len(results) >= limit:
+                raise ValueError("path limit exceeded")
+            if s in self.finals:
+                fg, fa, ftids = self.finals[s]
+                results.append((words, tids + ftids, g + fg, ac + fa))
+            for a in out.get(s, ()):
+                stack.append((
+                    a.dst,
+                    words + ((a.word,) if a.word > 0 else ()),
+                    tids + a.tids, g + a.graph_cost, ac + a.acoustic_cost,
+                ))
+        return results
+
+
+def determinize_lattice(
+    lat: Lattice,
+    acoustic_scale: float = 1.0,
+    lm_scale: float = 1.0,
+    beam: float | None = None,
+    max_states: int = 200000,
+) -> CompactLattice:
+    """Determinize a raw state-level lattice on WORD labels (Kaldi
+    DeterminizeLatticePruned semantics, the default latgen post-pass).
+
+    Weighted subset construction in the lattice semiring: a determinized
+    state is a normalized set of (raw state, residual (graph, acoustic)
+    cost, residual tid string); plus-selection keeps the single best
+    residual per raw state (LatticeWeight's min-by-total), which makes
+    determinization functional — per word sequence exactly the best path
+    survives, with its frame alignment on the arc strings. ``beam`` prunes
+    members whose best completion exceeds best_total + beam (the raw
+    lattice is already lattice-beam-pruned, so the default keeps
+    everything). Raises if ``max_states`` determinized states are exceeded
+    (Kaldi falls back to the raw lattice in that case — callers catch).
+
+    Scales enter COMPARISONS only (member selection, pruning); stored
+    costs stay unscaled, so downstream scale sweeps remain exact.
+    """
+    order = lat.topological_order()
+    out_eps: Dict[int, List[LatticeArc]] = {}
+    out_word: Dict[int, Dict[int, List[LatticeArc]]] = {}
+    for a in lat.arcs:
+        if a.olabel == 0:
+            out_eps.setdefault(a.src, []).append(a)
+        else:
+            out_word.setdefault(a.src, {}).setdefault(a.olabel, []).append(a)
+
+    def total(g: float, ac: float) -> float:
+        return lm_scale * g + acoustic_scale * ac
+
+    # Backward best-completion bound for pruning.
+    INF = float("inf")
+    beta = [INF] * lat.num_states
+    for s, (g, ac) in lat.finals.items():
+        beta[s] = total(g, ac)
+    out_all: Dict[int, List[LatticeArc]] = {}
+    for a in lat.arcs:
+        out_all.setdefault(a.src, []).append(a)
+    for s in reversed(order):
+        for a in out_all.get(s, ()):
+            c = total(a.graph_cost, a.acoustic_cost) + beta[a.dst]
+            if c < beta[s]:
+                beta[s] = c
+    if beta[lat.start] == INF:
+        raise ValueError("lattice has no complete path")
+    best_total = beta[lat.start]
+
+    def closure(members: Dict[int, Tuple[float, float, Tuple[int, ...]]]):
+        """Absorb word-epsilon arcs; keep the best residual per state."""
+        stack = list(members.items())
+        while stack:
+            s, (g, ac, ts) = stack.pop()
+            cur = members.get(s)
+            if cur is None or total(cur[0], cur[1]) < total(g, ac) - 1e-12:
+                continue  # superseded
+            for a in out_eps.get(s, ()):
+                ng, na = g + a.graph_cost, ac + a.acoustic_cost
+                nts = ts + ((a.ilabel,) if a.ilabel > 0 else ())
+                old = members.get(a.dst)
+                if old is None or total(ng, na) < total(old[0], old[1]) - 1e-12:
+                    members[a.dst] = (ng, na, nts)
+                    stack.append((a.dst, (ng, na, nts)))
+        return members
+
+    def normalize(members, fwd_cost):
+        """Prune, subtract the best member's cost pair, factor the common
+        tid prefix. Returns (base_g, base_ac, prefix, key, norm_members)."""
+        if beam is not None:
+            members = {
+                s: m for s, m in members.items()
+                if beta[s] < INF
+                and fwd_cost + total(m[0], m[1]) + beta[s]
+                <= best_total + beam + 1e-9
+            }
+        else:
+            members = {s: m for s, m in members.items()
+                       if beta[s] < INF or s in lat.finals}
+        if not members:
+            return None
+        base_s = min(members, key=lambda s: total(members[s][0], members[s][1]))
+        bg, ba, _ = members[base_s]
+        prefix: Tuple[int, ...] | None = None
+        for _, (_, _, ts) in members.items():
+            if prefix is None:
+                prefix = ts
+            else:
+                n = 0
+                for x, y in zip(prefix, ts):
+                    if x != y:
+                        break
+                    n += 1
+                prefix = prefix[:n]
+        prefix = prefix or ()
+        norm = {
+            s: (g - bg, ac - ba, ts[len(prefix):])
+            for s, (g, ac, ts) in members.items()
+        }
+        key = tuple(sorted(
+            (s, round(g, 6), round(ac, 6), ts) for s, (g, ac, ts) in norm.items()
+        ))
+        return bg, ba, prefix, key, norm
+
+    # The start det-state is NOT normalized: an OpenFst start state carries
+    # no weight/string to hang a base cost or prefix on. Its key is a
+    # sentinel so no normalized state can alias it.
+    start_members = closure({lat.start: (0.0, 0.0, ())})
+    if beam is not None:
+        start_members = {
+            s: m for s, m in start_members.items()
+            if beta[s] < INF and total(m[0], m[1]) + beta[s]
+            <= best_total + beam + 1e-9
+        }
+    else:
+        start_members = {s: m for s, m in start_members.items()
+                         if beta[s] < INF}
+    if not start_members:
+        raise ValueError("lattice start pruned away")
+
+    det_ids: Dict[tuple, int] = {("__start__",): 0}
+    det_members = {0: start_members}
+    det_fwd = {0: 0.0}
+    arcs: List[CompactArc] = []
+    finals: Dict[int, Tuple[float, float, Tuple[int, ...]]] = {}
+    queue = [0]
+
+    while queue:
+        d = queue.pop()
+        members = det_members[d]
+        fwd = det_fwd[d]
+        # finals
+        best_fin = None
+        for s, (g, ac, ts) in members.items():
+            if s in lat.finals:
+                fg, fa = lat.finals[s]
+                cand = (g + fg, ac + fa, ts)
+                if best_fin is None or total(cand[0], cand[1]) < total(
+                        best_fin[0], best_fin[1]):
+                    best_fin = cand
+        if best_fin is not None:
+            finals[d] = best_fin
+        # word transitions
+        words = sorted({
+            w for s in members for w in out_word.get(s, {})
+        })
+        for w in words:
+            new: Dict[int, Tuple[float, float, Tuple[int, ...]]] = {}
+            for s, (g, ac, ts) in members.items():
+                for a in out_word.get(s, {}).get(w, ()):
+                    ng, na = g + a.graph_cost, ac + a.acoustic_cost
+                    nts = ts + ((a.ilabel,) if a.ilabel > 0 else ())
+                    old = new.get(a.dst)
+                    if old is None or total(ng, na) < total(old[0], old[1]) - 1e-12:
+                        new[a.dst] = (ng, na, nts)
+            res = normalize(closure(new), fwd)
+            if res is None:
+                continue
+            bg, ba, prefix, key, norm = res
+            nd = det_ids.get(key)
+            if nd is None:
+                nd = len(det_ids)
+                if nd >= max_states:
+                    raise ValueError(
+                        "determinization exceeded %d states" % max_states)
+                det_ids[key] = nd
+                det_members[nd] = norm
+                det_fwd[nd] = fwd + total(bg, ba)
+                queue.append(nd)
+            else:
+                det_fwd[nd] = min(det_fwd[nd], fwd + total(bg, ba))
+            arcs.append(CompactArc(d, nd, w, bg, ba, prefix))
+
+    return CompactLattice(
+        num_states=len(det_ids), arcs=arcs, finals=finals, start=0
+    )
+
+
+def write_compact_lattice(fd: TextIO, clat: CompactLattice, key: str) -> None:
+    """Write one utterance in Kaldi CompactLattice text-archive form
+    (``lattice-copy ark:in ark,t:out`` default): 4-field arcs
+    ``src dst word graph,acoustic,tid1_tid2_...``; interoperates with real
+    Kaldi lattice-* tools and with :func:`read_lattice_ark`."""
+    if clat.start != 0:
+        raise ValueError("text lattices require start state 0 (got %d)"
+                         % clat.start)
+    fd.write("%s\n" % key)
+    for a in sorted(clat.arcs, key=lambda a: a.src != 0):
+        fd.write("%d %d %d %.7g,%.7g,%s\n" % (
+            a.src, a.dst, a.word, a.graph_cost, a.acoustic_cost,
+            "_".join(str(t) for t in a.tids)))
+    for s in sorted(clat.finals):
+        g, ac, tids = clat.finals[s]
+        if g == 0.0 and ac == 0.0 and not tids:
+            fd.write("%d\n" % s)
+        else:
+            fd.write("%d %.7g,%.7g,%s\n" % (
+                s, g, ac, "_".join(str(t) for t in tids)))
+    fd.write("\n")

@@ -34,7 +34,11 @@ import numpy as np
 from ..kio import open_or_fd, read_mat_rspec, read_words_txt, write_vec_int
 from ..kio.transition_model import read_transition_model
 from ..backend.decoder import DecodeResult, WfstDecoder, native_available
-from ..backend.lattice import write_lattice
+from ..backend.lattice import (
+    determinize_lattice,
+    write_compact_lattice,
+    write_lattice,
+)
 
 
 def main(argv=None) -> int:
@@ -57,6 +61,11 @@ def main(argv=None) -> int:
                         "archive; words/alignments then come from the "
                         "lattice best path")
     parser.add_argument("--lattice-beam", type=float, default=8.0)
+    parser.add_argument("--determinize-lattice", default="true",
+                        choices=["true", "false"],
+                        help="determinize on word labels and write "
+                        "CompactLattices (latgen-faster-mapped default); "
+                        "false writes raw state-level lattices")
     parser.add_argument("--num-threads", type=int, default=4)
     parser.add_argument("mdl", help="Kaldi final.mdl (transition model)")
     parser.add_argument("graph", help="HCLG.fst")
@@ -90,6 +99,7 @@ def main(argv=None) -> int:
     fp_align = open_or_fd(args.align_out, "wb") if args.align_out else None
     fp_text = open(args.text_out, "w") if args.text_out else None
     fp_lat = open(args.lattice_out, "w") if args.lattice_out else None
+    determinize = args.determinize_lattice == "true"
 
     def decode_one(loglikes):
         if fp_lat is None:
@@ -128,7 +138,26 @@ def main(argv=None) -> int:
                     continue
                 write_vec_int(fp_words, res.words, key=key)
                 if fp_lat is not None:
-                    write_lattice(fp_lat, lat, key)
+                    if determinize:
+                        try:
+                            write_compact_lattice(
+                                fp_lat,
+                                determinize_lattice(
+                                    lat,
+                                    acoustic_scale=args.acoustic_scale,
+                                    lm_scale=1.0,
+                                ),
+                                key,
+                            )
+                        except ValueError as e:
+                            # Kaldi falls back to the raw lattice when
+                            # determinization blows up.
+                            logging.warning(
+                                "%s: determinization failed (%s); "
+                                "writing raw lattice", key, e)
+                            write_lattice(fp_lat, lat, key)
+                    else:
+                        write_lattice(fp_lat, lat, key)
                 if fp_align is not None:
                     write_vec_int(fp_align, res.alignment, key=key)
                 if fp_text is not None:
