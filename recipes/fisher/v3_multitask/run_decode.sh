@@ -3,11 +3,11 @@
 #
 # Equivalent of the reference nnet/run_decode.sh:77-91: pin the checkpoint,
 # compute senone priors from the training alignments, dump per-split
-# log-likelihood matrices with the phone head, then (when a Kaldi
-# latgen-faster-mapped binary and a decode graph are available) run lattice
-# generation. Lattice scoring/LM rescoring stay external Kaldi, exactly as in
-# the reference (SURVEY §2.4: latgen + lattice tools are out of scope; this
-# driver produces and wires their input).
+# log-likelihood matrices with the phone head, then run lattice generation:
+# Kaldi latgen-faster-mapped when installed, else the in-repo native WFST
+# decoder (determinized CompactLattices). LM rescoring is native too: set
+# oldarpa=/newarpa= and the lattices are rescored with cli.lmrescore (the
+# lmrescore_const_arpa.sh replacement) before the scale sweep.
 #
 # Usage:
 #   bash run_decode.sh <model_dir> <ali_dir> <graph_dir-or-"-"> \
@@ -17,7 +17,8 @@
 #   graph_dir: Kaldi HCLG graph dir (needs HCLG.fst + words.txt);
 #              pass "-" to stop after the loglike dump
 #   dataN:     data dirs with feats.scp to decode
-# Env overrides: checkpoint, acwt, beam, latbeam, and `mdl` — the Kaldi
+# Env overrides: checkpoint, acwt, beam, latbeam, oldarpa/newarpa (native
+# ARPA LM rescoring of the generated lattices), and `mdl` — the Kaldi
 # transition model latgen needs. Kaldi graph dirs do NOT contain final.mdl;
 # by convention it lives one level up (exp/tri5a/graph -> exp/tri5a/
 # final.mdl), which is the default here; set mdl= explicitly otherwise
@@ -29,6 +30,8 @@ checkpoint=${checkpoint:-"-1"}     # -1 = best (valid_loss), or 'last'/step
 acwt=${acwt:-0.1}
 beam=${beam:-13.0}
 latbeam=${latbeam:-8.0}
+oldarpa=${oldarpa:-}
+newarpa=${newarpa:-}
 if [ "$graph" != "-" ]; then
   mdl=${mdl:-$(dirname "$graph")/final.mdl}
 fi
@@ -83,6 +86,18 @@ for data in "$@"; do
       --align-out "ark:$out/ali.ark" \
       "$mdl" "$graph/HCLG.fst" \
       "ark:$out/loglike.ark" "ark:$out/words.ark"
+    lat="$out/lat.txt"
+    if [ -n "$newarpa" ]; then
+      # Native lmrescore_const_arpa.sh: subtract the decoding LM, add the
+      # rescoring LM (omit oldarpa to only add).
+      echo "=== decode: ARPA LM rescore for $name"
+      rescore_flags=(--new-arpa "$newarpa")
+      [ -n "$oldarpa" ] && rescore_flags+=(--old-arpa "$oldarpa")
+      $py tf_kaldi_speaker_tpu.cli.lmrescore \
+        --word-symbol-table "$graph/words.txt" --acoustic-scale "$acwt" \
+        "${rescore_flags[@]}" "$lat" "$out/lat_rescored.txt"
+      lat="$out/lat_rescored.txt"
+    fi
     if [ -f "$data/text" ]; then
       $py tf_kaldi_speaker_tpu.cli.compute_wer "$data/text" "$out/text" \
         | tee "$out/wer"
@@ -92,7 +107,7 @@ for data in "$@"; do
         --sweep-lmwt 5:15 --ref-text "$data/text" \
         --word-symbol-table "$graph/words.txt" \
         --text-out "$out/text.best" \
-        "$out/lat.txt" "ark:$out/words.best.ark" | tee "$out/wer.best"
+        "$lat" "ark:$out/words.best.ark" | tee "$out/wer.best"
     fi
   else
     echo "    no graph dir given; stopping after the loglike dump"
