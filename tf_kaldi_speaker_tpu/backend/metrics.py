@@ -36,13 +36,25 @@ def det_curve(scores: np.ndarray, labels: np.ndarray) -> Tuple[np.ndarray, np.nd
 
 
 def compute_eer(scores: np.ndarray, labels: np.ndarray) -> Tuple[float, float]:
-    """Equal error rate and its threshold (Kaldi compute-eer equivalent)."""
+    """Equal error rate and its threshold (Kaldi compute-eer equivalent).
+
+    Interpolates the p_miss/p_fa crossing like the reference's
+    brentq-over-interp1d (misc/utils.py:303) instead of snapping to the
+    nearest DET point, so the returned threshold is consistent with the
+    EER value (DET index i corresponds to a threshold between
+    sorted_scores[i-1] and sorted_scores[i])."""
     scores = np.asarray(scores, dtype=np.float64)
     p_miss, p_fa = det_curve(scores, labels)
-    idx = int(np.argmin(np.abs(p_miss - p_fa)))
-    eer = (p_miss[idx] + p_fa[idx]) / 2.0
+    diff = p_miss - p_fa  # nondecreasing: -1 .. +1
+    k = int(np.argmax(diff >= 0.0))
     sorted_scores = np.sort(scores)
-    thresh = sorted_scores[min(max(idx - 1, 0), len(sorted_scores) - 1)]
+    # Threshold of DET index i sits just above sorted_scores[i-1].
+    thresholds = np.concatenate([[sorted_scores[0] - 1.0], sorted_scores])
+    if k == 0 or diff[k] <= 0.0:
+        return float((p_miss[k] + p_fa[k]) / 2.0), float(thresholds[k])
+    frac = -diff[k - 1] / (diff[k] - diff[k - 1])
+    eer = p_miss[k - 1] + frac * (p_miss[k] - p_miss[k - 1])
+    thresh = thresholds[k - 1] + frac * (thresholds[k] - thresholds[k - 1])
     return float(eer), float(thresh)
 
 
