@@ -32,13 +32,15 @@ def _stats_jnp(x, mask):
     return jnp.concatenate([mean, std], axis=1)
 
 
-def _kernel(x_ref, mask_ref, out_ref):
-    # Blocks: x [1, L, DT] VMEM; mask is the FULL [B, L] array (TPU tiling
-    # forbids a (1, L) block when B % 8 != 0); out [1, 2*DT].
+def _kernel(x_ref, mask_ref, out_ref, mask_rows: int):
+    # Blocks: x [1, L, DT] VMEM; mask is a [mask_rows, L] row block
+    # containing this program's row (TPU tiling forbids a (1, L) block, so
+    # the sublane-tile of 8 rows is the smallest legal slice — B % 8 == 0
+    # batches read 8 rows per program instead of all B; see the r2 review).
     from jax.experimental import pallas as pl
 
-    x = x_ref[0]                                  # [L, DT]
-    m = mask_ref[pl.program_id(0)][:, None]       # [L, 1]
+    x = x_ref[0]                                          # [L, DT]
+    m = mask_ref[pl.program_id(0) % mask_rows][:, None]   # [L, 1]
     count = jnp.maximum(jnp.sum(m), 1.0)
     s1 = jnp.sum(x * m, axis=0)       # [DT]
     s2 = jnp.sum(x * x * m, axis=0)   # [DT]
@@ -61,12 +63,15 @@ def _stats_pallas(x, mask):
     if d % dt:
         dt = d
     grid = (b, d // dt)
+    # 8-row mask blocks when the batch allows (sublane tile); else full B.
+    mask_rows = 8 if b % 8 == 0 else b
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, mask_rows=mask_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, l, dt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, l), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, l), lambda i, j, r=mask_rows: (i // r, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, dt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, d), x.dtype),
