@@ -80,3 +80,15 @@ if [ $stage -le 6 ]; then
     --trials "$data_root/test/trials" \
     --scores "$exp/scores_cosine.txt"
 fi
+
+if [ $stage -le 7 ]; then
+  echo "=== stage 7: LDA + cosine scoring (run.sh:265-273 test_lda_cos)"
+  $py tf_kaldi_speaker_tpu.cli.score --backend cosine --lda-dim "$lda_dim" \
+    --enroll-scp "$exp/xvectors_enroll.scp" \
+    --enroll-utt2spk "$data_root/enroll/utt2spk" \
+    --test-scp "$exp/xvectors_test.scp" \
+    --trials "$data_root/test/trials" \
+    --train-scp "$exp/xvectors_train_background.scp" \
+    --train-utt2spk "$data_root/train_background/mfcc/utt2spk" \
+    --scores "$exp/scores_lda_cosine.txt"
+fi

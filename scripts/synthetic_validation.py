@@ -1,10 +1,17 @@
 """End-to-end synthetic validation on real hardware.
 
-Generates a separable synthetic corpus (Gaussian speaker means), trains the
-flagship-shape model (scaled-down widths for the small corpus) with
-device-decode + AM-softmax on the accelerator, extracts embeddings with the
-batched extractor, and scores held-out speakers with cosine + PLDA.
-Writes docs/VALIDATION.md. Run: python scripts/synthetic_validation.py
+Default mode: separable synthetic corpus (Gaussian speaker means), train
+the flagship-shape model with device-decode + AM-softmax, extract with the
+batched extractor, score held-out speakers with cosine + PLDA. Writes
+docs/VALIDATION.md. Run: python scripts/synthetic_validation.py
+
+--hard mode (quality benchmark with discriminative power): OVERLAPPING
+clusters — per-utterance channel offsets (chan_scale=1.1) put the oracle
+cosine EER at ~8-12%, so a subtly-wrong loss/BN shows up as a worse EER
+instead of everything collapsing to 0%. Trains softmax, AM-softmax m=0.2,
+and AM-softmax+MHE(0.01) with identical seeds/schedules and asserts the
+RESULTS.md ordering (softmax worst, margin losses better) on held-out
+speakers; appends the table to docs/VALIDATION.md.
 """
 
 import json
@@ -67,6 +74,100 @@ CFG = dict(
     batch_type="softmax",
     device_decode=True,
 )
+
+
+def make_hard_corpora(root):
+    train_d = make_fake_data_dir(
+        os.path.join(root, "train"), num_speakers=150, utts_per_speaker=15,
+        dim=30, min_len=320, max_len=600, seed=0,
+        spk_scale=1.0, chan_scale=1.1,
+    )
+    test_d = make_fake_data_dir(
+        os.path.join(root, "test"), num_speakers=40, utts_per_speaker=10,
+        dim=30, min_len=320, max_len=600, seed=777, spk_offset=500,
+        spk_scale=1.0, chan_scale=1.1,
+    )
+    return train_d, test_d
+
+
+def run_hard():
+    root = tempfile.mkdtemp(prefix="tfks_valhard_")
+    print("data root:", root, flush=True)
+    t0 = time.time()
+    train_d, test_d = make_hard_corpora(root)
+    print("data gen: %.1fs" % (time.time() - t0), flush=True)
+
+    # Oracle EER of the raw overlapping clusters (an upper bound on how
+    # well ANY embedding can do on held-out utterances).
+    from tf_kaldi_speaker_tpu.kio import read_mat_scp
+    keys, means = [], []
+    for k, m in read_mat_scp(os.path.join(test_d["data"], "feats.scp")):
+        keys.append(k)
+        means.append(m.mean(0))
+    oracle = compute_cos_pairwise_eer(
+        np.stack(means), np.array([int(k[3:6]) for k in keys]))
+    print("oracle (frame-mean) EER: %.2f%%" % (oracle * 100), flush=True)
+
+    losses = [
+        ("softmax", dict(loss_func="softmax")),
+        ("amsoftmax_m0.2", dict(loss_func="additive_margin_softmax")),
+        ("amsoftmax_m0.2_mhe0.01",
+         dict(loss_func="additive_margin_softmax",
+              aux_loss_func=["mhe_loss"], mhe_lambda=0.01)),
+    ]
+    results = {}
+    for name, over in losses:
+        cfg = dict(CFG, num_steps_per_epoch=1500, seed=0, **over)
+        params = ParamsPlain(**cfg)
+        exp = os.path.join(root, "exp_" + name)
+        nnet = os.path.join(exp, "nnet")
+        trainer = Trainer(params, nnet, dim=30, num_speakers=150)
+        trainer.build("train", 30, cfg["loss_func"], 150)
+        t1 = time.time()
+        trainer.train(train_d["data"], train_d["spklist"], cfg["learning_rate"])
+        dt = time.time() - t1
+        with open(os.path.join(nnet, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        with open(os.path.join(nnet, "feature_dim"), "w") as f:
+            f.write("30\n")
+        ex = Extractor(exp, min_chunk_size=25, batch_size=32)
+        keys, embs = [], []
+        stream = read_mat_scp(os.path.join(test_d["data"], "feats.scp"))
+        for key, emb in ex.embed_stream(stream):
+            keys.append(key)
+            embs.append(emb)
+        labels = np.array([int(k[3:6]) for k in keys])
+        eer = compute_cos_pairwise_eer(np.stack(embs), labels)
+        results[name] = eer
+        print("%s: EER %.2f%% (train %.0fs)" % (name, eer * 100, dt), flush=True)
+
+    ok_margin = (results["amsoftmax_m0.2"] < results["softmax"]
+                 and results["amsoftmax_m0.2_mhe0.01"] < results["softmax"])
+    lines = [
+        "",
+        "## Hard-regime loss benchmark (overlapping clusters)",
+        "",
+        "`python scripts/synthetic_validation.py --hard` — 150 train / 40",
+        "held-out speakers, per-utterance channel offsets (spk_scale=1.0,",
+        "chan_scale=1.1), oracle frame-mean EER %.2f%%; 1500 steps each," % (oracle * 100),
+        "identical seeds/schedules. RESULTS.md ordering check: margin",
+        "losses must beat softmax.",
+        "",
+        "| Loss | held-out cosine EER |",
+        "|---|---|",
+    ]
+    for name, _ in losses:
+        lines.append("| %s | %.2f%% |" % (name, results[name] * 100))
+    lines.append("")
+    lines.append("Margin-beats-softmax: **%s**" % ("PASS" if ok_margin else "FAIL"))
+    lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "VALIDATION.md")
+    with open(out, "a") as f:
+        f.write("\n".join(lines))
+    print("appended hard-regime table to", out, flush=True)
+    if not ok_margin:
+        sys.exit(1)
 
 
 def main():
@@ -168,4 +269,7 @@ on hardware (devices: {os.environ.get('JAX_PLATFORMS', 'default')}).
 
 
 if __name__ == "__main__":
-    main()
+    if "--hard" in sys.argv[1:]:
+        run_hard()
+    else:
+        main()

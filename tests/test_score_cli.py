@@ -214,3 +214,38 @@ def test_score_cli_subset_trials(tmp_path, capsys):
     yue = open(str(tmp_path / "s.scores.yue")).read().splitlines()
     assert len(tgl) + len(yue) == len(pooled)
     assert set(tgl) | set(yue) == set(pooled)
+
+
+def test_score_cli_lda_cosine(tmp_path, capsys):
+    """cosine --lda-dim: mean-subtract + LDA + length-norm before cosine
+    (reference fisher run.sh:265-273 'LDA + Cosine scoring')."""
+    rng = np.random.RandomState(5)
+    train, train_u2s = make_embeddings(rng, n_spk=20, per=8)
+    evalset, eval_u2s = make_embeddings(np.random.RandomState(6), n_spk=8, per=6)
+    enroll = {k: v for k, v in evalset.items() if int(k[-1]) < 3}
+    test = {k: v for k, v in evalset.items() if int(k[-1]) >= 3}
+    train_scp = write_xvectors(str(tmp_path / "train"), train)
+    enroll_scp = write_xvectors(str(tmp_path / "enroll"), enroll)
+    test_scp = write_xvectors(str(tmp_path / "test"), test)
+    for name, u2s in (("train_u2s", train_u2s),
+                      ("enroll_u2s", {k: eval_u2s[k] for k in enroll})):
+        with open(str(tmp_path / name), "w") as f:
+            for k, s in u2s.items():
+                f.write("%s %s\n" % (k, s))
+    spks = sorted({eval_u2s[k] for k in enroll})
+    with open(str(tmp_path / "trials"), "w") as f:
+        for s in spks:
+            for t in sorted(test):
+                f.write("%s %s %s\n"
+                        % (s, t, "target" if eval_u2s[t] == s else "nontarget"))
+    rc = score_cli.main([
+        "--backend", "cosine", "--lda-dim", "12",
+        "--enroll-scp", enroll_scp,
+        "--enroll-utt2spk", str(tmp_path / "enroll_u2s"),
+        "--test-scp", test_scp, "--trials", str(tmp_path / "trials"),
+        "--train-scp", train_scp, "--train-utt2spk", str(tmp_path / "train_u2s"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    eer = float(out.split("EER: ")[1].split("%")[0])
+    assert eer < 20.0

@@ -98,6 +98,30 @@ def main(argv=None) -> int:
             snorm_stats,
         )
 
+        if args.lda_dim > 0:
+            # LDA + cosine (reference fisher run.sh:265-273 test_lda_cos):
+            # subtract the TRAIN global mean, LDA-transform, length-norm,
+            # then cosine — speaker means are taken BEFORE processing, like
+            # the ivector-mean | subtract-mean | transform-vec pipe.
+            assert args.train_scp and args.train_utt2spk, \
+                "--lda-dim with cosine needs --train-scp/--train-utt2spk"
+            train = _load_scp(args.train_scp)
+            t_u2s = _load_utt2spk(args.train_utt2spk)
+            keys = sorted(train)
+            x = np.stack([train[k] for k in keys])
+            labels = np.asarray([t_u2s[k] for k in keys])
+            # LDA centers with its own fitted mean (= the train global
+            # mean, the ivector-subtract-global-mean step).
+            lda = LDA(args.lda_dim).fit(x, labels)
+
+            def lda_proc(d):
+                ks = list(d)
+                v = length_norm(lda.transform_vecs(
+                    np.stack([d[k] for k in ks])))
+                return dict(zip(ks, v))
+
+            enroll = lda_proc(enroll)
+            test = lda_proc(test)
         scores = cosine_score_trials(enroll, test, trials)
         if args.cohort_scp:
             cohort = np.stack(list(_load_scp(args.cohort_scp).values()))

@@ -30,11 +30,18 @@ def make_fake_data_dir(
     num_phones: int = 10,
     ali_dir: Optional[str] = None,
     spk_offset: int = 0,
+    spk_scale: float = 2.0,
+    chan_scale: float = 0.0,
 ) -> Dict[str, str]:
     """Create a synthetic Kaldi data dir; returns important file paths.
 
-    Features for speaker s are drawn from N(mu_s, I) with a per-speaker mean
-    so that downstream EER checks have actual speaker structure.
+    Features for speaker s are drawn from N(mu_s + c_u, I): a per-speaker
+    mean (scaled by ``spk_scale``) plus an optional per-UTTERANCE channel
+    offset (``chan_scale``). chan_scale=0 keeps the legacy fully-separable
+    regime; chan_scale ~ 1.0-1.2 with spk_scale=1.0 produces an
+    irreducible 5-15% cosine EER (overlapping clusters), which gives
+    quality checks discriminative power — a subtly-wrong loss or BN shows
+    up as a worse EER instead of everything collapsing to 0%.
     """
     rng = np.random.RandomState(seed)
     os.makedirs(path, exist_ok=True)
@@ -46,7 +53,7 @@ def make_fake_data_dir(
         os.makedirs(ali_dir, exist_ok=True)
     pdf_ark = os.path.join(ali_dir, "pdf.ark")
 
-    spk_means = rng.randn(num_speakers, dim) * 2.0
+    spk_means = rng.randn(num_speakers, dim) * spk_scale
     scp, u2nf, spk2utt, utt2spk = [], [], [], []
     vad_scp, pdf_scp = [], []
     fv = open(vad_ark, "wb") if with_vad_ali else None
@@ -58,7 +65,9 @@ def make_fake_data_dir(
             for u in range(utts_per_speaker):
                 utt = "%s_utt%03d" % (spk, u)
                 n = int(rng.randint(min_len, max_len + 1))
-                feats = (spk_means[s] + rng.randn(n, dim)).astype(np.float32)
+                chan = rng.randn(dim) * chan_scale if chan_scale else 0.0
+                feats = (spk_means[s] + chan + rng.randn(n, dim)).astype(
+                    np.float32)
                 pos = f.tell() + len(utt) + 1
                 ark.write_mat(f, feats, key=utt, compress=compress)
                 scp.append("%s %s:%d" % (utt, ark_path, pos))
