@@ -39,16 +39,18 @@ def _kernel(x_ref, mask_ref, out_ref, mask_rows: int):
     # batches read 8 rows per program instead of all B; see the r2 review).
     from jax.experimental import pallas as pl
 
-    x = x_ref[0]                                          # [L, DT]
-    m = mask_ref[pl.program_id(0) % mask_rows][:, None]   # [L, 1]
+    # All arithmetic in f32 (bf16 inputs upcast): Mosaic has no scalar
+    # bf16 max, and f32 accumulation is better for the variance anyway.
+    x = x_ref[0].astype(jnp.float32)                      # [L, DT]
+    m = mask_ref[pl.program_id(0) % mask_rows][:, None]   # [L, 1] f32
     count = jnp.maximum(jnp.sum(m), 1.0)
     s1 = jnp.sum(x * m, axis=0)       # [DT]
     s2 = jnp.sum(x * x * m, axis=0)   # [DT]
     mean = s1 / count
     var = jnp.maximum(s2 / count - mean * mean, 0.0)
     std = jnp.sqrt(jnp.where(var <= VAR2STD_EPSILON, VAR2STD_EPSILON, var))
-    out_ref[0, 0, :] = mean
-    out_ref[0, 1, :] = std
+    out_ref[0, 0, :] = mean.astype(out_ref.dtype)
+    out_ref[0, 1, :] = std.astype(out_ref.dtype)
 
 
 def _stats_pallas(x, mask):
@@ -75,7 +77,9 @@ def _stats_pallas(x, mask):
         ],
         out_specs=pl.BlockSpec((1, 2, dt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, d), x.dtype),
-    )(x, mask.astype(x.dtype))
+        # mask stays f32: a single-row load from a bf16 (16,128)-tiled
+        # VMEM block is not supported by Mosaic; f32's (8,128) tile is.
+    )(x, mask.astype(jnp.float32))
     # [B, 2, D] -> [B, 2D] = [all means ‖ all stds]
     return jnp.concatenate([out[:, 0, :], out[:, 1, :]], axis=1)
 
