@@ -105,7 +105,8 @@ def test_pool_budget_rotation(pool_env):
 def test_trainer_device_pool_epoch(pool_env):
     root, d = pool_env
     cfg = dict(
-        TINY, device_pool=True, steps_per_dispatch=3, num_steps_per_epoch=6,
+        TINY, device_pool=True, pool_sharded=False, steps_per_dispatch=3,
+        num_steps_per_epoch=6,
         save_checkpoints_steps=6, min_segment_len=64, max_segment_len=96,
     )
     params = ParamsPlain(**cfg)
@@ -121,3 +122,102 @@ def test_trainer_device_pool_epoch(pool_env):
     assert checkpoints.read_pointer(nnet) == 18
     assert np.isfinite(after)
     assert after < first, (first, after)
+
+
+def test_sharded_pool_gather_matches_host_decode(pool_env):
+    """ShardedDevicePool + shard_map gather == host partial-read decode."""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
+    from tf_kaldi_speaker_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    root, d = pool_env
+    mesh = make_mesh()
+    S = mesh.shape[DATA_AXIS]
+    pool = ShardedDevicePool(d["data"], d["spklist"], mesh)
+    pool.stage()
+    reader = FeatureReader(d["data"])
+    rng = random.Random(0)
+    L = 64
+    starts, utts, labels = pool.sample_group(rng, 1, S, 1, L)
+
+    gather = shard_map(
+        lambda pf, ph, st, ut: gather_chunks(pf, ph, st, ut, L),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    codes, headers = gather(
+        pool.frames, pool.headers,
+        jax.device_put(starts[0], jax.sharding.NamedSharding(mesh, P(DATA_AXIS))),
+        jax.device_put(utts[0], jax.sharding.NamedSharding(mesh, P(DATA_AXIS))),
+    )
+    got = np.asarray(cm_dequant_ref(np.asarray(codes), np.asarray(headers)))
+
+    # host oracle: map each row's (shard, local utt) back to its segment
+    # via the shard index tables
+    spk2segs = pool.spk2features
+    for r in range(S):
+        dshard = r  # one row per shard in this draw
+        u = utts[0, r]
+        spk = int(pool.shard_utt_label[dshard][u])
+        n = int(pool.shard_utt_len[dshard][u])
+        seg = next(
+            s for s in spk2segs[spk]
+            if reader.utt2num_frames[s.split(" ")[0]] == n
+        )
+        start_local = int(starts[0, r]) - int(pool.shard_utt_offset[dshard][u])
+        want, _ = reader.read_segment(seg, L, start=start_local)
+        np.testing.assert_allclose(got[r], want, rtol=1e-6, atol=1e-6)
+    reader.close()
+    pool.close()
+
+
+def test_trainer_sharded_pool_epoch(pool_env):
+    """device_pool on a multi-device mesh auto-shards; training converges."""
+    root, d = pool_env
+    cfg = dict(
+        TINY, device_pool=True, steps_per_dispatch=3, num_steps_per_epoch=6,
+        save_checkpoints_steps=6, min_segment_len=64, max_segment_len=96,
+    )
+    params = ParamsPlain(**cfg)
+    nnet = str(root / "mspool" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, params.loss_func, 8)
+    t.build("valid", 20, params.loss_func, 8)
+    first = t.valid(d["data"], d["spklist"])[0]
+    for _ in range(3):
+        t.train(d["data"], d["spklist"], learning_rate=0.05)
+    after = t.valid(d["data"], d["spklist"])[0]
+    assert int(t.state.step) == 18
+    from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
+    assert isinstance(t._device_pool, ShardedDevicePool)
+    assert np.isfinite(after) and after < first, (first, after)
+
+
+def test_sharded_pool_speaker_disjoint_blocks(pool_env):
+    """Rows of shard d carry only shard d's speakers, and the shards
+    partition the full resident speaker set."""
+    from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
+    from tf_kaldi_speaker_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    root, d = pool_env
+    mesh = make_mesh()
+    S = mesh.shape[DATA_AXIS]
+    pool = ShardedDevicePool(d["data"], d["spklist"], mesh)
+    pool.stage()
+    shard_speakers = [set(m.keys()) for m in pool.shard_spk2utts]
+    allspk = set().union(*shard_speakers)
+    assert len(allspk) == sum(len(s) for s in shard_speakers)  # disjoint
+    assert len(allspk) == 8
+
+    rng = random.Random(3)
+    starts, utts, labels = pool.sample_group(rng, 2, S, 2, 64)
+    rows_per_shard = labels.shape[1] // S
+    for k in range(2):
+        for dshard in range(S):
+            blk = labels[k, dshard * rows_per_shard:(dshard + 1) * rows_per_shard]
+            assert set(int(x) for x in blk) <= shard_speakers[dshard]
+    pool.close()

@@ -263,3 +263,210 @@ def gather_chunks(pool_frames, pool_headers, starts, utts, chunk_len: int):
     codes = jax.vmap(one)(starts)
     headers = pool_headers[utts]
     return codes, headers
+
+
+class ShardedDevicePool:
+    """Corpus pool SHARDED over the mesh data axis: device d holds its own
+    speaker shard, so pool capacity scales with the chip count (a v4-8
+    holds 8x more corpus than one chip's HBM) and every gather is local —
+    no cross-chip collectives on the input path.
+
+    Sampling follows the repo's host-disjoint-loaders convention: the rows
+    of the global batch that live on device d are drawn from d's resident
+    speakers only (the batch is laid out in contiguous per-shard blocks,
+    matching the P(data) batch sharding). The trainer wraps
+    :func:`gather_chunks` in ``shard_map`` so each device slices its local
+    frames block with its local index rows.
+
+    Single-process (multi-device) for now; multi-host stays on the
+    streaming loader.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        spklist: str,
+        mesh,
+        axis: str = "data",
+        budget_bytes: Optional[int] = None,
+        seed: int = 0,
+    ):
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "sharded device pool is single-process; multi-host training "
+                "uses the streaming loader")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.data_dir = data_dir
+        self.mesh = mesh
+        self.axis = axis
+        self.num_shards = int(mesh.shape[axis])
+        self.sharding = NamedSharding(mesh, P(axis))
+        self.budget_bytes = budget_bytes
+        self.seed = seed
+        spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
+        self.spk2features = spk2features
+        self.num_total_speakers = len(spk2index)
+        self.reader = FeatureReader(data_dir)
+        self.dim = self.reader.dim
+
+        self.frames = None     # [S*cap_f, D] uint8, sharded on axis 0
+        self.headers = None    # [S*cap_n, 4, D] f32, sharded on axis 0
+        # per-shard host index; utt ids / frame offsets are SHARD-LOCAL
+        self.shard_spk2utts: List[Dict[int, List[int]]] = []
+        self.shard_utt_len: List[np.ndarray] = []
+        self.shard_utt_offset: List[np.ndarray] = []
+        self.shard_utt_label: List[np.ndarray] = []
+        self.cap_f = 0
+        self.cap_n = 0
+        self.resident_round = -1
+        self.full_resident = False
+
+    def _select_resident(self, round_id: int):
+        # identical policy to DevicePool._select_resident
+        helper = DevicePool.__new__(DevicePool)
+        helper.reader = self.reader
+        helper.dim = self.dim
+        helper.spk2features = self.spk2features
+        helper.budget_bytes = self.budget_bytes
+        helper.seed = self.seed
+        helper.full_resident = False
+        items = DevicePool._select_resident(helper, round_id)
+        self.full_resident = helper.full_resident
+        return items
+
+    def stage(self, round_id: int = 0) -> None:
+        if self.resident_round == round_id or (
+            self.full_resident and self.frames is not None
+        ):
+            return
+        items = self._select_resident(round_id)
+        # Group per speaker, then LPT-balance speakers over shards by frames.
+        spk_items: Dict[int, List[str]] = {}
+        for spk, seg in items:
+            spk_items.setdefault(spk, []).append(seg)
+        spk_frames = {
+            spk: sum(self.reader.utt2num_frames[s.split(" ")[0]] for s in segs)
+            for spk, segs in spk_items.items()
+        }
+        S = self.num_shards
+        if len(spk_items) < S:
+            raise ValueError(
+                "sharded pool needs >= %d resident speakers (got %d)"
+                % (S, len(spk_items)))
+        shard_of: Dict[int, int] = {}
+        load = [0] * S
+        for spk in sorted(spk_items, key=lambda s: -spk_frames[s]):
+            d = int(np.argmin(load))
+            shard_of[spk] = d
+            load[d] += spk_frames[spk]
+        cap_f = -(-max(load) // 8) * 8
+        per_shard_utts = [
+            sum(len(spk_items[s]) for s in spk_items if shard_of[s] == d)
+            for d in range(S)
+        ]
+        cap_n = max(per_shard_utts)
+
+        host_frames = np.zeros((S * cap_f, self.dim), np.uint8)
+        host_headers = np.zeros((S * cap_n, 4, self.dim), np.float32)
+        self.shard_spk2utts = [dict() for _ in range(S)]
+        self.shard_utt_len = [np.zeros(cap_n, np.int32) for _ in range(S)]
+        self.shard_utt_offset = [np.zeros(cap_n, np.int32) for _ in range(S)]
+        self.shard_utt_label = [np.zeros(cap_n, np.int32) for _ in range(S)]
+        fill_f = [0] * S
+        fill_n = [0] * S
+        for spk in sorted(spk_items):
+            d = shard_of[spk]
+            for seg in spk_items[spk]:
+                codes, headers, _ = self.reader.read_segment_codes(seg)
+                n = codes.shape[0]
+                off = fill_f[d]
+                host_frames[d * cap_f + off : d * cap_f + off + n] = codes
+                i = fill_n[d]
+                host_headers[d * cap_n + i] = headers
+                self.shard_utt_len[d][i] = n
+                self.shard_utt_offset[d][i] = off
+                self.shard_utt_label[d][i] = spk
+                self.shard_spk2utts[d].setdefault(spk, []).append(i)
+                fill_f[d] += n
+                fill_n[d] += 1
+
+        self.cap_f, self.cap_n = cap_f, cap_n
+        self.frames = _stage_rows(
+            _device_zeros((S * cap_f, self.dim), jnp.uint8, self.sharding),
+            host_frames, None,
+        )
+        self.headers = _stage_rows(
+            _device_zeros((S * cap_n, 4, self.dim), jnp.float32, self.sharding),
+            host_headers, None,
+        )
+        self.resident_round = round_id
+        log.info(
+            "sharded device pool staged: %d shards x %d frames cap "
+            "(%.1f MB/shard), %d speakers",
+            S, cap_f, cap_f * self.dim / 1e6, len(spk_items),
+        )
+
+    def sample_group(
+        self,
+        rng: random.Random,
+        group: int,
+        num_speakers: int,
+        num_segments: int,
+        batch_length: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(starts, utts, labels) [K, B] with B laid out in contiguous
+        per-shard blocks; starts/utts are SHARD-LOCAL (the shard_map gather
+        adds no offsets — each device's block is its own array)."""
+        S = self.num_shards
+        if num_speakers % S:
+            raise ValueError(
+                "num_speakers_per_batch=%d must divide the %d-way data axis"
+                % (num_speakers, S))
+        per = num_speakers // S
+        B = num_speakers * num_segments
+        rows_per_shard = per * num_segments
+        starts = np.zeros((group, B), np.int32)
+        utts = np.zeros((group, B), np.int32)
+        labels = np.zeros((group, B), np.int32)
+        for k in range(group):
+            for d in range(S):
+                spk2utts = self.shard_spk2utts[d]
+                speakers = list(spk2utts.keys())
+                if len(speakers) < per:
+                    speakers = speakers * (per // len(speakers) + 1)
+                batch_speakers = rng.sample(speakers, per)
+                base = d * rows_per_shard
+                for i in range(per):
+                    spk = batch_speakers[i]
+                    cand: List[int] = []
+                    while not cand:
+                        cand = [
+                            u for u in spk2utts[spk]
+                            if self.shard_utt_len[d][u] > batch_length
+                        ]
+                        if not cand:
+                            pool = list(set(speakers) - set(batch_speakers))
+                            if not pool:
+                                raise ValueError(
+                                    "shard %d has no utterance longer than "
+                                    "%d frames" % (d, batch_length))
+                            spk = rng.choice(pool)
+                            batch_speakers[i] = spk
+                    r0 = base + i * num_segments
+                    labels[k, r0 : r0 + num_segments] = spk
+                    if len(cand) < num_segments:
+                        cand = cand * (num_segments // len(cand) + 1)
+                    for j, u in enumerate(rng.sample(cand, num_segments)):
+                        utts[k, r0 + j] = u
+                        starts[k, r0 + j] = int(
+                            self.shard_utt_offset[d][u]
+                        ) + rng.randint(
+                            0, int(self.shard_utt_len[d][u]) - batch_length
+                        )
+        return starts, utts, labels
+
+    def close(self) -> None:
+        self.reader.close()
+        self.frames = None
+        self.headers = None

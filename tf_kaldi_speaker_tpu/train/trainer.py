@@ -414,7 +414,7 @@ class Trainer:
                 donate_argnums=(0,),
             )
 
-        self._pool_step_cache: Dict[int, Any] = {}
+        self._pool_step_cache: Dict[Any, Any] = {}
 
         def train_step_pool_multi(chunk_len: int):
             fn = self._pool_step_cache.get(chunk_len)
@@ -423,6 +423,52 @@ class Trainer:
             return fn
 
         self._train_step_pool_multi = train_step_pool_multi
+
+        # Sharded-pool variant: the pool lives sharded over the data axis
+        # (device d holds its own speaker shard — capacity scales with the
+        # chip count) and the gather runs under shard_map, so each device
+        # slices its LOCAL frames block with its local index rows; the
+        # per-shard batch blocks line up with the P(data) batch sharding.
+        def pool_scan_fn_sharded(chunk_len: int):
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            gather = shard_map(
+                lambda pf, ph, st, ut: gather_chunks(pf, ph, st, ut, chunk_len),
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            )
+
+            def fn(state, frames, headers, starts, utts, labels, lr):
+                def body(s, xs):
+                    st, ut, lb = xs
+                    codes, hdr = gather(frames, headers, st, ut)
+                    return step_fn_raw(s, codes, hdr, lb, lr)
+
+                state2, ms = jax.lax.scan(body, state, (starts, utts, labels))
+                return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+            return jax.jit(
+                fn,
+                in_shardings=(
+                    None, self.bsh, self.bsh, self.gsh, self.gsh, self.gsh,
+                    self.rep,
+                ),
+                donate_argnums=(0,),
+            )
+
+        def train_step_pool_multi_sharded(chunk_len: int):
+            key = ("sharded", chunk_len)
+            fn = self._pool_step_cache.get(key)
+            if fn is None:
+                fn = self._pool_step_cache[key] = pool_scan_fn_sharded(chunk_len)
+            return fn
+
+        self._train_step_pool_multi_sharded = train_step_pool_multi_sharded
 
     def _build_valid(self) -> None:
         loss_override = (
@@ -763,15 +809,27 @@ class Trainer:
             int(cfg.get("max_segment_len", 400)),
             int(cfg.get("num_buckets", 8)),
         )
+        ndev = self.mesh.shape[DATA_AXIS]
+        # Multi-device meshes shard the pool over the data axis (capacity
+        # scales with chips, every gather stays device-local); a single
+        # data shard keeps the simpler replicated pool. Overridable.
+        sharded = bool(cfg.get("pool_sharded", ndev > 1))
         if self._device_pool is None or self._device_pool.data_dir != data_dir:
             if self._device_pool is not None:
                 self._device_pool.close()
-            self._device_pool = DevicePool(
-                data_dir, spklist,
-                budget_bytes=int(cfg.get("pool_budget_mb", 12000)) << 20,
-                sharding=self.rep,
-                seed=int(cfg.get("seed", 0)),
-            )
+            budget = int(cfg.get("pool_budget_mb", 12000)) << 20
+            if sharded:
+                from ..data.device_pool import ShardedDevicePool
+
+                self._device_pool = ShardedDevicePool(
+                    data_dir, spklist, self.mesh, axis=DATA_AXIS,
+                    budget_bytes=budget, seed=int(cfg.get("seed", 0)),
+                )
+            else:
+                self._device_pool = DevicePool(
+                    data_dir, spklist, budget_bytes=budget,
+                    sharding=self.rep, seed=int(cfg.get("seed", 0)),
+                )
         pool = self._device_pool
         epoch_round = int(self.state.step) // max(1, num_steps)
         pool.stage(epoch_round)
@@ -779,7 +837,6 @@ class Trainer:
         length_rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
         lr = jnp.float32(learning_rate)
         t0 = time.time()
-        ndev = self.mesh.shape[DATA_AXIS]
         try:
             for local_group in range(num_steps // K):
                 L = length_rng.choice(buckets)
@@ -790,7 +847,10 @@ class Trainer:
                     (starts, utts, labels), _ = self._pad_group_rows(
                         starts, utts, labels
                     )
-                step = self._train_step_pool_multi(L)
+                step = (
+                    self._train_step_pool_multi_sharded(L) if sharded
+                    else self._train_step_pool_multi(L)
+                )
                 self.state, metrics = step(
                     self.state, pool.frames, pool.headers,
                     jax.device_put(starts, self.gsh),
