@@ -203,3 +203,96 @@ def test_two_process_multitask_training(tmp_path):
     assert r0["fp"] == r1["fp"]
     assert r0["spk"] == r1["spk"] and r0["phn"] == r1["phn"]
     assert np.isfinite(r0["spk"]) and np.isfinite(r0["phn"])
+
+
+POOL_WORKER = r"""
+import json, os, sys
+pid, nproc, port, work = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize("localhost:%s" % port, num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc and jax.device_count() == 8
+
+import numpy as np
+from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
+from tf_kaldi_speaker_tpu.train.trainer import Trainer
+from tf_kaldi_speaker_tpu.utils.params import Params
+
+params = Params(os.path.join(work, "pool.json"))
+t = Trainer(params, os.path.join(work, "pexp%d" % pid, "nnet"), dim=20, num_speakers=8)
+t.build("train", 20, params.dict["loss_func"], 8)
+t.build("valid", 20, params.dict["loss_func"], 8)
+t.train(os.path.join(work, "train"), os.path.join(work, "train", "spklist"), 0.02)
+assert isinstance(t._device_pool, ShardedDevicePool)
+# each host staged only its own half of the shards
+local = [d for d in range(8) if t._device_pool.shard_spk2utts[d]]
+assert local == list(range(pid * 4, pid * 4 + 4)), local
+loss, _, _ = t.valid(os.path.join(work, "valid"),
+                     os.path.join(work, "valid", "spklist"))
+out = {
+    "pid": pid,
+    "step": int(t.state.step),
+    "valid_loss": float(loss),
+    "param_fingerprint": float(
+        sum(float(np.sum(np.asarray(x))) for x in jax.tree.leaves(t.state.params))
+    ),
+}
+with open(os.path.join(work, "pout%d.json" % pid), "w") as f:
+    json.dump(out, f)
+print("pool worker", pid, "ok", flush=True)
+"""
+
+
+def test_two_process_pool_training(tmp_path):
+    """Multi-host sharded device pool: each host stages its own devices'
+    speaker shards, ships only index rows, and SPMD invariants hold."""
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    work = str(tmp_path)
+    make_fake_data_dir(os.path.join(work, "train"), num_speakers=16,
+                       utts_per_speaker=4, dim=20, min_len=100, max_len=160,
+                       compress=True)
+    make_fake_data_dir(os.path.join(work, "valid"), num_speakers=8,
+                       utts_per_speaker=2, dim=20, min_len=100, max_len=160)
+    cfg = dict(
+        seed=0, network_type="tdnn", pooling_type="statistics_pooling",
+        embedding_node="tdnn6_dense", loss_func="softmax", optimizer="sgd",
+        weight_l2_regularizer=1e-3, batchnorm_momentum=0.99,
+        tdnn_layer_size=16, num_nodes_pooling_layer=32, num_nodes_last_layer=16,
+        num_steps_per_epoch=4, save_checkpoints_steps=4,
+        steps_per_dispatch=2, device_pool=True,
+        show_training_progress=1, valid_max_iterations=4,
+        num_parallel_datasets=1, max_queue_size=4,
+        num_speakers_per_batch=8, num_segments_per_speaker=1,
+        min_segment_len=60, max_segment_len=100, batch_type="softmax",
+    )
+    with open(os.path.join(work, "pool.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(work, "pool_worker.py"), "w") as f:
+        f.write(POOL_WORKER)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(work, "pool_worker.py"),
+             str(i), "2", str(port), work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, "pool worker failed:\n" + o[-4000:]
+
+    r0 = json.load(open(os.path.join(work, "pout0.json")))
+    r1 = json.load(open(os.path.join(work, "pout1.json")))
+    assert r0["step"] == r1["step"] == 4
+    # SPMD: replicated parameters must agree bit-for-bit across processes.
+    assert r0["param_fingerprint"] == r1["param_fingerprint"]
+    assert r0["valid_loss"] == r1["valid_loss"]
+    assert np.isfinite(r0["valid_loss"])

@@ -278,8 +278,12 @@ class ShardedDevicePool:
     :func:`gather_chunks` in ``shard_map`` so each device slices its local
     frames block with its local index rows.
 
-    Single-process (multi-device) for now; multi-host stays on the
-    streaming loader.
+    Multi-host: every process computes the IDENTICAL global speaker->shard
+    assignment (deterministic LPT over the shared data dir), reads and
+    stages only its own devices' shards, and contributes its block via
+    ``jax.make_array_from_process_local_data``; ``sample_group`` then
+    yields this process's [K, B_local] index rows (assembled globally by
+    the trainer, same contract as the streaming multi-host loaders).
     """
 
     def __init__(
@@ -291,10 +295,6 @@ class ShardedDevicePool:
         budget_bytes: Optional[int] = None,
         seed: int = 0,
     ):
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "sharded device pool is single-process; multi-host training "
-                "uses the streaming loader")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.data_dir = data_dir
@@ -302,6 +302,15 @@ class ShardedDevicePool:
         self.axis = axis
         self.num_shards = int(mesh.shape[axis])
         self.sharding = NamedSharding(mesh, P(axis))
+        nproc, pid = jax.process_count(), jax.process_index()
+        if self.num_shards % nproc:
+            raise ValueError(
+                "data axis (%d shards) must divide across %d processes"
+                % (self.num_shards, nproc))
+        # make_mesh orders the data axis by process, so this process's
+        # shards are the contiguous block starting at shard0.
+        self.local_num_shards = self.num_shards // nproc
+        self.shard0 = pid * self.local_num_shards
         self.budget_bytes = budget_bytes
         self.seed = seed
         spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
@@ -367,8 +376,11 @@ class ShardedDevicePool:
         ]
         cap_n = max(per_shard_utts)
 
-        host_frames = np.zeros((S * cap_f, self.dim), np.uint8)
-        host_headers = np.zeros((S * cap_n, 4, self.dim), np.float32)
+        # Read + fill ONLY this process's shard block; the index tables
+        # are keyed by GLOBAL shard id but populated locally.
+        S_loc, s0 = self.local_num_shards, self.shard0
+        host_frames = np.zeros((S_loc * cap_f, self.dim), np.uint8)
+        host_headers = np.zeros((S_loc * cap_n, 4, self.dim), np.float32)
         self.shard_spk2utts = [dict() for _ in range(S)]
         self.shard_utt_len = [np.zeros(cap_n, np.int32) for _ in range(S)]
         self.shard_utt_offset = [np.zeros(cap_n, np.int32) for _ in range(S)]
@@ -377,13 +389,16 @@ class ShardedDevicePool:
         fill_n = [0] * S
         for spk in sorted(spk_items):
             d = shard_of[spk]
+            if not (s0 <= d < s0 + S_loc):
+                continue
+            dl = d - s0
             for seg in spk_items[spk]:
                 codes, headers, _ = self.reader.read_segment_codes(seg)
                 n = codes.shape[0]
                 off = fill_f[d]
-                host_frames[d * cap_f + off : d * cap_f + off + n] = codes
+                host_frames[dl * cap_f + off : dl * cap_f + off + n] = codes
                 i = fill_n[d]
-                host_headers[d * cap_n + i] = headers
+                host_headers[dl * cap_n + i] = headers
                 self.shard_utt_len[d][i] = n
                 self.shard_utt_offset[d][i] = off
                 self.shard_utt_label[d][i] = spk
@@ -392,14 +407,22 @@ class ShardedDevicePool:
                 fill_n[d] += 1
 
         self.cap_f, self.cap_n = cap_f, cap_n
-        self.frames = _stage_rows(
-            _device_zeros((S * cap_f, self.dim), jnp.uint8, self.sharding),
-            host_frames, None,
-        )
-        self.headers = _stage_rows(
-            _device_zeros((S * cap_n, 4, self.dim), jnp.float32, self.sharding),
-            host_headers, None,
-        )
+        if jax.process_count() > 1:
+            # DCN/PCIe path: one local-block assembly per array.
+            self.frames = jax.make_array_from_process_local_data(
+                self.sharding, host_frames)
+            self.headers = jax.make_array_from_process_local_data(
+                self.sharding, host_headers)
+        else:
+            self.frames = _stage_rows(
+                _device_zeros((S * cap_f, self.dim), jnp.uint8, self.sharding),
+                host_frames, None,
+            )
+            self.headers = _stage_rows(
+                _device_zeros((S * cap_n, 4, self.dim), jnp.float32,
+                              self.sharding),
+                host_headers, None,
+            )
         self.resident_round = round_id
         log.info(
             "sharded device pool staged: %d shards x %d frames cap "
@@ -415,28 +438,29 @@ class ShardedDevicePool:
         num_segments: int,
         batch_length: int,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(starts, utts, labels) [K, B] with B laid out in contiguous
-        per-shard blocks; starts/utts are SHARD-LOCAL (the shard_map gather
-        adds no offsets — each device's block is its own array)."""
+        """(starts, utts, labels) [K, B_local]: THIS process's rows of the
+        global batch, laid out in contiguous per-shard blocks; starts/utts
+        are SHARD-LOCAL (the shard_map gather adds no offsets — each
+        device's block is its own array). Single-process: B_local = B."""
         S = self.num_shards
         if num_speakers % S:
             raise ValueError(
                 "num_speakers_per_batch=%d must divide the %d-way data axis"
                 % (num_speakers, S))
         per = num_speakers // S
-        B = num_speakers * num_segments
         rows_per_shard = per * num_segments
-        starts = np.zeros((group, B), np.int32)
-        utts = np.zeros((group, B), np.int32)
-        labels = np.zeros((group, B), np.int32)
+        B_local = rows_per_shard * self.local_num_shards
+        starts = np.zeros((group, B_local), np.int32)
+        utts = np.zeros((group, B_local), np.int32)
+        labels = np.zeros((group, B_local), np.int32)
         for k in range(group):
-            for d in range(S):
+            for d in range(self.shard0, self.shard0 + self.local_num_shards):
                 spk2utts = self.shard_spk2utts[d]
                 speakers = list(spk2utts.keys())
                 if len(speakers) < per:
                     speakers = speakers * (per // len(speakers) + 1)
                 batch_speakers = rng.sample(speakers, per)
-                base = d * rows_per_shard
+                base = (d - self.shard0) * rows_per_shard
                 for i in range(per):
                     spk = batch_speakers[i]
                     cand: List[int] = []

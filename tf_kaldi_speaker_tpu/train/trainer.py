@@ -657,12 +657,7 @@ class Trainer:
         """One epoch of num_steps_per_epoch steps (reference trainer.py:451-520)."""
         cfg = self.params.dict
         if bool(cfg.get("device_pool", False)):
-            if jax.process_count() == 1:
-                return self._train_device_pool(data_dir, spklist, learning_rate)
-            log.warning(
-                "device_pool is single-process only for now; "
-                "falling back to the streaming loader"
-            )
+            return self._train_device_pool(data_dir, spklist, learning_rate)
         num_steps = int(cfg["num_steps_per_epoch"])
         show = int(cfg.get("show_training_progress", 100))
         save_every = int(cfg.get("save_checkpoints_steps", num_steps))
@@ -810,10 +805,15 @@ class Trainer:
             int(cfg.get("num_buckets", 8)),
         )
         ndev = self.mesh.shape[DATA_AXIS]
+        nproc, pid = jax.process_count(), jax.process_index()
         # Multi-device meshes shard the pool over the data axis (capacity
         # scales with chips, every gather stays device-local); a single
-        # data shard keeps the simpler replicated pool. Overridable.
+        # data shard keeps the simpler replicated pool. Overridable —
+        # except multi-host, which is sharded by construction (each host
+        # stages only its own devices' shards).
         sharded = bool(cfg.get("pool_sharded", ndev > 1))
+        if nproc > 1 and not sharded:
+            raise ValueError("multi-host device_pool requires pool_sharded")
         if self._device_pool is None or self._device_pool.data_dir != data_dir:
             if self._device_pool is not None:
                 self._device_pool.close()
@@ -833,7 +833,11 @@ class Trainer:
         pool = self._device_pool
         epoch_round = int(self.state.step) // max(1, num_steps)
         pool.stage(epoch_round)
-        rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
+        # Host-disjoint sampling streams; the LENGTH stream is shared so
+        # every host dispatches the same program shape (collective shape
+        # contract, same as the streaming loaders).
+        rng = _random.Random(
+            int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919)
         length_rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
         lr = jnp.float32(learning_rate)
         t0 = time.time()
@@ -851,11 +855,13 @@ class Trainer:
                     self._train_step_pool_multi_sharded(L) if sharded
                     else self._train_step_pool_multi(L)
                 )
+                if nproc > 1:
+                    put = self._from_local_grouped
+                else:
+                    put = lambda a: jax.device_put(a, self.gsh)
                 self.state, metrics = step(
                     self.state, pool.frames, pool.headers,
-                    jax.device_put(starts, self.gsh),
-                    jax.device_put(utts, self.gsh),
-                    jax.device_put(labels, self.gsh),
+                    put(starts), put(utts), put(labels),
                     lr,
                 )
                 self._post_group(
