@@ -128,6 +128,7 @@ class KaldiMultiDataRandomQueue(PrefetchLoader):
         shuffle: bool = True,
         seed: int = 0,
         length_seed: "int | None" = None,
+        group: int = 1,
     ):
         _, _, spk2index = get_aux_speaker_info(data_dir, aux_data, spklist)
         self.num_total_speakers = len(spk2index)
@@ -136,7 +137,7 @@ class KaldiMultiDataRandomQueue(PrefetchLoader):
             return MultiRandomChunkSampler(
                 data_dir, aux_data, spklist, num_speakers, num_segments,
                 min_len, max_len, shuffle, worker_seed,
-                length_seed=length_seed,
+                length_seed=length_seed, group=group,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

@@ -288,6 +288,7 @@ class MultiRandomChunkSampler:
         seed: int = 0,
         num_buckets: int = 8,
         length_seed: Optional[int] = None,
+        group: int = 1,
     ):
         self.data_dir = data_dir
         self.aux_data = aux_data
@@ -300,6 +301,8 @@ class MultiRandomChunkSampler:
         self.rng = random.Random(seed)
         # shared multi-host length stream (see RandomChunkSampler)
         self.length_rng = random.Random(seed if length_seed is None else length_seed)
+        # K-batch groups for single-dispatch training (see RandomChunkSampler)
+        self.group = int(group)
         self.readers: Optional[Dict[str, FeatureReader]] = None
 
     def __iter__(self):
@@ -307,47 +310,61 @@ class MultiRandomChunkSampler:
             self.readers = {"features": FeatureReader(self.data_dir)}
             for name, d in self.aux_data.items():
                 self.readers[name] = FeatureReader(d)
-        rng = self.rng
-        main = self.readers["features"]
         speakers = list(self.spk2features.keys())
         if len(speakers) < self.num_speakers:
             speakers = speakers * (self.num_speakers // len(speakers) + 1)
-        B = self.num_speakers * self.num_segments
         while True:
             batch_length = self.length_rng.choice(self.buckets)
-            batch_speakers = rng.sample(speakers, self.num_speakers)
-            features = {
-                name: np.zeros((B, batch_length, r.dim), dtype=np.float32)
-                for name, r in self.readers.items()
-            }
-            labels = np.zeros((B,), dtype=np.int32)
-            for i in range(self.num_speakers):
-                spk = batch_speakers[i]
-                cand: List[Dict[str, str]] = []
-                while not cand:
-                    cand = [
-                        fdict
-                        for fdict in self.spk2features[spk]
-                        if main.utt2num_frames[fdict["features"].split(" ")[0]]
-                        > batch_length
-                    ]
-                    if not cand:
-                        spk = rng.choice(list(set(speakers) - set(batch_speakers)))
-                        batch_speakers[i] = spk
-                labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
-                if len(cand) < self.num_segments:
-                    cand = cand * (self.num_segments // len(cand) + 1)
-                for j, fdict in enumerate(rng.sample(cand, self.num_segments)):
-                    row = i * self.num_segments + j
-                    mat, start = main.read_segment(
-                        fdict["features"], batch_length, shuffle=self.shuffle, rng=rng
+            if self.group == 1:
+                yield self._one_batch(speakers, batch_length)
+            else:
+                parts = [
+                    self._one_batch(speakers, batch_length)
+                    for _ in range(self.group)
+                ]
+                feats = {
+                    name: np.stack([p[0][name] for p in parts])
+                    for name in parts[0][0]
+                }
+                yield feats, np.stack([p[1] for p in parts])
+
+    def _one_batch(self, speakers, batch_length):
+        rng = self.rng
+        main = self.readers["features"]
+        B = self.num_speakers * self.num_segments
+        batch_speakers = rng.sample(speakers, self.num_speakers)
+        features = {
+            name: np.zeros((B, batch_length, r.dim), dtype=np.float32)
+            for name, r in self.readers.items()
+        }
+        labels = np.zeros((B,), dtype=np.int32)
+        for i in range(self.num_speakers):
+            spk = batch_speakers[i]
+            cand: List[Dict[str, str]] = []
+            while not cand:
+                cand = [
+                    fdict
+                    for fdict in self.spk2features[spk]
+                    if main.utt2num_frames[fdict["features"].split(" ")[0]]
+                    > batch_length
+                ]
+                if not cand:
+                    spk = rng.choice(list(set(speakers) - set(batch_speakers)))
+                    batch_speakers[i] = spk
+            labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
+            if len(cand) < self.num_segments:
+                cand = cand * (self.num_segments // len(cand) + 1)
+            for j, fdict in enumerate(rng.sample(cand, self.num_segments)):
+                row = i * self.num_segments + j
+                mat, start = main.read_segment(
+                    fdict["features"], batch_length, shuffle=self.shuffle, rng=rng
+                )
+                features["features"][row] = mat
+                for name in self.aux_data:
+                    features[name][row], _ = self.readers[name].read_segment(
+                        fdict[name], batch_length, start=start
                     )
-                    features["features"][row] = mat
-                    for name in self.aux_data:
-                        features[name][row], _ = self.readers[name].read_segment(
-                            fdict[name], batch_length, start=start
-                        )
-            yield features, labels
+        return features, labels
 
     def close(self) -> None:
         if self.readers:

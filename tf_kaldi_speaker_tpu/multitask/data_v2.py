@@ -82,6 +82,7 @@ class RandomChunkSamplerV2:
         seed: int = 0,
         num_buckets: int = 8,
         length_seed: Optional[int] = None,
+        group: int = 1,
     ):
         self.data_dir, self.ali_dir = data_dir, ali_dir
         self.left_context, self.right_context = left_context, right_context
@@ -100,6 +101,8 @@ class RandomChunkSamplerV2:
         # Separate length-draw stream so multi-host trainers can seed it
         # identically on every host (see data/sampler.py).
         self.length_rng = random.Random(seed if length_seed is None else length_seed)
+        # K-batch groups for single-dispatch training (see data/sampler.py)
+        self.group = int(group)
         self.reader: Optional[FeatureReaderV2] = None
 
     def _regions(self, utt2num_frames):
@@ -125,43 +128,60 @@ class RandomChunkSamplerV2:
         reader, rng = self.reader, self.rng
         lc, rc = self.left_context, self.right_context
         speakers, spk_regions, utt_regions = self._regions(reader.utt2num_frames)
-        B = self.num_speakers * self.num_segments
         while True:
-            batch_speakers = sample_with_probability(
-                rng, speakers, self.num_speakers, spk_regions
-            )
             batch_length = self.length_rng.choice(self.buckets)
-            features = np.zeros((B, batch_length + lc + rc, reader.dim), np.float32)
-            vad = np.zeros((B, batch_length), np.float32)
-            ali = np.zeros((B, batch_length), np.int32)
-            labels = np.zeros((B,), np.int32)
-            valid_length = np.zeros((B,), np.int32)
-            valid_pos = np.zeros((B, 2), np.int32)
-            resample = np.zeros((B,), np.int32)
-            for i, spk in enumerate(batch_speakers):
-                labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
-                segs = sample_with_probability(
-                    rng, self.spk2utts[spk], self.num_segments, utt_regions[spk]
+            if self.group == 1:
+                yield self._one_batch(speakers, spk_regions, utt_regions,
+                                      batch_length)
+            else:
+                parts = [
+                    self._one_batch(speakers, spk_regions, utt_regions,
+                                    batch_length)
+                    for _ in range(self.group)
+                ]
+                yield tuple(
+                    np.stack([p[i] for p in parts])
+                    for i in range(len(parts[0]))
                 )
-                for j, utt in enumerate(segs):
-                    row = i * self.num_segments + j
-                    utt_feat, utt_vad, utt_ali, start = reader.read_segment(
-                        utt, batch_length, shuffle=self.shuffle, rng=rng
-                    )
-                    utt_len = utt_feat.shape[0] - lc - rc
-                    features[row, : utt_feat.shape[0]] = utt_feat
-                    if utt_len < batch_length:
-                        features[row, utt_feat.shape[0] :] = utt_feat[-1]
-                    vad[row, :utt_len] = utt_vad
-                    ali[row, :utt_len] = utt_ali
-                    valid_length[row] = utt_len
-                    n = reader.utt2num_frames[utt]
-                    resample[row] = 1 if start + utt_len == n else 0
-                    valid_pos[row, 0] = max(lc - start, 0)
-                    valid_pos[row, 1] = (
-                        n - start - rc if start + utt_len > n - rc else utt_len
-                    )
-            yield features, vad, ali, valid_length, labels, resample, valid_pos
+
+    def _one_batch(self, speakers, spk_regions, utt_regions, batch_length):
+        reader, rng = self.reader, self.rng
+        lc, rc = self.left_context, self.right_context
+        B = self.num_speakers * self.num_segments
+        batch_speakers = sample_with_probability(
+            rng, speakers, self.num_speakers, spk_regions
+        )
+        features = np.zeros((B, batch_length + lc + rc, reader.dim), np.float32)
+        vad = np.zeros((B, batch_length), np.float32)
+        ali = np.zeros((B, batch_length), np.int32)
+        labels = np.zeros((B,), np.int32)
+        valid_length = np.zeros((B,), np.int32)
+        valid_pos = np.zeros((B, 2), np.int32)
+        resample = np.zeros((B,), np.int32)
+        for i, spk in enumerate(batch_speakers):
+            labels[i * self.num_segments : (i + 1) * self.num_segments] = spk
+            segs = sample_with_probability(
+                rng, self.spk2utts[spk], self.num_segments, utt_regions[spk]
+            )
+            for j, utt in enumerate(segs):
+                row = i * self.num_segments + j
+                utt_feat, utt_vad, utt_ali, start = reader.read_segment(
+                    utt, batch_length, shuffle=self.shuffle, rng=rng
+                )
+                utt_len = utt_feat.shape[0] - lc - rc
+                features[row, : utt_feat.shape[0]] = utt_feat
+                if utt_len < batch_length:
+                    features[row, utt_feat.shape[0] :] = utt_feat[-1]
+                vad[row, :utt_len] = utt_vad
+                ali[row, :utt_len] = utt_ali
+                valid_length[row] = utt_len
+                n = reader.utt2num_frames[utt]
+                resample[row] = 1 if start + utt_len == n else 0
+                valid_pos[row, 0] = max(lc - start, 0)
+                valid_pos[row, 1] = (
+                    n - start - rc if start + utt_len > n - rc else utt_len
+                )
+        return features, vad, ali, valid_length, labels, resample, valid_pos
 
     def close(self):
         if self.reader is not None:
@@ -259,7 +279,8 @@ class SequentialChunkSamplerV2:
 class KaldiDataRandomQueueV2(PrefetchLoader):
     def __init__(self, data_dir, ali_dir, spklist, left_context, right_context,
                  num_parallel=2, max_qsize=10, num_speakers=64, num_segments=1,
-                 min_len=200, max_len=400, shuffle=True, seed=0, length_seed=None):
+                 min_len=200, max_len=400, shuffle=True, seed=0, length_seed=None,
+                 group=1):
         _, _, spk2index = get_speaker_info(data_dir, spklist)
         self.num_total_speakers = len(spk2index)
         self.num_total_phones = get_num_phones(ali_dir)
@@ -268,7 +289,7 @@ class KaldiDataRandomQueueV2(PrefetchLoader):
             return RandomChunkSamplerV2(
                 data_dir, ali_dir, spklist, left_context, right_context,
                 num_speakers, num_segments, min_len, max_len, shuffle, worker_seed,
-                length_seed=length_seed,
+                length_seed=length_seed, group=group,
             )
 
         super().__init__(factory, num_parallel, max_qsize, base_seed=seed, finite=False)

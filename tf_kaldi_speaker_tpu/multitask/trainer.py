@@ -194,6 +194,28 @@ class TrainerMultiTask(Trainer):
             donate_argnums=(0,),
         )
 
+        # Grouped K-step dispatch (see Trainer._build_train): one lax.scan
+        # program per K stacked batches.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        self.gsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def multi_fn(state, feats, spk, ali, length, idx, lr):
+            def body(st, xs):
+                return step_fn(st, *xs, lr)
+
+            state2, ms = jax.lax.scan(body, state, (feats, spk, ali, length, idx))
+            return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        self._train_step_multi = jax.jit(
+            multi_fn,
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.gsh,
+                          self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+
     def _build_valid(self) -> None:
         margin_override = VALID_MARGIN_NEUTRAL.get(
             self.params.dict.get("spk_loss_type", "softmax")
@@ -281,6 +303,30 @@ class TrainerMultiTask(Trainer):
         put = self._from_local if local_rows else self._put_rows
         return put(feats), put(labels), put(ali), put(length), put(idx), put(weights)
 
+    def _shard_mt_grouped(self, feats, ali, length, labels, resample,
+                          local_rows: bool = False):
+        """Grouped variant of _shard_mt: arrays are [K, B, ...]; phone
+        masks are drawn per group member (same _mask_rng stream order as K
+        per-step batches) and stacked."""
+        if not local_rows:
+            (feats, ali, length, labels, resample), _ = self._pad_group_rows(
+                feats, ali, length, labels, resample
+            )
+        K = feats.shape[0]
+        if self.all_phone_frames:
+            idx = np.zeros((K, feats.shape[1], 1), np.int32)
+        else:
+            idx = np.stack([
+                make_phone_masks(length[k], resample[k],
+                                 self.num_frames_per_utt, self._mask_rng)
+                for k in range(K)
+            ])
+        put = (
+            self._from_local_grouped if local_rows
+            else (lambda a: jax.device_put(a, self.gsh))
+        )
+        return put(feats), put(labels), put(ali), put(length), put(idx)
+
     def train(self, data_dir: str, ali_dir: str, spklist: str, learning_rate: float) -> None:
         cfg = self.params.dict
         num_steps = int(cfg["num_steps_per_epoch"])
@@ -296,6 +342,10 @@ class TrainerMultiTask(Trainer):
                 "num_speakers_per_batch=%d must divide across %d hosts"
                 % (glob_speakers, nproc)
             )
+        # K-step dispatch groups (see Trainer.train): K divides num_steps.
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
+        while num_steps % K:
+            K -= 1
         loader = KaldiDataRandomQueueV2(
             data_dir, ali_dir, spklist,
             num_parallel=(
@@ -309,6 +359,7 @@ class TrainerMultiTask(Trainer):
                 int(cfg.get("seed", 0)) + int(self.state.step)
                 if nproc > 1 else None
             ),
+            group=K,
             **self._loader_kwargs(),
         ).start()
         summary_steps = int(cfg.get("save_summary_steps", 0))
@@ -323,27 +374,44 @@ class TrainerMultiTask(Trainer):
             self.speaker_egs = np.zeros(self.num_speakers, np.int64)
             self.phone_egs = np.zeros(self.num_phones, np.int64)
         # Stage fetch + egs counting + host->device transfer on the prefetch
-        # thread so the copy of batch k+1 overlaps step k (Trainer.train
+        # thread so the copy of group k+1 overlaps group k (Trainer.train
         # scheme; the single thread keeps _mask_rng/egs order deterministic).
         from ..data.pipeline import device_prefetch
 
         def staged():
-            for _ in range(num_steps):
-                feats, vad, ali, length, labels, resample, _vp = loader.fetch()
-                np.add.at(self.speaker_egs, labels, 1)
-                np.add.at(self.phone_egs, ali.reshape(-1), 1)
-                yield self._shard_mt(
-                    feats, vad, ali, length, labels, resample,
-                    local_rows=nproc > 1,
-                )
+            for _ in range(num_steps // K):
+                batch = loader.fetch()
+                if K == 1:
+                    feats, vad, ali, length, labels, resample, _vp = batch
+                    np.add.at(self.speaker_egs, labels, 1)
+                    np.add.at(self.phone_egs, ali.reshape(-1), 1)
+                    f, s, a, ln, idx, _w = self._shard_mt(
+                        feats, vad, ali, length, labels, resample,
+                        local_rows=nproc > 1,
+                    )
+                    yield f, s, a, ln, idx
+                else:
+                    feats, vad, ali, length, labels, resample, _vp = batch
+                    np.add.at(self.speaker_egs, labels.reshape(-1), 1)
+                    np.add.at(self.phone_egs, ali.reshape(-1), 1)
+                    yield self._shard_mt_grouped(
+                        feats, ali, length, labels, resample,
+                        local_rows=nproc > 1,
+                    )
 
         try:
-            for local_step, (f, s, a, ln, idx, _) in enumerate(
+            for local_group, (f, s, a, ln, idx) in enumerate(
                 device_prefetch(staged(), put_fn=lambda x: x, depth=2)
             ):
-                self.state, metrics = self._train_step(self.state, f, s, a, ln, idx, lr)
+                if K > 1:
+                    self.state, metrics = self._train_step_multi(
+                        self.state, f, s, a, ln, idx, lr)
+                else:
+                    self.state, metrics = self._train_step(
+                        self.state, f, s, a, ln, idx, lr)
                 gstep = int(self.state.step)
-                if show and local_step % show == 0:
+                local_step = local_group * K + K - 1
+                if show and (local_step % show) < K:
                     m = jax.device_get(metrics)
                     log.info(
                         "step %d: spk %.4f phn %.4f acc %.3f/%.3f (%.2f steps/s)",
@@ -351,9 +419,11 @@ class TrainerMultiTask(Trainer):
                         m["spk_accuracy"], m["phn_accuracy"],
                         (local_step + 1) / (time.time() - t0),
                     )
-                if writer and gstep % summary_steps == 0:
+                if writer and summary_steps and (
+                    gstep // summary_steps > (gstep - K) // summary_steps
+                ):
                     writer.scalars(gstep, jax.device_get(metrics))
-                if save_every and gstep % save_every == 0:
+                if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
         finally:
             loader.stop()

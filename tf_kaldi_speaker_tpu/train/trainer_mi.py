@@ -125,6 +125,29 @@ class TrainerMultiInput(Trainer):
             donate_argnums=(0,),
         )
 
+        # Grouped K-step dispatch (see Trainer._build_train): batches
+        # stacked on a leading axis, one lax.scan program per group; the
+        # gsh prefix-sharding applies to every aux-dict leaf.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        self.gsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def multi_fn(state, features, aux, labels, lr):
+            def body(s, xs):
+                f, a, l = xs
+                return step_fn(s, f, a, l, lr)
+
+            state2, ms = jax.lax.scan(body, state, (features, aux, labels))
+            return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        self._train_step_multi = jax.jit(
+            multi_fn,
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+
     def _build_valid(self) -> None:
         from .trainer import VALID_MARGIN_NEUTRAL
 
@@ -205,6 +228,10 @@ class TrainerMultiInput(Trainer):
                 "num_speakers_per_batch=%d must divide across %d hosts"
                 % (glob_speakers, nproc)
             )
+        # K-step dispatch groups (see Trainer.train): K divides num_steps.
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
+        while num_steps % K:
+            K -= 1
         loader = KaldiMultiDataRandomQueue(
             data_dir, aux_data, spklist,
             num_parallel=(
@@ -220,35 +247,68 @@ class TrainerMultiInput(Trainer):
                 int(cfg.get("seed", 0)) + int(self.state.step)
                 if nproc > 1 else None
             ),
+            group=K,
         ).start()
         lr = jnp.float32(learning_rate)
         t0 = time.time()
 
         # Stage fetch + host->device transfer on the prefetch thread so the
-        # copy of batch k+1 overlaps step k (same as Trainer.train).
+        # copy of group k+1 overlaps group k (same as Trainer.train).
         from ..data.pipeline import device_prefetch
 
         def staged():
-            for _ in range(num_steps):
+            for _ in range(num_steps // K):
                 features, labels = loader.fetch()
-                yield self._shard_multi(features, labels,
-                                        local_rows=nproc > 1)
+                yield self._shard_multi_grouped(features, labels, K,
+                                                local_rows=nproc > 1)
 
         try:
-            for local_step, (main, aux, l, _) in enumerate(
+            for local_group, (main, aux, l) in enumerate(
                 device_prefetch(staged(), put_fn=lambda x: x, depth=2)
             ):
-                self.state, metrics = self._train_step(self.state, main, aux, l, lr)
+                if K > 1:
+                    self.state, metrics = self._train_step_multi(
+                        self.state, main, aux, l, lr)
+                else:
+                    self.state, metrics = self._train_step(
+                        self.state, main, aux, l, lr)
                 gstep = int(self.state.step)
-                if show and local_step % show == 0:
+                local_step = local_group * K + K - 1
+                if show and (local_step % show) < K:
                     m = jax.device_get(metrics)
                     log.info("step %d: loss %.4f (%.2f steps/s)", gstep, m["loss"],
                              (local_step + 1) / (time.time() - t0))
-                if save_every and gstep % save_every == 0:
+                if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
         finally:
             loader.stop()
         self.save(int(self.state.step))
+
+    def _shard_multi_grouped(self, features, labels, K, local_rows=False):
+        """Grouped variant of _shard_multi: features [K, B, L, D] (+aux),
+        labels [K, B]; returns placed (main, aux dict, labels). K==1 inputs
+        come ungrouped from the loader and gain a leading axis of 1 is NOT
+        needed — the per-step path keeps the old shapes."""
+        main, aux = self._split_main_aux(features)
+        names = sorted(aux)
+        if K == 1:
+            m, a, l, _ = self._shard_multi(features, labels,
+                                           local_rows=local_rows)
+            return m, a, l
+        if local_rows:
+            padded = (main, *[aux[k] for k in names], labels)
+        else:
+            padded, _ = self._pad_group_rows(
+                main, *[aux[k] for k in names], labels)
+        put = (
+            self._from_local_grouped if local_rows
+            else (lambda a: jax.device_put(a, self.gsh))
+        )
+        return (
+            put(padded[0]),
+            {k: put(v) for k, v in zip(names, padded[1:-1])},
+            put(padded[-1]),
+        )
 
     def valid(
         self, data_dir, spklist, batch_type="softmax", output_embeddings=False, aux_data=None
