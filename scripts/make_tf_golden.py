@@ -185,6 +185,118 @@ def build_amsoftmax(features, labels, step, reuse=None):
     return loss, logits
 
 
+def make_margin_loss_goldens():
+    """Loss-level golden fixtures: A-softmax m∈{1,2,4} (Chebyshev phi,
+    loss.py:129-139) and Arc-softmax (θ+m>π branch, loss.py:318-323) under
+    real TF on ADVERSARIAL embeddings (reference self-test style,
+    tdnn.py:273-277): rows aligned / anti-aligned with their target weight
+    column, tiny and huge norms, and rows pinned near the m=4 sign
+    boundary cos²θ=1/2. TF losses AND gradients (d/dfeatures, d/dkernel)
+    at two anneal steps go to golden_losses.npz; tests/test_tf_golden.py
+    asserts the JAX losses/grads match."""
+    rng = np.random.RandomState(11)
+    D, C = 16, 12
+    kernel = rng.randn(D, C).astype(np.float32)
+    w_norm = kernel / np.linalg.norm(kernel, axis=0, keepdims=True)
+
+    rows = []
+    labels = []
+    # aligned, huge norm (cosθ≈1, clips at 1-eps)
+    labels.append(3); rows.append(8.0 * w_norm[:, 3])
+    # anti-aligned (cosθ≈-1: arc θ+m>π branch, asoftmax sign branches)
+    labels.append(5); rows.append(-2.0 * w_norm[:, 5])
+    # tiny norm (fnorm floor path)
+    labels.append(1); rows.append(1e-6 * w_norm[:, 1])
+    # near the m=4 sign boundary cosθ=±1/√2: mix target column with an
+    # orthogonalized random direction
+    for lbl, c in ((7, 1.0 / np.sqrt(2.0)), (2, -1.0 / np.sqrt(2.0))):
+        r = rng.randn(D).astype(np.float32)
+        r -= (r @ w_norm[:, lbl]) * w_norm[:, lbl]
+        r /= np.linalg.norm(r)
+        labels.append(lbl)
+        rows.append(1.7 * (c * w_norm[:, lbl] + np.sqrt(1 - c * c) * r))
+    # cosθ=-0.7 exactly between cos(π-0.5)≈-0.878 and cos(π-1.0)≈-0.540:
+    # arc m=0.5 takes the cos(θ+m) branch, m=1.0 the -cos(θ+m)-2 branch
+    r9 = rng.randn(D).astype(np.float32)
+    r9 -= (r9 @ w_norm[:, 9]) * w_norm[:, 9]
+    r9 /= np.linalg.norm(r9)
+    labels.append(9)
+    rows.append(1.3 * (-0.7 * w_norm[:, 9] + np.sqrt(1 - 0.49) * r9))
+    # plain random rows
+    for _ in range(6):
+        labels.append(int(rng.randint(C)))
+        rows.append(rng.randn(D).astype(np.float32))
+    feats = np.stack(rows).astype(np.float32)
+    labels = np.asarray(labels, np.int32)
+
+    out = {"features": feats, "labels": labels, "kernel": kernel}
+    g = tf1.Graph()
+    with g.as_default():
+        f_ph = tf1.placeholder(tf.float32, [None, D])
+        l_ph = tf1.placeholder(tf.int32, [None])
+        s_ph = tf1.placeholder(tf.int32, [])
+        w = tf1.get_variable("kernel", initializer=tf.constant(kernel))
+        wn = tf.nn.l2_normalize(w, axis=0)
+        logits = tf.matmul(f_ph, wn)
+        ordinal = tf.range(tf.shape(f_ph)[0], dtype=tf.int32)
+        idx = tf.stack([ordinal, l_ph], axis=1)
+        sel = tf.gather_nd(logits, idx)
+        eps = 1e-12
+        fnorm = tf.maximum(tf.norm(f_ph, axis=1), eps)
+        cos_t = tf.clip_by_value(sel / fnorm, -1 + eps, 1 - eps)
+        lam = tf.maximum(
+            LAMBDA["lambda_min"],
+            LAMBDA["lambda_base"]
+            * (1.0 + LAMBDA["lambda_gamma"] * tf.cast(s_ph, tf.float32))
+            ** (-LAMBDA["lambda_power"]),
+        )
+
+        def blended(scaled):
+            fa = 1.0 / (1.0 + lam)
+            lm = logits + tf.scatter_nd(idx, scaled - sel, tf.shape(logits))
+            upd = (1.0 - fa) * logits + fa * lm
+            return tf1.losses.sparse_softmax_cross_entropy(
+                labels=l_ph, logits=upd,
+                reduction=tf1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS)
+
+        losses = {}
+        # asoftmax (loss.py:51-169)
+        losses["asoftmax_m1"] = tf1.losses.sparse_softmax_cross_entropy(
+            labels=l_ph, logits=logits,
+            reduction=tf1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS)
+        phi2 = 2.0 * tf.multiply(tf.sign(cos_t), tf.square(cos_t)) - 1.0
+        losses["asoftmax_m2"] = blended(phi2 * fnorm)
+        cos2 = tf.square(cos_t)
+        cos4 = tf.pow(cos_t, 4)
+        sign0 = tf.sign(cos_t)
+        sign3 = tf.multiply(tf.sign(2 * cos2 - 1), sign0)
+        sign4 = 2 * sign0 + sign3 - 3
+        phi4 = sign3 * (8 * cos4 - 8 * cos2 + 1) + sign4
+        losses["asoftmax_m4"] = blended(phi4 * fnorm)
+        # arcsoftmax (loss.py:260-355) at two margins
+        for m in (0.5, 1.0):
+            sin_t = tf.sqrt(tf.maximum(1 - tf.square(cos_t), 1e-12))
+            cos_pm = cos_t * np.cos(m) - sin_t * np.sin(m)
+            phi = tf.where(tf.greater(cos_t, np.cos(np.pi - m)),
+                           cos_pm, -cos_pm - 2)
+            losses["arcsoftmax_m%s" % m] = blended(phi * fnorm)
+        # amsoftmax on the same adversarial rows (golden.npz covers the
+        # network-fed case only)
+        losses["amsoftmax_m0.2"] = blended((cos_t - 0.2) * fnorm)
+
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            for nm, op in losses.items():
+                gf, gw = tf.gradients(op, [f_ph, w])
+                for step in (0, 20000):
+                    feed = {f_ph: feats, l_ph: labels, s_ph: step}
+                    out["%s_step%d" % (nm, step)] = sess.run(op, feed)
+                    out["%s_step%d_dfeat" % (nm, step)] = sess.run(gf, feed)
+                    out["%s_step%d_dkernel" % (nm, step)] = sess.run(gw, feed)
+    np.savez_compressed(os.path.join(OUT, "golden_losses.npz"), **out)
+    print("wrote golden_losses.npz:", sorted(k for k in out if "step" in k))
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.RandomState(SEED)
@@ -258,3 +370,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    make_margin_loss_goldens()

@@ -103,6 +103,57 @@ def test_eval_loss_and_logits_match_tf(imported):
     assert abs(float(loss0) - float(loss20k)) > 1e-4
 
 
+@pytest.fixture(scope="module")
+def loss_gold():
+    return np.load(os.path.join(GOLD, "golden_losses.npz"))
+
+
+_LOSS_CASES = []
+for _step in (0, 20000):
+    for _m in (1, 2, 4):
+        _LOSS_CASES.append(("asoftmax_m%d" % _m, _m, _step))
+    for _m in (0.5, 1.0):
+        _LOSS_CASES.append(("arcsoftmax_m%s" % _m, _m, _step))
+    _LOSS_CASES.append(("amsoftmax_m0.2", 0.2, _step))
+
+
+@pytest.mark.parametrize("name,m,step", _LOSS_CASES)
+def test_margin_loss_values_and_grads_match_tf(loss_gold, name, m, step):
+    """A/Arc/AM-softmax loss AND gradients vs real TF on adversarial
+    embeddings (aligned/anti-aligned/tiny-norm/sign-boundary rows; the
+    arc θ+m>π branch and every Chebyshev sign branch are exercised —
+    reference loss.py:129-139, 318-323)."""
+    from tf_kaldi_speaker_tpu.losses.margin import (
+        amsoftmax_loss, arcsoftmax_loss, asoftmax_loss,
+        margin_annealing_lambda)
+
+    feats = jnp.asarray(loss_gold["features"])
+    labels = jnp.asarray(loss_gold["labels"])
+    kernel = jnp.asarray(loss_gold["kernel"])
+    lam = margin_annealing_lambda(step, 0.0, 1000.0, 1e-4, 5.0)
+    if name.startswith("asoftmax"):
+        fn = lambda f, k: asoftmax_loss(f, labels, k, int(m), lam)[0]
+    elif name.startswith("arcsoftmax"):
+        fn = lambda f, k: arcsoftmax_loss(f, labels, k, float(m), lam)[0]
+    else:
+        fn = lambda f, k: amsoftmax_loss(f, labels, k, float(m), lam)[0]
+
+    loss, (dfeat, dkernel) = jax.value_and_grad(fn, argnums=(0, 1))(
+        feats, kernel)
+    suffix = "_step%d" % step
+    np.testing.assert_allclose(
+        float(loss), float(loss_gold[name + suffix]), rtol=1e-5, atol=1e-6,
+        err_msg="%s loss diverges from real TF" % name)
+    np.testing.assert_allclose(
+        np.asarray(dfeat), loss_gold[name + suffix + "_dfeat"],
+        rtol=1e-4, atol=1e-5,
+        err_msg="%s d/dfeatures diverges from real TF" % name)
+    np.testing.assert_allclose(
+        np.asarray(dkernel), loss_gold[name + suffix + "_dkernel"],
+        rtol=1e-4, atol=1e-5,
+        err_msg="%s d/dkernel diverges from real TF" % name)
+
+
 def test_train_mode_and_bn_update_match_tf(imported):
     t, gold = imported
     (loss, ep), updates = _apply(t, gold, train=True)
