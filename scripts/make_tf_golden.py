@@ -368,6 +368,219 @@ def main():
         print("  %-28s %s" % (k, np.shape(v)))
 
 
+ATT_HEADS = 4
+ATT_KEY_NODES = (24, 16)          # dense_bn_relu(32->24) + dense_tanh(24->16)
+ATT_PENALTY_TERM = 0.5
+VLAD_CENTERS, VLAD_GHOSTS = 6, 2
+VLAD_VALUE_NODES, VLAD_KEY_NODES = 20, 16
+
+
+def _frame_stack(feats, training):
+    """Shared frame-level stack (conv1-3 + dense4/5 + BN + relu), recording
+    the relu endpoints attention/vlad tap (reference tdnn.py:45-131)."""
+    ep = {}
+    x = tf.expand_dims(feats, 1)
+    for i, k in ((1, 5), (2, 5), (3, 7)):
+        x = conv2d(x, WIDTH, k, "tdnn%d_conv" % i)
+        x = bn(x, "tdnn%d_bn" % i, training)
+        x = tf.nn.relu(x)
+    x = tf.squeeze(x, axis=1)
+    x = dense(x, WIDTH, "tdnn4_dense")
+    x = bn(x, "tdnn4_bn", training)
+    x = tf.nn.relu(x)
+    ep["tdnn4_relu"] = x
+    x = dense(x, POOL_NODES, "tdnn5_dense")
+    x = bn(x, "tdnn5_bn", training)
+    x = tf.nn.relu(x)
+    ep["tdnn5_relu"] = x
+    return x, ep
+
+
+def _utt_tail(x, ep, training):
+    """Utterance-level layers 6/7 after pooling (tdnn.py:145-189)."""
+    x = dense(x, WIDTH, "tdnn6_dense")
+    ep["tdnn6_dense"] = x
+    x = bn(x, "tdnn6_bn", training)
+    x = tf.nn.relu(x)
+    x = dense(x, LAST_NODES, "tdnn7_dense")
+    x = bn(x, "tdnn7_bn", training)
+    ep["tdnn7_bn"] = x
+    return x, ep
+
+
+def build_attention_network(feats, training, reuse=None):
+    """Frame stack + multi-head self-attention pooling (reference
+    pooling.py:37-192: key stack dense_bn_relu -> dense_tanh [type 3],
+    heads on the value only [att_split_key false], scaled dot with a
+    learned per-head query, weighted mean ‖ weighted stddev with the 1e-12
+    floor, and the ‖WWᵀ−I‖² head-diversity penalty normalized by B)."""
+    with tf1.variable_scope("tdnn", reuse=reuse):
+        x, ep = _frame_stack(feats, training)
+        with tf1.variable_scope("attention"):
+            key = ep["tdnn4_relu"]
+            value = ep["tdnn5_relu"]
+            key = dense(key, ATT_KEY_NODES[0], "att_key0/att_key0_dense")
+            key = bn(key, "att_key0/att_key0_bn", training)
+            key = tf.nn.relu(key)
+            key = dense(key, ATT_KEY_NODES[1], "att_key1/att_key1_dense")
+            key = tf.nn.tanh(key)
+
+            b = tf.shape(value)[0]
+            dh = POOL_NODES // ATT_HEADS
+            dk = ATT_KEY_NODES[1]
+            value4 = tf.transpose(
+                tf.reshape(value, [b, -1, ATT_HEADS, dh]), [0, 2, 1, 3])
+            key4 = tf.expand_dims(key, axis=1)          # att_split_key false
+            query = tf1.get_variable(
+                "query", [ATT_HEADS, dk], tf.float32,
+                initializer=tf1.truncated_normal_initializer(
+                    stddev=0.1, seed=SEED + 99))
+            qk = tf.einsum("bmld,hd->blh", key4, query)
+            qk = qk * tf.math.rsqrt(tf.cast(dk, tf.float32))   # att_use_scale
+            weights = tf.nn.softmax(tf.transpose(qk, [0, 2, 1]))  # [B, H, L]
+            ep["attention_weights"] = weights
+
+            att_mean = tf.einsum("bhld,bhl->bhd", value4, weights)
+            att_var = tf.einsum(
+                "bhld,bhl->bhd",
+                tf.math.squared_difference(value4,
+                                           tf.expand_dims(att_mean, axis=2)),
+                weights)
+            att_mean = tf.reshape(att_mean, [b, POOL_NODES])
+            att_var = tf.reshape(att_var, [b, POOL_NODES])
+            floor = tf.cast(att_var <= VAR2STD_EPSILON, tf.float32)
+            att_std = tf.sqrt((1.0 - floor) * att_var + floor * VAR2STD_EPSILON)
+            x = tf.concat([att_mean, att_std], axis=1)
+            ep["pooling"] = x
+
+            gram = tf.einsum("bhl,bkl->bhk", weights, weights) \
+                - tf.eye(ATT_HEADS, batch_shape=[b])
+            ep["attention_penalty"] = ATT_PENALTY_TERM * (
+                tf.reduce_sum(tf.square(gram)) / tf.cast(b, tf.float32))
+        return _utt_tail(x, ep, training)
+
+
+def build_vlad_network(feats, training, reuse=None):
+    """Frame stack + GhostVLAD pooling (reference pooling.py:195-277:
+    dense_bn_relu key/value stacks, softmax assignment over
+    centers+ghosts, residual aggregation, ghost-cluster drop, per-cluster
+    then final L2 normalization)."""
+    with tf1.variable_scope("tdnn", reuse=reuse):
+        x, ep = _frame_stack(feats, training)
+        with tf1.variable_scope("vlad"):
+            value = ep["tdnn5_relu"]
+            key = ep["tdnn4_relu"]
+            value = dense(value, VLAD_VALUE_NODES,
+                          "vlad_value0/vlad_value0_dense")
+            value = bn(value, "vlad_value0/vlad_value0_bn", training)
+            value = tf.nn.relu(value)
+            key = dense(key, VLAD_KEY_NODES, "vlad_key0/vlad_key0_dense")
+            key = bn(key, "vlad_key0/vlad_key0_bn", training)
+            key = tf.nn.relu(key)
+            key = dense(key, VLAD_CENTERS + VLAD_GHOSTS, "vlad_weight_affine")
+            assign = tf.nn.softmax(key, axis=-1)
+            ep["vlad_weights"] = assign
+            cluster = tf1.get_variable(
+                "vlad_centers",
+                [VLAD_CENTERS + VLAD_GHOSTS, VLAD_VALUE_NODES], tf.float32,
+                initializer=tf1.glorot_uniform_initializer(seed=SEED + 17))
+            res = tf.expand_dims(value, axis=2) - cluster
+            cluster_res = tf.reduce_sum(
+                tf.expand_dims(assign, axis=-1) * res, axis=1)
+            cluster_res = cluster_res[:, :VLAD_CENTERS, :]   # drop ghosts
+            cluster_res = tf.nn.l2_normalize(cluster_res, axis=-1)
+            x = tf.reshape(cluster_res,
+                           [-1, VLAD_CENTERS * VLAD_VALUE_NODES])
+            x = tf.nn.l2_normalize(x, axis=-1)               # final_l2_norm
+            ep["pooling"] = x
+        return _utt_tail(x, ep, training)
+
+
+def make_pooling_golden(kind):
+    """Golden fixture for one pooling family: checkpoint (reference var
+    names, through the real importer) + eval/train outputs + eval-mode
+    gradients of the total loss w.r.t. the pooling-specific parameters."""
+    build = {"att": build_attention_network, "vlad": build_vlad_network}[kind]
+    rng = np.random.RandomState(SEED + {"att": 100, "vlad": 200}[kind])
+    feats = rng.randn(B, L, DIM).astype(np.float32)
+    labels = rng.randint(0, NUM_SPK, B).astype(np.int32)
+
+    _update_ops.clear()
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.set_random_seed(SEED)
+        f_ph = tf1.placeholder(tf.float32, [None, None, DIM])
+        l_ph = tf1.placeholder(tf.int32, [None])
+        s_ph = tf1.placeholder(tf.int32, [])
+
+        out_eval, ep_eval = build(f_ph, training=False)
+        loss_eval, logits_eval = build_amsoftmax(out_eval, l_ph, s_ph)
+        out_tr, ep_tr = build(f_ph, training=True, reuse=True)
+        loss_tr, _ = build_amsoftmax(out_tr, l_ph, s_ph, reuse=True)
+        update_ops = list(_update_ops)
+
+        # Total loss the trainer optimizes: CE + attention penalty (the
+        # reference adds the PENALTY collection, trainer.py:357-372).
+        total_eval = loss_eval + ep_eval.get("attention_penalty", 0.0)
+        pool_vars = [v for v in tf1.global_variables()
+                     if "/query" in v.name or "vlad_centers" in v.name]
+        grads = tf.gradients(total_eval, pool_vars)
+
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            assigns = []
+            for v in tf1.global_variables():
+                if "moving_mean" in v.name:
+                    assigns.append(v.assign(
+                        rng.randn(*v.shape.as_list()).astype(np.float32) * 0.3))
+                elif "moving_variance" in v.name:
+                    assigns.append(v.assign(
+                        rng.uniform(0.5, 1.5, v.shape.as_list())
+                        .astype(np.float32)))
+            sess.run(assigns)
+
+            feed = {f_ph: feats, l_ph: labels, s_ph: 0}
+            fetches = {k: v for k, v in ep_eval.items()}
+            fetches.update(loss_step0=loss_eval, logits=logits_eval)
+            vals = sess.run(fetches, feed)
+            vals["loss_step20000"] = sess.run(
+                loss_eval, {f_ph: feats, l_ph: labels, s_ph: 20000})
+            vals["train_loss_step0"] = sess.run(loss_tr, feed)
+            vals["train_pooling"] = sess.run(ep_tr["pooling"], feed)
+            for v, gv in zip(pool_vars, sess.run(grads, feed)):
+                leaf = v.name.split("/")[-1].split(":")[0]
+                vals["grad_" + leaf] = gv
+
+            # One train-mode update: BN momentum inside the pooling stack.
+            bn_scope = {"att": "attention/att_key0/att_key0_bn",
+                        "vlad": "vlad/vlad_value0/vlad_value0_bn"}[kind]
+            sess.run(update_ops, feed)
+            for v in tf1.global_variables():
+                if bn_scope + "/moving_mean" in v.name:
+                    vals["updated_pool_moving_mean"] = sess.run(v)
+                elif bn_scope + "/moving_variance" in v.name:
+                    vals["updated_pool_moving_variance"] = sess.run(v)
+
+            sess.run(assigns)   # restore pre-update stats for the checkpoint
+            tf1.train.Saver().save(sess, os.path.join(OUT, "model-%s-0" % kind),
+                                   write_meta_graph=False)
+
+    np.savez_compressed(
+        os.path.join(OUT, "golden_%s.npz" % kind),
+        features=feats, labels=labels,
+        **{k: np.asarray(v) for k, v in vals.items()},
+    )
+    print("wrote golden_%s.npz:" % kind, sorted(vals))
+
+
 if __name__ == "__main__":
-    main()
-    make_margin_loss_goldens()
+    import sys as _sys
+    which = _sys.argv[1:] or ["net", "losses", "att", "vlad"]
+    if "net" in which:
+        main()
+    if "losses" in which:
+        make_margin_loss_goldens()
+    if "att" in which:
+        make_pooling_golden("att")
+    if "vlad" in which:
+        make_pooling_golden("vlad")

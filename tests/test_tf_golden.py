@@ -154,6 +154,121 @@ def test_margin_loss_values_and_grads_match_tf(loss_gold, name, m, step):
         err_msg="%s d/dkernel diverges from real TF" % name)
 
 
+_CFG_ATT = dict(
+    CFG,
+    pooling_type="self_attention",
+    att_key_input="tdnn4_relu",
+    att_key_num_nodes=[24, 16],
+    att_key_network_type=3,
+    att_value_input="tdnn5_relu",
+    att_value_num_nodes=[],
+    att_value_network_type=0,
+    att_num_heads=4,
+    att_split_key=False,
+    att_use_scale=True,
+    att_apply_nonlinear=False,
+    att_penalty_term=0.5,
+)
+_CFG_VLAD = dict(
+    CFG,
+    pooling_type="ghost_vlad",
+    vlad_num_centers=6,
+    vlad_num_ghosts=2,
+    vlad_key_input="tdnn4_relu",
+    vlad_key_num_nodes=[16],
+    vlad_value_input="tdnn5_relu",
+    vlad_value_num_nodes=[20],
+    vlad_final_l2_norm=True,
+)
+_POOL_PARAM = {"att": ("self_attention", "query"),
+               "vlad": ("ghost_vlad", "vlad_centers")}
+
+
+@pytest.fixture(scope="module", params=["att", "vlad"])
+def pool_imported(request, tmp_path_factory):
+    """Import the attention/vlad TF checkpoint through the real importer."""
+    kind = request.param
+    gold = np.load(os.path.join(GOLD, "golden_%s.npz" % kind))
+    cfg = {"att": _CFG_ATT, "vlad": _CFG_VLAD}[kind]
+    t = Trainer(ParamsPlain(**cfg),
+                str(tmp_path_factory.mktemp("tfgold_" + kind) / "nnet"),
+                dim=20, num_speakers=10)
+    t.build("train", 20, cfg["loss_func"], 10)
+    imported, skipped = import_reference_checkpoint(
+        os.path.join(GOLD, "model-%s-0" % kind), t)
+    assert not skipped, skipped
+    return kind, t, gold
+
+
+def test_pooling_endpoints_match_tf(pool_imported):
+    """Attention / GhostVLAD pooling graphs vs real TF: frame-stack taps,
+    attention weights / vlad assignments, pooled output, downstream
+    embedding, logits, and the head-diversity penalty (reference
+    pooling.py:37-192, 195-277)."""
+    kind, t, gold = pool_imported
+    loss0, ep = _apply(t, gold, step=0)
+    names = ["tdnn4_relu", "tdnn5_relu", "pooling", "tdnn6_dense",
+             "tdnn7_bn", "logits"]
+    names.append("attention_weights" if kind == "att" else "vlad_weights")
+    for name in names:
+        np.testing.assert_allclose(
+            np.asarray(ep[name]), gold[name], rtol=1e-4, atol=1e-4,
+            err_msg="%s/%s diverges from real TF" % (kind, name))
+    if kind == "att":
+        np.testing.assert_allclose(
+            float(ep["attention_penalty"]), float(gold["attention_penalty"]),
+            rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(loss0), float(gold["loss_step0"]),
+                               rtol=1e-4, atol=1e-5)
+    loss20k, _ = _apply(t, gold, step=20000)
+    np.testing.assert_allclose(float(loss20k), float(gold["loss_step20000"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pooling_train_mode_and_bn_update_match_tf(pool_imported):
+    """Train-mode (batch-stat BN inside the pooling stacks) forward + the
+    BN momentum update of the pooling-internal BN vs real TF."""
+    kind, t, gold = pool_imported
+    (loss, ep), updates = _apply(t, gold, train=True)
+    np.testing.assert_allclose(float(loss), float(gold["train_loss_step0"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ep["pooling"]),
+                               gold["train_pooling"], rtol=1e-4, atol=1e-4)
+    pool_name = _POOL_PARAM[kind][0]
+    block = "att_key0" if kind == "att" else "vlad_value0"
+    bs = updates["batch_stats"]["network"]["tdnn"][pool_name][block]["bn"]
+    np.testing.assert_allclose(
+        np.asarray(bs["mean"]), gold["updated_pool_moving_mean"],
+        rtol=1e-4, atol=1e-5,
+        err_msg="%s BN moving-mean momentum diverges from TF" % kind)
+    np.testing.assert_allclose(
+        np.asarray(bs["var"]), gold["updated_pool_moving_variance"],
+        rtol=1e-4, atol=1e-5)
+
+
+def test_pooling_param_gradients_match_tf(pool_imported):
+    """d(CE + penalty)/d{query | vlad_centers} vs real TF gradients —
+    backward parity through the attention softmax / VLAD residual path."""
+    kind, t, gold = pool_imported
+    pool_name, leaf = _POOL_PARAM[kind]
+    batch_stats = jax.device_get(t.state.batch_stats)
+    feats = jnp.asarray(gold["features"])
+    labels = jnp.asarray(gold["labels"])
+
+    def f(params):
+        loss, ep = t.network_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats, labels, 0, False)
+        return loss + ep.get("attention_penalty", 0.0)
+
+    grads = jax.grad(f)(jax.device_get(t.state.params))
+    got = np.asarray(grads["network"]["tdnn"][pool_name][leaf])
+    want = gold["grad_" + leaf]
+    np.testing.assert_allclose(
+        got, want, rtol=1e-4, atol=1e-5,
+        err_msg="%s d/d%s diverges from real TF" % (kind, leaf))
+
+
 def test_train_mode_and_bn_update_match_tf(imported):
     t, gold = imported
     (loss, ep), updates = _apply(t, gold, train=True)
