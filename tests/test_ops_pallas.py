@@ -53,8 +53,10 @@ def test_masked_stats_pallas_interpret():
     mask = jnp.asarray((rng.rand(b, l) > 0.2).astype(np.float32))
 
     dt = 128
+    import functools
+
     out = pl.pallas_call(
-        pp._kernel,
+        functools.partial(pp._kernel, mask_rows=b),
         grid=(b, d // dt),
         in_specs=[
             pl.BlockSpec((1, l, dt), lambda i, j: (i, 0, j)),

@@ -257,3 +257,67 @@ def test_grouped_dispatch_device_decode(train_env):
     t.train(d["data"], d["spklist"], learning_rate=0.05)
     assert int(t.state.step) == 4
     assert checkpoints.read_pointer(nnet) == 4
+
+
+def test_padded_rows_carry_zero_weight(train_env):
+    """CLAUDE.md contract: rows duplicated for device-count alignment must
+    never bias the loss. The weighted step (a) matches the unweighted step
+    bit-for-bit under all-ones weights and (b) ignores the padded rows'
+    LABELS entirely (features still enter BN batch stats, like the valid
+    path)."""
+    import jax.numpy as jnp
+
+    root, d = train_env
+    t, params, _ = make_trainer(root, d, name="padw")
+    t.build("train", 20, params.loss_func, 8)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(8, 64, 20).astype(np.float32)
+    labels = rng.randint(0, 8, 8).astype(np.int32)
+    f, l = t._shard_batch(feats, labels)
+    ones = t._put_rows(np.ones(8, np.float32))
+
+    s_ref, m_ref = t._train_step(t.state, f, l, jnp.float32(0.01))
+    # state was donated; rebuild a fresh trainer state for each run
+    t2, p2, _ = make_trainer(root, d, name="padw2")
+    t2.build("train", 20, p2.loss_func, 8)
+    f2, l2 = t2._shard_batch(feats, labels)
+    s_w, m_w = t2._train_step_w(t2.state, f2, l2, ones, jnp.float32(0.01))
+    np.testing.assert_array_equal(
+        np.asarray(m_ref["loss"]), np.asarray(m_w["loss"]))
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_w.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) six real rows + two padded: flipping the padded labels must not
+    # change anything (loss, accuracy, updated params).
+    w = np.ones(8, np.float32)
+    w[6:] = 0.0
+    lab_a = labels.copy()
+    lab_b = labels.copy()
+    lab_b[6:] = (lab_b[6:] + 3) % 8
+    outs = []
+    for lab in (lab_a, lab_b):
+        tx, px, _ = make_trainer(root, d, name="padw3")
+        tx.build("train", 20, px.loss_func, 8)
+        fx, lx = tx._shard_batch(feats, lab)
+        sx, mx = tx._train_step_w(
+            tx.state, fx, lx, tx._put_rows(w), jnp.float32(0.01))
+        outs.append((jax.device_get(mx), jax.tree.map(np.asarray, sx.params)))
+    (ma, pa), (mb, pb) = outs
+    assert ma["loss"] == mb["loss"]
+    assert ma["accuracy"] == mb["accuracy"]
+    for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_structural_loss_refuses_padded_batch(train_env):
+    """Batch-structural losses cannot weight padded rows out; the trainer
+    must refuse instead of silently biasing (losses/head.py contract)."""
+    root, d = train_env
+    t, params, _ = make_trainer(
+        root, d, name="padstruct",
+        loss_func="semihard_triplet_loss", margin=0.3,
+        num_speakers_per_batch=3, num_segments_per_speaker=2,
+    )
+    t.build("train", 20, "semihard_triplet_loss", 8)
+    with pytest.raises(ValueError, match="cannot weight padded rows"):
+        t.train(d["data"], d["spklist"], learning_rate=0.05)

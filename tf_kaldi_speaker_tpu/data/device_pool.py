@@ -70,6 +70,70 @@ def _stage_rows(buf, host: np.ndarray, sharding):
     return buf
 
 
+def _select_resident_items(reader, spk2features, dim, budget_bytes, seed,
+                           round_id):
+    """(speaker, segment) resident list for one residency round, plus a
+    full_resident flag. Shared by DevicePool and ShardedDevicePool: when
+    the corpus exceeds the budget, whole speakers are rotated in by a
+    round-seeded shuffle."""
+    items = [
+        (spk, seg) for spk, segs in spk2features.items() for seg in segs
+    ]
+    total = sum(
+        reader.utt2num_frames[seg.split(" ")[0]] for _, seg in items
+    ) * dim
+    if budget_bytes is None or total <= budget_bytes:
+        return items, True
+    speakers = list(spk2features.keys())
+    random.Random(seed + 104729 * round_id).shuffle(speakers)
+    chosen: List[Tuple[int, str]] = []
+    used = 0
+    for spk in speakers:
+        segs = spk2features[spk]
+        b = sum(
+            reader.utt2num_frames[s.split(" ")[0]] for s in segs
+        ) * dim
+        if used + b > budget_bytes and chosen:
+            continue
+        chosen.extend((spk, s) for s in segs)
+        used += b
+        if used >= budget_bytes:
+            break
+    log.info(
+        "device pool: resident %d/%d speakers (%.0f MB of %.0f MB corpus)",
+        len({s for s, _ in chosen}), len(speakers),
+        used / 1e6, total / 1e6,
+    )
+    return chosen, False
+
+
+def _resolve_speaker(rng, spk2utts, utt_len_of, spk, batch_speakers, i,
+                     batch_length):
+    """Pick utterances of ``spk`` longer than ``batch_length``, resampling
+    the speaker when it has none (the reference's resampling rule,
+    data_loader.py:277-288). Terminates: already-tried speakers are
+    excluded, and an explicit error replaces the previous silent infinite
+    loop / IndexError when NO resident speaker has a long-enough utterance."""
+    tried = set()
+    while True:
+        cand = [u for u in spk2utts[spk] if utt_len_of(u) > batch_length]
+        if cand:
+            batch_speakers[i] = spk
+            return spk, cand
+        tried.add(spk)
+        pool = [
+            s for s in spk2utts
+            if s not in tried and s not in batch_speakers
+        ]
+        if not pool:
+            raise ValueError(
+                "no resident speaker has an utterance longer than %d "
+                "frames; lower max_segment_len or raise the pool budget"
+                % batch_length
+            )
+        spk = rng.choice(pool)
+
+
 class DevicePool:
     """HBM pool of compressed utterance codes + host-side index sampler.
 
@@ -116,38 +180,13 @@ class DevicePool:
     # ------------------------------------------------------------------
     def _select_resident(self, round_id: int) -> List[Tuple[int, str]]:
         """(speaker, segment) list for this residency round."""
-        items: List[Tuple[int, str]] = [
-            (spk, seg) for spk, segs in self.spk2features.items() for seg in segs
-        ]
-        total = sum(
-            self.reader.utt2num_frames[seg.split(" ")[0]] for _, seg in items
-        ) * self.dim
-        if self.budget_bytes is None or total <= self.budget_bytes:
-            self.full_resident = True
-            return items
-        # Rotate a speaker subset: shuffle speakers with the round seed and
-        # take whole speakers until the budget fills.
-        speakers = list(self.spk2features.keys())
-        random.Random(self.seed + 104729 * round_id).shuffle(speakers)
-        chosen: List[Tuple[int, str]] = []
-        used = 0
-        for spk in speakers:
-            segs = self.spk2features[spk]
-            b = sum(
-                self.reader.utt2num_frames[s.split(" ")[0]] for s in segs
-            ) * self.dim
-            if used + b > self.budget_bytes and chosen:
-                continue
-            chosen.extend((spk, s) for s in segs)
-            used += b
-            if used >= self.budget_bytes:
-                break
-        log.info(
-            "device pool: resident %d/%d speakers (%.0f MB of %.0f MB corpus)",
-            len({s for s, _ in chosen}), len(speakers),
-            used / 1e6, total / 1e6,
+        items, full = _select_resident_items(
+            self.reader, self.spk2features, self.dim, self.budget_bytes,
+            self.seed, round_id,
         )
-        return chosen
+        if full:
+            self.full_resident = True
+        return items
 
     def stage(self, round_id: int = 0) -> None:
         """(Re)load the resident utterance set into HBM."""
@@ -221,18 +260,10 @@ class DevicePool:
         for k in range(group):
             batch_speakers = rng.sample(speakers, num_speakers)
             for i in range(num_speakers):
-                spk = batch_speakers[i]
-                cand: List[int] = []
-                while not cand:
-                    cand = [
-                        u for u in self.spk2utts[spk]
-                        if self.utt_len[u] > batch_length
-                    ]
-                    if not cand:
-                        spk = rng.choice(
-                            list(set(speakers) - set(batch_speakers))
-                        )
-                        batch_speakers[i] = spk
+                spk, cand = _resolve_speaker(
+                    rng, self.spk2utts, lambda u: self.utt_len[u],
+                    batch_speakers[i], batch_speakers, i, batch_length,
+                )
                 labels[k, i * num_segments : (i + 1) * num_segments] = spk
                 if len(cand) < num_segments:
                     cand = cand * (num_segments // len(cand) + 1)
@@ -332,16 +363,12 @@ class ShardedDevicePool:
         self.full_resident = False
 
     def _select_resident(self, round_id: int):
-        # identical policy to DevicePool._select_resident
-        helper = DevicePool.__new__(DevicePool)
-        helper.reader = self.reader
-        helper.dim = self.dim
-        helper.spk2features = self.spk2features
-        helper.budget_bytes = self.budget_bytes
-        helper.seed = self.seed
-        helper.full_resident = False
-        items = DevicePool._select_resident(helper, round_id)
-        self.full_resident = helper.full_resident
+        items, full = _select_resident_items(
+            self.reader, self.spk2features, self.dim, self.budget_bytes,
+            self.seed, round_id,
+        )
+        if full:
+            self.full_resident = True
         return items
 
     def stage(self, round_id: int = 0) -> None:
@@ -462,21 +489,15 @@ class ShardedDevicePool:
                 batch_speakers = rng.sample(speakers, per)
                 base = (d - self.shard0) * rows_per_shard
                 for i in range(per):
-                    spk = batch_speakers[i]
-                    cand: List[int] = []
-                    while not cand:
-                        cand = [
-                            u for u in spk2utts[spk]
-                            if self.shard_utt_len[d][u] > batch_length
-                        ]
-                        if not cand:
-                            pool = list(set(speakers) - set(batch_speakers))
-                            if not pool:
-                                raise ValueError(
-                                    "shard %d has no utterance longer than "
-                                    "%d frames" % (d, batch_length))
-                            spk = rng.choice(pool)
-                            batch_speakers[i] = spk
+                    try:
+                        spk, cand = _resolve_speaker(
+                            rng, spk2utts,
+                            lambda u, d=d: self.shard_utt_len[d][u],
+                            batch_speakers[i], batch_speakers, i,
+                            batch_length,
+                        )
+                    except ValueError as e:
+                        raise ValueError("shard %d: %s" % (d, e)) from None
                     r0 = base + i * num_segments
                     labels[k, r0 : r0 + num_segments] = spk
                     if len(cand) < num_segments:

@@ -40,6 +40,17 @@ LOSS_NAMES = (
     "e2e_valid_loss",
 )
 
+# Losses whose value depends on the whole batch structure (pair/triplet
+# mining, per-speaker centroids): a padded row cannot be weighted out, so
+# the trainers refuse padded batches for these (batch size must divide the
+# device count).
+STRUCTURAL_LOSSES = (
+    "semihard_triplet_loss",
+    "angular_triplet_loss",
+    "generalized_angular_triplet_loss",
+    "e2e_valid_loss",
+)
+
 
 class LossHead(nn.Module):
     loss_func: str

@@ -136,7 +136,9 @@ class TrainerMultiTask(Trainer):
 
         all_frames = self.all_phone_frames
 
-        def step_fn(state, feats, spk, phn, length, idx, lr):
+        def step_fn(state, feats, spk, phn, length, idx, lr, weights=None):
+            # weights [B]: 0 on rows padded for device-count alignment
+            # (CLAUDE.md rule: padding must never bias losses).
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
                 p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params) if bf16 else params
@@ -145,7 +147,7 @@ class TrainerMultiTask(Trainer):
                     {"params": p, "batch_stats": state.batch_stats,
                      **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
                     f, spk, phn, length, None if all_frames else idx,
-                    state.step, True, mutable=mutable,
+                    state.step, True, mutable=mutable, sample_weight=weights,
                 )
                 loss = loss.astype(jnp.float32)
                 if bf16:
@@ -154,10 +156,15 @@ class TrainerMultiTask(Trainer):
                 total = loss + reg
                 spk_logits = endpoints.get("spk_logits")
                 phn_logits = endpoints.get("phn_logits")
-                spk_acc = (
-                    jnp.mean((jnp.argmax(spk_logits, -1) == spk).astype(jnp.float32))
-                    if spk_logits is not None else jnp.float32(0)
-                )
+                if spk_logits is None:
+                    spk_acc = jnp.float32(0)
+                elif weights is None:
+                    spk_acc = jnp.mean(
+                        (jnp.argmax(spk_logits, -1) == spk).astype(jnp.float32))
+                else:
+                    correct = (jnp.argmax(spk_logits, -1) == spk).astype(jnp.float32)
+                    spk_acc = jnp.sum(weights * correct) / jnp.maximum(
+                        jnp.sum(weights), 1.0)
                 phn_acc = (
                     _phn_accuracy(endpoints)
                     if phn_logits is not None else jnp.float32(0)
@@ -193,6 +200,16 @@ class TrainerMultiTask(Trainer):
             in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
+        # Weighted variant: only compiled when the batch size does not
+        # divide the device count (padded rows carry weight 0).
+        self._train_step_w = jax.jit(
+            lambda state, feats, spk, phn, length, idx, weights, lr: step_fn(
+                state, feats, spk, phn, length, idx, lr, weights
+            ),
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh,
+                          self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
 
         # Grouped K-step dispatch (see Trainer._build_train): one lax.scan
         # program per K stacked batches.
@@ -213,6 +230,20 @@ class TrainerMultiTask(Trainer):
             multi_fn,
             in_shardings=(None, self.gsh, self.gsh, self.gsh, self.gsh,
                           self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+
+        def multi_fn_w(state, feats, spk, ali, length, idx, weights, lr):
+            def body(st, xs):
+                return step_fn(st, *xs, lr, weights)
+
+            state2, ms = jax.lax.scan(body, state, (feats, spk, ali, length, idx))
+            return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        self._train_step_multi_w = jax.jit(
+            multi_fn_w,
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.gsh,
+                          self.gsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
 
@@ -369,6 +400,26 @@ class TrainerMultiTask(Trainer):
 
             writer = SummaryWriter(self.model)
         lr = jnp.float32(learning_rate)
+        # Padding policy (CLAUDE.md): padded rows carry weight 0 so they
+        # never bias the loss; structural spk losses are refused padding.
+        from ..losses.head import STRUCTURAL_LOSSES
+        from ..parallel.mesh import DATA_AXIS
+
+        ndev_data = self.mesh.shape[DATA_AXIS]
+        B_local = (glob_speakers // nproc) * int(
+            cfg.get("num_segments_per_speaker", 1))
+        pad_needed = nproc == 1 and B_local % ndev_data
+        if pad_needed and cfg.get("spk_loss_type", "softmax") in STRUCTURAL_LOSSES:
+            raise ValueError(
+                "spk loss %s cannot weight padded rows out; choose a batch "
+                "size divisible by the %d-way data axis"
+                % (cfg.get("spk_loss_type"), ndev_data))
+        weights_dev = None
+        if pad_needed:
+            bp = B_local + (ndev_data - B_local % ndev_data)
+            w = np.zeros((bp,), np.float32)
+            w[:B_local] = 1.0
+            weights_dev = jax.device_put(w, self.bsh)
         t0 = time.time()
         if self.speaker_egs is None:
             self.speaker_egs = np.zeros(self.num_speakers, np.int64)
@@ -404,8 +455,15 @@ class TrainerMultiTask(Trainer):
                 device_prefetch(staged(), put_fn=lambda x: x, depth=2)
             ):
                 if K > 1:
-                    self.state, metrics = self._train_step_multi(
-                        self.state, f, s, a, ln, idx, lr)
+                    if pad_needed:
+                        self.state, metrics = self._train_step_multi_w(
+                            self.state, f, s, a, ln, idx, weights_dev, lr)
+                    else:
+                        self.state, metrics = self._train_step_multi(
+                            self.state, f, s, a, ln, idx, lr)
+                elif pad_needed:
+                    self.state, metrics = self._train_step_w(
+                        self.state, f, s, a, ln, idx, weights_dev, lr)
                 else:
                     self.state, metrics = self._train_step(
                         self.state, f, s, a, ln, idx, lr)

@@ -35,6 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data import DataOutOfRange, KaldiDataRandomQueue, KaldiDataSeqQueue
 from ..losses import LossHead
+from ..losses.head import STRUCTURAL_LOSSES
 from ..models import EntireNetwork
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from . import checkpoints
@@ -282,7 +283,11 @@ class Trainer:
         # changes numerics vs the f32 reference.
         bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
-        def step_fn(state: TrainState, features, labels, lr):
+        def step_fn(state: TrainState, features, labels, lr, weights=None):
+            # weights [B] (0 = row padded for device-count alignment): the
+            # softmax-family losses weight padded rows out (CLAUDE.md rule:
+            # padding must never bias losses); batch-structural losses are
+            # refused padded batches host-side before we get here.
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
                 p = (
@@ -294,6 +299,7 @@ class Trainer:
                     {"params": p, "batch_stats": state.batch_stats,
                      **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
                     feats, labels, state.step, True, mutable=mutable,
+                    sample_weight=weights,
                 )
                 loss = loss.astype(jnp.float32)
                 if bf16:
@@ -302,11 +308,17 @@ class Trainer:
                 penalty = endpoints.get("attention_penalty", 0.0)
                 total = loss + reg + penalty
                 logits = endpoints.get("logits")
-                acc = (
-                    jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
-                    if logits is not None
-                    else jnp.float32(0.0)
-                )
+                if logits is None:
+                    acc = jnp.float32(0.0)
+                elif weights is None:
+                    acc = jnp.mean(
+                        (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+                    )
+                else:
+                    correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+                    acc = jnp.sum(weights * correct) / jnp.maximum(
+                        jnp.sum(weights), 1.0
+                    )
                 return total, (loss, reg, penalty, acc, updates)
 
             grads, (loss, reg, penalty, acc, updates) = jax.grad(loss_fn, has_aux=True)(
@@ -343,18 +355,34 @@ class Trainer:
             in_shardings=(None, self.bsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
+        # Weighted variant, compiled only by runs whose batch size does not
+        # divide the device count (padded rows carry weight 0).
+        self._train_step_w = jax.jit(
+            lambda state, features, labels, weights, lr: step_fn(
+                state, features, labels, lr, weights
+            ),
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
 
-        def step_fn_raw(state, codes, headers, labels, lr):
+        def step_fn_raw(state, codes, headers, labels, lr, weights=None):
             # Decode-on-device: dequantize the compressed ark codes on the
             # VPU (ops/cm_dequant_pallas.py) fused into the train step.
             from ..ops.cm_dequant_pallas import cm_dequantize
 
             features = cm_dequantize(codes, headers)
-            return step_fn(state, features, labels, lr)
+            return step_fn(state, features, labels, lr, weights)
 
         self._train_step_raw = jax.jit(
             step_fn_raw,
             in_shardings=(None, self.bsh, self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
+        self._train_step_raw_w = jax.jit(
+            lambda state, codes, headers, labels, weights, lr: step_fn_raw(
+                state, codes, headers, labels, lr, weights
+            ),
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
 
@@ -388,6 +416,24 @@ class Trainer:
             in_shardings=(None, self.gsh, self.gsh, self.gsh, self.rep),
             donate_argnums=(0,),
         )
+        # Weighted grouped variants (padded batches): weights ride the scan
+        # as a broadcast [K, B] alongside the stacked batches.
+        self._train_step_multi_w = jax.jit(
+            lambda state, features, labels, weights, lr: scan_steps(
+                lambda s, f, l, w, lr_: step_fn(s, f, l, lr_, w),
+                state, (features, labels, weights), lr
+            ),
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+        self._train_step_raw_multi_w = jax.jit(
+            lambda state, codes, headers, labels, weights, lr: scan_steps(
+                lambda s, c, h, l, w, lr_: step_fn_raw(s, c, h, l, lr_, w),
+                state, (codes, headers, labels, weights), lr
+            ),
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
 
         # Device-pool path: the whole (compressed) corpus lives in HBM and
         # each scanned step gathers its chunks on-device; the host ships
@@ -395,16 +441,31 @@ class Trainer:
         # program per bucket length (chunk_len is static for dynamic_slice).
         from ..data.device_pool import gather_chunks
 
-        def pool_scan_fn(chunk_len: int):
-            def fn(state, frames, headers, starts, utts, labels, lr):
+        def pool_scan_fn(chunk_len: int, weighted: bool = False):
+            # ``weighted``: row-validity weights [B] (constant across the K
+            # scanned steps) for batches padded to the device count.
+            def fn(state, frames, headers, starts, utts, labels, lr,
+                   weights=None):
                 def body(s, xs):
                     st, ut, lb = xs
                     codes, hdr = gather_chunks(frames, headers, st, ut, chunk_len)
-                    return step_fn_raw(s, codes, hdr, lb, lr)
+                    return step_fn_raw(s, codes, hdr, lb, lr, weights)
 
                 state2, ms = jax.lax.scan(body, state, (starts, utts, labels))
                 return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
 
+            if weighted:
+                return jax.jit(
+                    lambda state, frames, headers, starts, utts, labels,
+                    weights, lr: fn(
+                        state, frames, headers, starts, utts, labels, lr,
+                        weights),
+                    in_shardings=(
+                        None, self.rep, self.rep, self.gsh, self.gsh,
+                        self.gsh, self.bsh, self.rep,
+                    ),
+                    donate_argnums=(0,),
+                )
             return jax.jit(
                 fn,
                 in_shardings=(
@@ -416,10 +477,12 @@ class Trainer:
 
         self._pool_step_cache: Dict[Any, Any] = {}
 
-        def train_step_pool_multi(chunk_len: int):
-            fn = self._pool_step_cache.get(chunk_len)
+        def train_step_pool_multi(chunk_len: int, weighted: bool = False):
+            key = (chunk_len, weighted)
+            fn = self._pool_step_cache.get(key)
             if fn is None:
-                fn = self._pool_step_cache[chunk_len] = pool_scan_fn(chunk_len)
+                fn = self._pool_step_cache[key] = pool_scan_fn(
+                    chunk_len, weighted)
             return fn
 
         self._train_step_pool_multi = train_step_pool_multi
@@ -721,11 +784,40 @@ class Trainer:
         # k+1 overlaps the compute of group k (data/pipeline.py).
         from ..data.pipeline import device_prefetch
 
+        # Padding policy (CLAUDE.md): rows duplicated for device-count
+        # alignment carry weight 0 so they never bias the loss; structural
+        # losses cannot weight rows out and are refused padded batches.
+        ndev_data = self.mesh.shape[DATA_AXIS]
+        B_local = (glob_speakers // nproc) * int(
+            cfg.get("num_segments_per_speaker", 1))
+        pad_needed = nproc == 1 and B_local % ndev_data
+        if pad_needed and self.loss_type in STRUCTURAL_LOSSES:
+            raise ValueError(
+                "loss %s cannot weight padded rows out; choose a batch size "
+                "divisible by the %d-way data axis"
+                % (self.loss_type, ndev_data))
+        weights_dev = None
+        if pad_needed:
+            bp = B_local + (ndev_data - B_local % ndev_data)
+            w = np.zeros((bp,), np.float32)
+            w[:B_local] = 1.0
+            if K > 1:
+                weights_dev = jax.device_put(
+                    np.tile(w, (K, 1)), self.gsh)
+            else:
+                weights_dev = jax.device_put(w, self.bsh)
+
         if K > 1:
-            step_multi = (
-                self._train_step_raw_multi if device_decode
-                else self._train_step_multi
-            )
+            if pad_needed:
+                step_multi = (
+                    self._train_step_raw_multi_w if device_decode
+                    else self._train_step_multi_w
+                )
+            else:
+                step_multi = (
+                    self._train_step_raw_multi if device_decode
+                    else self._train_step_multi
+                )
         else:
             step_multi = None
 
@@ -749,15 +841,28 @@ class Trainer:
                 )
             ):
                 if K > 1:
-                    self.state, metrics = step_multi(self.state, *batch, lr)
+                    extra = (weights_dev, lr) if pad_needed else (lr,)
+                    self.state, metrics = step_multi(self.state, *batch, *extra)
                 elif device_decode:
                     codes, headers, labels = batch
-                    self.state, metrics = self._train_step_raw(
-                        self.state, codes, headers, labels, lr
-                    )
+                    if pad_needed:
+                        self.state, metrics = self._train_step_raw_w(
+                            self.state, codes, headers, labels, weights_dev, lr
+                        )
+                    else:
+                        self.state, metrics = self._train_step_raw(
+                            self.state, codes, headers, labels, lr
+                        )
                 else:
                     features, labels = batch
-                    self.state, metrics = self._train_step(self.state, features, labels, lr)
+                    if pad_needed:
+                        self.state, metrics = self._train_step_w(
+                            self.state, features, labels, weights_dev, lr
+                        )
+                    else:
+                        self.state, metrics = self._train_step(
+                            self.state, features, labels, lr
+                        )
                 self._post_group(
                     cfg, writer, metrics, K, local_group, t0,
                     show, summary_steps, save_every, profile_steps,
@@ -840,6 +945,20 @@ class Trainer:
             int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919)
         length_rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
         lr = jnp.float32(learning_rate)
+        # Padding policy: the SHARDED pool's sample_group contract already
+        # lays rows out in per-shard blocks of equal size, so its batches
+        # are device-aligned by construction and must NEVER be padded
+        # (duplicated rows would land on the wrong shard and index the
+        # wrong frames block). Only the replicated pool can need padding
+        # (B % ndev != 0); its padded rows carry weight 0 so they cannot
+        # bias the loss (CLAUDE.md rule), which also means batch-structural
+        # losses (triplet/e2e) cannot run padded.
+        pad_needed = (not sharded) and (num_speakers * num_segments) % ndev
+        if pad_needed and self.loss_type in STRUCTURAL_LOSSES:
+            raise ValueError(
+                "loss %s cannot weight padded rows out; choose a batch size "
+                "divisible by the %d-way data axis" % (self.loss_type, ndev))
+        weights_dev = None
         t0 = time.time()
         try:
             for local_group in range(num_steps // K):
@@ -847,22 +966,28 @@ class Trainer:
                 starts, utts, labels = pool.sample_group(
                     rng, K, num_speakers, num_segments, L
                 )
-                if starts.shape[1] % ndev:
+                if pad_needed:
+                    b = starts.shape[1]
                     (starts, utts, labels), _ = self._pad_group_rows(
                         starts, utts, labels
                     )
-                step = (
-                    self._train_step_pool_multi_sharded(L) if sharded
-                    else self._train_step_pool_multi(L)
-                )
+                    if weights_dev is None:
+                        w = np.zeros((starts.shape[1],), np.float32)
+                        w[:b] = 1.0
+                        weights_dev = jax.device_put(w, self.bsh)
+                if sharded:
+                    step = self._train_step_pool_multi_sharded(L)
+                else:
+                    step = self._train_step_pool_multi(L, bool(pad_needed))
                 if nproc > 1:
                     put = self._from_local_grouped
                 else:
                     put = lambda a: jax.device_put(a, self.gsh)
+                extra = (weights_dev, lr) if pad_needed else (lr,)
                 self.state, metrics = step(
                     self.state, pool.frames, pool.headers,
                     put(starts), put(utts), put(labels),
-                    lr,
+                    *extra,
                 )
                 self._post_group(
                     cfg, writer, metrics, K, local_group, t0,
@@ -948,10 +1073,15 @@ class Trainer:
                     losses = []
                     for _ in range(tune_period):
                         features, labels = loader.fetch()
-                        features, labels = self._shard_batch(features, labels)
-                        self.state, metrics = self._train_step(
-                            self.state, features, labels, jnp.float32(lr)
-                        )
+                        f, l, w = self._shard_batch_weighted(features, labels)
+                        if features.shape[0] % self.mesh.shape[DATA_AXIS]:
+                            self.state, metrics = self._train_step_w(
+                                self.state, f, l, w, jnp.float32(lr)
+                            )
+                        else:
+                            self.state, metrics = self._train_step(
+                                self.state, f, l, jnp.float32(lr)
+                            )
                         losses.append(float(metrics["loss"]))
                     mean_loss = float(np.mean(losses))
                     fp.write("%d %.8f %f\n" % (k, lr, mean_loss))

@@ -79,7 +79,9 @@ class TrainerMultiInput(Trainer):
         noupdate = self.noupdate_var_list
         bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
-        def step_fn(state, features, aux_features, labels, lr):
+        def step_fn(state, features, aux_features, labels, lr, weights=None):
+            # weights [B]: 0 on rows padded for device-count alignment
+            # (CLAUDE.md rule: padding must never bias losses).
             def loss_fn(params):
                 mutable = ["batch_stats"] + (["loss_stats"] if state.loss_stats else [])
                 p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params) if bf16 else params
@@ -92,7 +94,7 @@ class TrainerMultiInput(Trainer):
                     {"params": p, "batch_stats": state.batch_stats,
                      **({"loss_stats": state.loss_stats} if state.loss_stats else {})},
                     feats, labels, state.step, True, mutable=mutable,
-                    aux_features=aux,
+                    aux_features=aux, sample_weight=weights,
                 )
                 loss = loss.astype(jnp.float32)
                 if bf16:
@@ -124,6 +126,15 @@ class TrainerMultiInput(Trainer):
             in_shardings=(None, self.bsh, self.bsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
+        # Weighted variant: only compiled when the batch size does not
+        # divide the device count (padded rows carry weight 0).
+        self._train_step_w = jax.jit(
+            lambda state, features, aux, labels, weights, lr: step_fn(
+                state, features, aux, labels, lr, weights
+            ),
+            in_shardings=(None, self.bsh, self.bsh, self.bsh, self.bsh, self.rep),
+            donate_argnums=(0,),
+        )
 
         # Grouped K-step dispatch (see Trainer._build_train): batches
         # stacked on a leading axis, one lax.scan program per group; the
@@ -145,6 +156,20 @@ class TrainerMultiInput(Trainer):
         self._train_step_multi = jax.jit(
             multi_fn,
             in_shardings=(None, self.gsh, self.gsh, self.gsh, self.rep),
+            donate_argnums=(0,),
+        )
+
+        def multi_fn_w(state, features, aux, labels, weights, lr):
+            def body(s, xs):
+                f, a, l = xs
+                return step_fn(s, f, a, l, lr, weights)
+
+            state2, ms = jax.lax.scan(body, state, (features, aux, labels))
+            return state2, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        self._train_step_multi_w = jax.jit(
+            multi_fn_w,
+            in_shardings=(None, self.gsh, self.gsh, self.gsh, self.bsh, self.rep),
             donate_argnums=(0,),
         )
 
@@ -250,6 +275,28 @@ class TrainerMultiInput(Trainer):
             group=K,
         ).start()
         lr = jnp.float32(learning_rate)
+        # Padding policy (CLAUDE.md): padded rows carry weight 0 so they
+        # never bias the loss; structural losses are refused padded batches.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..losses.head import STRUCTURAL_LOSSES
+        from ..parallel.mesh import DATA_AXIS
+
+        ndev_data = self.mesh.shape[DATA_AXIS]
+        B_local = (glob_speakers // nproc) * int(
+            cfg.get("num_segments_per_speaker", 1))
+        pad_needed = nproc == 1 and B_local % ndev_data
+        if pad_needed and self.loss_type in STRUCTURAL_LOSSES:
+            raise ValueError(
+                "loss %s cannot weight padded rows out; choose a batch size "
+                "divisible by the %d-way data axis"
+                % (self.loss_type, ndev_data))
+        weights_dev = None
+        if pad_needed:
+            bp = B_local + (ndev_data - B_local % ndev_data)
+            w = np.zeros((bp,), np.float32)
+            w[:B_local] = 1.0
+            weights_dev = jax.device_put(w, self.bsh)
         t0 = time.time()
 
         # Stage fetch + host->device transfer on the prefetch thread so the
@@ -267,8 +314,15 @@ class TrainerMultiInput(Trainer):
                 device_prefetch(staged(), put_fn=lambda x: x, depth=2)
             ):
                 if K > 1:
-                    self.state, metrics = self._train_step_multi(
-                        self.state, main, aux, l, lr)
+                    if pad_needed:
+                        self.state, metrics = self._train_step_multi_w(
+                            self.state, main, aux, l, weights_dev, lr)
+                    else:
+                        self.state, metrics = self._train_step_multi(
+                            self.state, main, aux, l, lr)
+                elif pad_needed:
+                    self.state, metrics = self._train_step_w(
+                        self.state, main, aux, l, weights_dev, lr)
                 else:
                     self.state, metrics = self._train_step(
                         self.state, main, aux, l, lr)
