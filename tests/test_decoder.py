@@ -607,3 +607,25 @@ def test_read_compact_lattice_text(tmp_path):
     assert len(post) == len(lat.arcs) and abs(sum(
         post[i] for i, a in enumerate(lat.arcs) if a.src == lat.start) - 1.0
     ) < 1e-9
+
+
+def test_python_decode_tolerates_unused_bad_tid2pdf_rows(setup):
+    """Validation parity with the native path: tid2pdf entries for
+    transition-ids the graph never references may be garbage (e.g. a
+    reduced phone head) — only graph-referenced entries are checked."""
+    tm, fst, word_tids = setup
+    seq = [2, 1]
+    loglikes, _ = _synth_loglikes(tm, word_tids, seq)
+    tid2pdf = np.concatenate([
+        tm.tid2pdf[1:], np.array([999999, -5], np.int32)])  # unused tail
+    res = decode_faster_py(fst, loglikes, tid2pdf, acoustic_scale=1.0,
+                           beam=16.0)
+    assert list(res.words) == seq
+
+    # ... but a graph-referenced bad entry must still be rejected.
+    bad = tid2pdf.copy()
+    used = np.asarray(fst.ilabels)
+    used = used[used > 0]
+    bad[used[0] - 1] = 999999
+    with pytest.raises(ValueError, match="tid2pdf"):
+        decode_faster_py(fst, loglikes, bad, acoustic_scale=1.0, beam=16.0)

@@ -218,3 +218,58 @@ def test_lmrescore_cli_roundtrip(lm, tmp_path):
     best_seq = min(cands, key=cands.get)
     np.testing.assert_allclose(cost, cands[best_seq], rtol=1e-6)
     assert tuple(words) == best_seq
+
+
+PRUNED_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=4
+ngram 3=1
+
+\\1-grams:
+-99\t<s>\t-0.30103
+-0.69897\t</s>
+-0.52288\ta\t-0.39794
+-0.69897\tb\t-0.30103
+-1.00000\tc\t-0.17609
+
+\\2-grams:
+-0.30103\t<s> a\t-0.10000
+-0.39794\ta b\t-0.20000
+-0.52288\tb c\t-0.25000
+-0.52288\tc </s>
+
+\\3-grams:
+-0.17609\t<s> a b
+
+\\end\\
+"""
+
+
+def test_arpa_pruned_backoff_state_kept(tmp_path):
+    """Pruned-LM regression: bigram 'b c' has a backoff weight but NO
+    trigram continuations (SRILM/KenLM pruning produces this shape). The
+    LM state after 'b c' must be kept — truncating it to ('c',) silently
+    drops bo(b c) from every following word (Kaldi ConstArpaLm keeps
+    states for n-grams with nonzero backoff)."""
+    p = tmp_path / "pruned.arpa"
+    p.write_text(PRUNED_ARPA)
+    lm = ArpaLm.load(str(p))
+
+    _, st = lm.score(("b",), "c")
+    assert st == ("b", "c")
+
+    # P(</s> | b c): no trigram 'b c </s>' -> bo(b c) + P(</s> | c)
+    want = l10(-0.25) + l10(-0.52288)
+    np.testing.assert_allclose(lm.logp(("b", "c"), "</s>"), want, rtol=1e-6)
+    np.testing.assert_allclose(lm.final_cost(("b", "c")), -want, rtol=1e-6)
+
+    # Full walk: -ln P(a b c </s> | <s>) with every backoff applied.
+    want_total = -(
+        l10(-0.30103)                      # P(a | <s>) direct bigram
+        + l10(-0.17609)                    # P(b | <s> a) direct trigram
+        + (l10(-0.2) + l10(-0.52288))      # P(c | a b): bo(a b) + P(c | b)
+        + (l10(-0.25) + l10(-0.52288))     # P(</s> | b c): bo(b c) + P(</s>|c)
+    )
+    np.testing.assert_allclose(lm.sentence_cost(["a", "b", "c"]), want_total,
+                               rtol=1e-6)

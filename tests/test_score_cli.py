@@ -249,3 +249,45 @@ def test_score_cli_lda_cosine(tmp_path, capsys):
     out = capsys.readouterr().out
     eer = float(out.split("EER: ")[1].split("%")[0])
     assert eer < 20.0
+
+
+def test_score_cli_cosine_lda_with_cohort(tmp_path, capsys):
+    """Regression: --lda-dim + --cohort-scp on the cosine backend must
+    LDA-transform the cohort too (previously crashed on a dim mismatch in
+    cosine_matrix: [N, lda_dim] @ [raw_dim, M])."""
+    rng = np.random.RandomState(2)
+    train, train_u2s = make_embeddings(rng, n_spk=20, per=8)
+    evalset, eval_u2s = make_embeddings(np.random.RandomState(3), n_spk=8, per=6)
+    cohort, _ = make_embeddings(np.random.RandomState(4), n_spk=10, per=4)
+
+    enroll = {k: v for k, v in evalset.items() if int(k[-1]) < 3}
+    test = {k: v for k, v in evalset.items() if int(k[-1]) >= 3}
+    train_scp = write_xvectors(str(tmp_path / "train"), train)
+    enroll_scp = write_xvectors(str(tmp_path / "enroll"), enroll)
+    test_scp = write_xvectors(str(tmp_path / "test"), test)
+    cohort_scp = write_xvectors(str(tmp_path / "cohort"), cohort)
+    with open(str(tmp_path / "train_u2s"), "w") as f:
+        for k, s in train_u2s.items():
+            f.write("%s %s\n" % (k, s))
+    with open(str(tmp_path / "enroll_u2s"), "w") as f:
+        for k in enroll:
+            f.write("%s %s\n" % (k, eval_u2s[k]))
+    trials_path = str(tmp_path / "trials")
+    spks = sorted({eval_u2s[k] for k in enroll})
+    with open(trials_path, "w") as f:
+        for s in spks:
+            for t in sorted(test):
+                f.write("%s %s %s\n" % (s, t, "target" if eval_u2s[t] == s else "nontarget"))
+
+    rc = score_cli.main([
+        "--backend", "cosine",
+        "--enroll-scp", enroll_scp, "--enroll-utt2spk", str(tmp_path / "enroll_u2s"),
+        "--test-scp", test_scp, "--trials", trials_path,
+        "--train-scp", train_scp, "--train-utt2spk", str(tmp_path / "train_u2s"),
+        "--lda-dim", "16", "--cohort-scp", cohort_scp, "--snorm-topk", "20",
+        "--scores", str(tmp_path / "cos_lda_snorm.scores"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    eer = float(out.split("EER: ")[1].split("%")[0])
+    assert eer < 20.0

@@ -77,11 +77,16 @@ class ArpaLm:
                         if len(parts) > 1 + n else 0.0
                     )
                     lm.ngrams[words] = (logp, backoff)
-        for words in lm.ngrams:
+        for words, (_, backoff) in lm.ngrams.items():
+            # A history is a live LM state if it extends to a higher-order
+            # n-gram OR carries a nonzero backoff weight: pruned ARPA files
+            # (SRILM/KenLM) routinely keep 'b c' with a backoff but no
+            # 'b c *' continuations, and dropping that state would lose the
+            # backoff penalty (Kaldi ConstArpaLm keeps such states too).
             for i in range(1, len(words)):
                 lm.contexts.add(words[:i])
-            if len(words) > 1:
-                lm.contexts.add(words[:-1])
+            if backoff != 0.0 and len(words) < lm.order:
+                lm.contexts.add(words)
         if ("<unk>",) in lm.ngrams:
             lm.unk = "<unk>"
         elif ("<UNK>",) in lm.ngrams:

@@ -332,11 +332,17 @@ def _validate_labels_py(fst: StdFst, tid2pdf: np.ndarray, num_pdfs: int) -> None
             raise ValueError(
                 "graph ilabels out of range [0, %d]: min=%d max=%d"
                 % (len(tid2pdf), lo, hi))
-    t = np.asarray(tid2pdf)
-    if t.size and (int(t.min()) < 0 or int(t.max()) >= num_pdfs):
-        raise ValueError(
-            "tid2pdf maps outside [0, %d): min=%d max=%d"
-            % (num_pdfs, int(t.min()), int(t.max())))
+        # Like the native check, only validate tid2pdf entries the graph
+        # actually references: a model whose table has extra/out-of-range
+        # rows for transition-ids never used as ilabels must still decode
+        # (the two paths must accept the same inputs).
+        emitting = ilabels[ilabels > 0]
+        if emitting.size:
+            pdfs = np.asarray(tid2pdf)[emitting - 1]
+            if int(pdfs.min()) < 0 or int(pdfs.max()) >= num_pdfs:
+                raise ValueError(
+                    "tid2pdf maps graph ilabels outside [0, %d): min=%d "
+                    "max=%d" % (num_pdfs, int(pdfs.min()), int(pdfs.max())))
 
 
 def decode_faster_py(

@@ -122,9 +122,16 @@ def main(argv=None) -> int:
 
             enroll = lda_proc(enroll)
             test = lda_proc(test)
+        else:
+            lda_proc = None
         scores = cosine_score_trials(enroll, test, trials)
         if args.cohort_scp:
-            cohort = np.stack(list(_load_scp(args.cohort_scp).values()))
+            cohort_d = _load_scp(args.cohort_scp)
+            if lda_proc is not None:
+                # The cohort must live in the same (LDA + length-norm)
+                # space as the scored vectors or cosine_matrix dims clash.
+                cohort_d = lda_proc(cohort_d)
+            cohort = np.stack(list(cohort_d.values()))
             e_keys, t_keys = list(enroll), list(test)
             e_mu, e_sd = snorm_stats(
                 cosine_matrix(np.stack([enroll[k] for k in e_keys]), cohort),
