@@ -16,7 +16,23 @@ exp=${exp:-exp_fisher_v1}
 config=${config:-recipes/fisher/v1/nnet_conf/tdnn_amsoftmax_m0.20_linear_bn_1e-2.json}
 model=${model:-$exp/xvector_fisher}
 lda_dim=${lda_dim:-150}
+# Embedding node: the reference extracts attention models at tdnn6_dense and
+# margin models at "output" (run.sh:225/:288 --node); empty = the config's
+# embedding_node.
+node=${node:-}
+# Background set used for mean/LDA/PLDA estimation; the reference keeps a
+# separate train_background-ivector set (run.sh:222-252) — point plda_data
+# at it when available, else the training background is reused.
+plda_data=${plda_data:-train_background}
+checkpoint=${checkpoint:-last}
 py="python -m"
+
+# Config sweep: the reference's stage-3 block enumerates softmax / A-softmax
+# (m=1,2,4) / AM-softmax (m=0.10..0.45) / Arc-softmax (m=0.10..0.40) /
+# attention variants, one nnet_conf json each, training one at a time.
+# Any of those jsons runs unchanged here:
+#   config=recipes/fisher/v1/nnet_conf/<name>.json model=$exp/xvector_<name> \
+#     stage=3 stop_stage=3 bash run.sh
 
 if [ $stage -le 1 ]; then
   echo "=== stage 1: 8 kHz MFCC + VAD"
@@ -28,6 +44,8 @@ if [ $stage -le 1 ]; then
     cp "$data_root/$name/utt2spk" "$data_root/$name/mfcc/utt2spk"
     $py tf_kaldi_speaker_tpu.cli.compute_vad \
       "$data_root/$name/mfcc/feats.scp" "$data_root/$name/mfcc"
+    # Restore data-dir invariants (reference fix_data_dir after each prep)
+    $py tf_kaldi_speaker_tpu.cli.fix_data_dir "$data_root/$name/mfcc"
   done
 fi
 
@@ -35,6 +53,7 @@ if [ $stage -le 2 ]; then
   echo "=== stage 2: egs prep + filter (min 150 frames, >=5 utts/spk) + split"
   $py tf_kaldi_speaker_tpu.cli.prepare_feats \
     "$data_root/train_background/mfcc" "$data_root/train_background/egs"
+  $py tf_kaldi_speaker_tpu.cli.fix_data_dir "$data_root/train_background/egs"
   $py tf_kaldi_speaker_tpu.cli.filter_egs_dir --min-len 150 --min-num-utts 5 \
     --valid-speakers 200 --valid-utts 5 \
     "$data_root/train_background/egs" "$data_root/split"
@@ -50,9 +69,11 @@ fi
 
 if [ $stage -le 4 ]; then
   echo "=== stage 4: extract embeddings (background for PLDA, enroll, test)"
-  $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint last "$model"
-  for name in train_background enroll test; do
-    $py tf_kaldi_speaker_tpu.cli.extract --cmvn --vad \
+  $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint "$checkpoint" "$model"
+  node_flag=""
+  [ -n "$node" ] && node_flag="--node $node"
+  for name in $plda_data enroll test; do
+    $py tf_kaldi_speaker_tpu.cli.extract --cmvn --vad $node_flag \
       "$model" "scp:$data_root/$name/mfcc/feats.scp" \
       "ark,scp:$exp/xvectors_$name.ark,$exp/xvectors_$name.scp"
   done
@@ -65,8 +86,8 @@ if [ $stage -le 5 ]; then
     --enroll-utt2spk "$data_root/enroll/utt2spk" \
     --test-scp "$exp/xvectors_test.scp" \
     --trials "$data_root/test/trials" \
-    --train-scp "$exp/xvectors_train_background.scp" \
-    --train-utt2spk "$data_root/train_background/mfcc/utt2spk" \
+    --train-scp "$exp/xvectors_$plda_data.scp" \
+    --train-utt2spk "$data_root/$plda_data/mfcc/utt2spk" \
     --lda-dim "$lda_dim" \
     --scores "$exp/scores_plda.txt"
 fi
@@ -88,7 +109,7 @@ if [ $stage -le 7 ]; then
     --enroll-utt2spk "$data_root/enroll/utt2spk" \
     --test-scp "$exp/xvectors_test.scp" \
     --trials "$data_root/test/trials" \
-    --train-scp "$exp/xvectors_train_background.scp" \
-    --train-utt2spk "$data_root/train_background/mfcc/utt2spk" \
+    --train-scp "$exp/xvectors_$plda_data.scp" \
+    --train-utt2spk "$data_root/$plda_data/mfcc/utt2spk" \
     --scores "$exp/scores_lda_cosine.txt"
 fi

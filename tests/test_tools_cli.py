@@ -206,3 +206,36 @@ def test_extract_bnf_cli(tmp_path):
     for k in bnf:
         assert bnf[k].shape[0] == orig[k].shape[0]  # frame-aligned
         assert np.isfinite(bnf[k]).all()
+
+
+def test_fix_data_dir(tmp_path):
+    """Native utils/fix_data_dir.sh: cross-filter per-utt tables to the
+    common key set, sort, regenerate spk2utt, keep a .backup copy."""
+    import os
+
+    from tf_kaldi_speaker_tpu.cli.fix_data_dir import fix_data_dir
+
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    # utt2spk has u1..u4; feats.scp is missing u3; vad.scp has an extra u9;
+    # files deliberately unsorted.
+    with open(os.path.join(d, "utt2spk"), "w") as f:
+        f.write("u2 spkB\nu1 spkA\nu4 spkB\nu3 spkA\n")
+    with open(os.path.join(d, "feats.scp"), "w") as f:
+        f.write("u4 a.ark:40\nu1 a.ark:10\nu2 a.ark:20\n")
+    with open(os.path.join(d, "vad.scp"), "w") as f:
+        f.write("u1 v.ark:1\nu2 v.ark:2\nu4 v.ark:4\nu9 v.ark:9\n")
+    with open(os.path.join(d, "spk2utt"), "w") as f:
+        f.write("spkA u1 u3\nspkB u2 u4\n")
+
+    kept = fix_data_dir(d)
+    assert kept["utt2spk"] == 3  # u3 (no feats) and u9 (no utt2spk) dropped
+
+    utts = [l.split()[0] for l in open(os.path.join(d, "feats.scp"))]
+    assert utts == ["u1", "u2", "u4"]
+    u2s = [l.split() for l in open(os.path.join(d, "utt2spk"))]
+    assert u2s == [["u1", "spkA"], ["u2", "spkB"], ["u4", "spkB"]]
+    s2u = {l.split()[0]: l.split()[1:] for l in open(os.path.join(d, "spk2utt"))}
+    assert s2u == {"spkA": ["u1"], "spkB": ["u2", "u4"]}
+    # backup kept the original 4-line utt2spk
+    assert len(open(os.path.join(d, ".backup", "utt2spk")).readlines()) == 4
