@@ -573,9 +573,202 @@ def make_pooling_golden(kind):
     print("wrote golden_%s.npz:" % kind, sorted(vals))
 
 
+# ---------------------------------------------------------------- multitask
+# Multitask encoders (reference model/multitask_v1/tdnn.py:13-354 +
+# pooling.py:9-40): speaker encoder under scope "encoder" (conv5/conv5/
+# conv7 + dense4/dense5, context slicing, length-masked stats pooling,
+# dense6, zs_dense+zs_bn+relu) and phone encoder sharing the first
+# num_shared layers via scope reuse, then "encoder_phone" (dilated convs,
+# zp_dense+zp_bn+relu). Widths scaled down like the main golden.
+MT_WIDTH = 32
+MT_POOL = 48
+MT_SPK_DIM = 24
+MT_PHN_DIM = 24
+MT_PK = [5, 5, 7, 1, 3]         # phone kernel sizes
+MT_PD = [1, 1, 1, 1, 2]         # phone dilations
+MT_SHARED = 2
+MT_SPK_LC = MT_SPK_RC = 7       # conv5/conv5/conv7 trunk context
+MT_PHN_LC = MT_PHN_RC = 9       # 2+2+3 + 0 + 2*dilation(2)
+MT_B, MT_L = 4, 30              # un-expanded frames
+
+
+def conv2d_dil(x, filters, ksize, dilation, name):
+    with tf1.variable_scope(name):
+        cin = int(x.shape[-1])
+        w = tf1.get_variable(
+            "kernel", [1, ksize, cin, filters], tf.float32,
+            initializer=tf1.glorot_uniform_initializer(
+                seed=SEED + 13 * ksize + cin + dilation),
+        )
+        b = tf1.get_variable("bias", [filters], tf.float32,
+                             initializer=tf1.zeros_initializer())
+    return tf.nn.conv2d(x, w, strides=[1, 1, 1, 1], padding="VALID",
+                        dilations=[1, 1, dilation, 1]) + b
+
+
+def _mt_masked_pooling(x, lengths):
+    """statistics_pooling_v2 (multitask_v1/pooling.py:9-40): length-masked
+    mean/std with the variance floor; divisor = feat_length + 1e-16."""
+    lshape = tf.shape(x)
+    frame_index = tf.tile(tf.expand_dims(tf.range(lshape[1]), 0), [lshape[0], 1])
+    ln = tf.expand_dims(lengths, 1)
+    mask = tf.expand_dims(
+        tf.cast(tf.less(frame_index, tf.tile(ln, [1, lshape[1]])), tf.float32), 2)
+    lf = tf.cast(tf.expand_dims(ln, 2), tf.float32)
+    mean = tf.reduce_sum(x * mask, axis=1, keepdims=True) / (lf + 1e-16)
+    var = tf.reduce_sum(tf.math.squared_difference(x, mean) * mask,
+                        axis=1, keepdims=True) / (lf + 1e-16)
+    mean = tf.squeeze(mean, 1)
+    var = tf.squeeze(var, 1)
+    floor = tf.cast(tf.less_equal(var, VAR2STD_EPSILON), tf.float32)
+    var = (1.0 - floor) * var + floor * VAR2STD_EPSILON
+    return tf.concat([mean, tf.sqrt(var)], 1)
+
+
+def build_mt_speaker(feats, lengths, training, reuse=None):
+    ep = {}
+    specs = [("conv", MT_WIDTH, 5), ("conv", MT_WIDTH, 5),
+             ("conv", MT_WIDTH, 7), ("dense", MT_WIDTH, 1),
+             ("dense", MT_POOL, 1)]
+    with tf1.variable_scope("encoder", reuse=reuse):
+        x = tf.expand_dims(feats, 1)
+        for i, (kind, w, k) in enumerate(specs):
+            if kind == "conv":
+                x = conv2d(x, w, k, "conv%d" % (i + 1))
+            else:
+                if x.shape.ndims == 4:
+                    x = tf.squeeze(x, 1)
+                x = dense(x, w, "dense%d" % (i + 1))
+            x = bn(x, "bn%d" % (i + 1), training)
+            x = tf.nn.relu(x)
+            ep["relu%d" % (i + 1)] = x
+        if x.shape.ndims == 4:
+            x = tf.squeeze(x, 1)
+        # Context slicing (tdnn.py:135-140): python-style negative end.
+        x = x[:, MT_PHN_LC - MT_SPK_LC: MT_SPK_RC - MT_PHN_RC, :]
+        x = _mt_masked_pooling(x, lengths)
+        ep["pooling"] = x
+        x = dense(x, MT_WIDTH, "dense6")
+        ep["dense6"] = x
+        x = bn(x, "bn6", training)
+        x = tf.nn.relu(x)
+        ep["relu6"] = x
+        mu = dense(x, MT_SPK_DIM, "zs_dense")
+        ep["zs_mu_dense"] = mu
+        mu = bn(mu, "zs_bn", training)
+        ep["zs_mu_bn"] = mu
+        mu = tf.nn.relu(mu)
+        ep["zs_mu_relu"] = mu
+    return mu, ep
+
+
+def build_mt_phone(feats, training, reuse=None):
+    ep = {}
+    x = tf.expand_dims(feats, 1)
+    # Shared prefix: re-enter "encoder" with reuse (tdnn.py:244-278).
+    with tf1.variable_scope("encoder", reuse=True):
+        for i in range(MT_SHARED):
+            x = conv2d(x, MT_WIDTH, MT_PK[i], "conv%d" % (i + 1))
+            x = bn(x, "bn%d" % (i + 1), training)
+            x = tf.nn.relu(x)
+    with tf1.variable_scope("encoder_phone", reuse=reuse):
+        for i in range(MT_SHARED, len(MT_PK)):
+            if MT_PK[i] > 1:
+                if x.shape.ndims == 3:
+                    x = tf.expand_dims(x, 1)
+                x = conv2d_dil(x, MT_WIDTH, MT_PK[i], MT_PD[i],
+                               "phn_conv%d" % (i + 1))
+                ep["phn_conv%d" % (i + 1)] = x
+            else:
+                if x.shape.ndims == 4:
+                    x = tf.squeeze(x, 1)
+                x = dense(x, MT_WIDTH, "phn_dense%d" % (i + 1))
+                ep["phn_dense%d" % (i + 1)] = x
+            x = bn(x, "phn_bn%d" % (i + 1), training)
+            x = tf.nn.relu(x)
+            ep["phn_relu%d" % (i + 1)] = x
+        if x.shape.ndims == 4:
+            x = tf.squeeze(x, 1)
+        mu = dense(x, MT_PHN_DIM, "zp_dense")
+        ep["zp_mu_dense"] = mu
+        mu = bn(mu, "zp_bn", training)
+        ep["zp_mu_bn"] = mu
+        mu = tf.nn.relu(mu)
+        ep["zp_mu_relu"] = mu
+    return mu, ep
+
+
+def make_mt_golden():
+    rng = np.random.RandomState(SEED + 5)
+    lin = MT_L + MT_PHN_LC + MT_PHN_RC
+    feats = rng.randn(MT_B, lin, DIM).astype(np.float32)
+    lengths = np.array([MT_L, 25, 22, 28], np.int32)
+
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.set_random_seed(SEED)
+        global _update_ops
+        _update_ops = []
+        f_ph = tf1.placeholder(tf.float32, [None, None, DIM])
+        len_ph = tf1.placeholder(tf.int32, [None])
+
+        zs_eval, eps_eval = build_mt_speaker(f_ph, len_ph, training=False)
+        zp_eval, epp_eval = build_mt_phone(f_ph, training=False)
+        zs_tr, _ = build_mt_speaker(f_ph, len_ph, training=True, reuse=True)
+        zp_tr, _ = build_mt_phone(f_ph, training=True, reuse=True)
+        update_ops_all = list(_update_ops)
+
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            assigns = []
+            for v in tf1.global_variables():
+                if "moving_mean" in v.name:
+                    assigns.append(v.assign(
+                        rng.randn(*v.shape.as_list()).astype(np.float32) * 0.3))
+                elif "moving_variance" in v.name:
+                    assigns.append(v.assign(
+                        rng.uniform(0.5, 1.5, v.shape.as_list())
+                        .astype(np.float32)))
+            sess.run(assigns)
+
+            feed = {f_ph: feats, len_ph: lengths}
+            vals = {}
+            for name, t in list(eps_eval.items()):
+                vals["spk_" + name] = sess.run(t, feed)
+            for name, t in list(epp_eval.items()):
+                vals["phn_" + name] = sess.run(t, feed)
+            vals["zs"] = sess.run(zs_eval, feed)
+            vals["zp"] = sess.run(zp_eval, feed)
+            vals["train_zs"] = sess.run(zs_tr, feed)
+            vals["train_zp"] = sess.run(zp_tr, feed)
+
+            # One train-mode update of the NON-shared BNs only: the
+            # reference's scope-reuse re-runs the shared prefix so shared
+            # BNs get TWO racing EMA assigns per step — our model computes
+            # the prefix once (documented divergence, multitask/model.py
+            # docstring); parity is asserted on the unshared BNs.
+            sess.run(update_ops_all, feed)
+            for v in tf1.global_variables():
+                if "bn6/moving" in v.name or "phn_bn5/moving" in v.name:
+                    key = ("updated_" + v.name.split(":")[0]).replace("/", "_")
+                    vals[key] = sess.run(v)
+
+            sess.run(assigns)  # restore pre-update stats for the checkpoint
+            saver = tf1.train.Saver()
+            saver.save(sess, os.path.join(OUT, "mt-model-0"),
+                       write_meta_graph=False)
+
+        np.savez_compressed(
+            os.path.join(OUT, "golden_mt.npz"),
+            features=feats, lengths=lengths,
+            **{k: np.asarray(v) for k, v in vals.items()},
+        )
+    print("wrote golden_mt.npz:", sorted(vals))
+
+
 if __name__ == "__main__":
     import sys as _sys
-    which = _sys.argv[1:] or ["net", "losses", "att", "vlad"]
+    which = _sys.argv[1:] or ["net", "losses", "att", "vlad", "mt"]
     if "net" in which:
         main()
     if "losses" in which:
@@ -584,3 +777,5 @@ if __name__ == "__main__":
         make_pooling_golden("att")
     if "vlad" in which:
         make_pooling_golden("vlad")
+    if "mt" in which:
+        make_mt_golden()

@@ -285,3 +285,128 @@ def test_train_mode_and_bn_update_match_tf(imported):
         np.asarray(bs["var"]), gold["updated_tdnn1_moving_variance"],
         rtol=1e-4, atol=1e-5,
         err_msg="BN moving-variance momentum semantics diverge from TF")
+
+
+# ---------------------------------------------------------------- multitask
+MT_CFG = dict(
+    seed=0,
+    tdnn_layer_size=32,
+    num_nodes_pooling_layer=48,
+    speaker_dim=24,
+    phone_dim=24,
+    pooling_type="statistics_pooling",
+    embedding_node="zs_mu_dense",
+    spk_loss_type="softmax",
+    phn_loss_type="softmax",
+    spk_loss_weight=1.0,
+    phn_loss_weight=0.5,
+    num_shared_layers=2,
+    phone_kernel_size=[5, 5, 7, 1, 3],
+    phone_layer_size=[32, 32, 32, 32, 32],
+    phone_dilation_size=[1, 1, 1, 1, 2],
+    phone_left_context=9,
+    phone_right_context=9,
+    speaker_left_context=7,
+    speaker_right_context=7,
+    num_frames_per_utt=-1,
+    optimizer="sgd",
+    weight_l2_regularizer=0.0,
+    batchnorm_momentum=0.95,
+)
+MT_NUM_SPK, MT_NUM_PHN = 6, 8
+
+
+@pytest.fixture(scope="module")
+def mt_imported(tmp_path_factory):
+    from tf_kaldi_speaker_tpu.multitask.trainer import TrainerMultiTask
+
+    gold = np.load(os.path.join(GOLD, "golden_mt.npz"))
+    t = TrainerMultiTask(
+        ParamsPlain(**MT_CFG),
+        str(tmp_path_factory.mktemp("tfgold_mt") / "nnet"),
+        dim=20, num_speakers=MT_NUM_SPK, num_phones=MT_NUM_PHN,
+    )
+    t.build("train", 20, num_speakers=MT_NUM_SPK, num_phones=MT_NUM_PHN)
+    imported, skipped = import_reference_checkpoint(
+        os.path.join(GOLD, "mt-model-0"), t)
+    assert not skipped, skipped
+    assert len(imported) >= 50, imported
+    return t, gold
+
+
+def _mt_apply(t, gold, train):
+    feats = jnp.asarray(gold["features"])
+    lengths = jnp.asarray(gold["lengths"])
+    B, L = feats.shape[0], int(gold["zp"].shape[1])
+    spk = jnp.zeros((B,), jnp.int32)
+    phn = jnp.zeros((B, L), jnp.int32)
+    variables = {"params": t.state.params, "batch_stats": t.state.batch_stats}
+    if train:
+        (loss, ep), upd = t.network_model.apply(
+            variables, feats, spk, phn, lengths, None, 0, True,
+            mutable=["batch_stats"])
+        return ep, upd["batch_stats"]
+    loss, ep = t.network_model.apply(
+        variables, feats, spk, phn, lengths, None, 0, False)
+    return ep, None
+
+
+def test_mt_golden_eval_endpoints(mt_imported):
+    """Speaker + phone encoder forwards on imported weights reproduce the
+    real-TF multitask graph (model/multitask_v1/tdnn.py re-encoded under
+    TF 2.21): shared prefix, context slicing, length-masked pooling with
+    the 1e-12 floor, dilated phone convs, both embedding heads."""
+    t, gold = mt_imported
+    ep, _ = _mt_apply(t, gold, train=False)
+    pairs = [
+        ("spk_relu1", "shared1"), ("spk_relu2", "shared2"),
+        ("spk_relu3", "relu3"), ("spk_relu4", "relu4"),
+        ("spk_relu5", "relu5"),
+        ("spk_pooling", "pooling"), ("spk_dense6", "dense6"),
+        ("spk_relu6", "relu6"),
+        ("spk_zs_mu_dense", "zs_mu_dense"), ("spk_zs_mu_bn", "zs_mu_bn"),
+        ("spk_zs_mu_relu", "zs_mu_relu"),
+        ("phn_phn_conv3", "phn_conv3"), ("phn_phn_relu3", "phn_relu3"),
+        ("phn_phn_dense4", "phn_dense4"), ("phn_phn_relu4", "phn_relu4"),
+        ("phn_phn_conv5", "phn_conv5"), ("phn_phn_relu5", "phn_relu5"),
+        ("phn_zp_mu_dense", "zp_mu_dense"), ("phn_zp_mu_bn", "zp_mu_bn"),
+        ("phn_zp_mu_relu", "zp_mu_relu"),
+    ]
+    for gkey, ekey in pairs:
+        want = gold[gkey]
+        got = np.asarray(ep[ekey])
+        if want.ndim == 4:  # TF keeps the dummy height axis on conv outputs
+            want = want[:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=ekey)
+    np.testing.assert_allclose(np.asarray(ep["mu_zs"]), gold["zs"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ep["mu_zp"]), gold["zp"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mt_golden_train_mode_and_bn_update(mt_imported):
+    """Train-mode (batch-moment BN) embeddings match TF, and the BN
+    momentum update matches on the UNSHARED BNs. (Shared BNs diverge by
+    design: the reference's scope-reuse re-runs the shared prefix so
+    those get two EMA assigns per step — multitask/model.py docstring.)"""
+    t, gold = mt_imported
+    ep, new_bs = _mt_apply(t, gold, train=True)
+    np.testing.assert_allclose(np.asarray(ep["zs_mu_relu"]), gold["train_zs"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ep["zp_mu_relu"]), gold["train_zp"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_bs["bn6"]["mean"]),
+        gold["updated_encoder_bn6_moving_mean"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_bs["bn6"]["var"]),
+        gold["updated_encoder_bn6_moving_variance"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_bs["phn_bn5"]["mean"]),
+        gold["updated_encoder_phone_phn_bn5_moving_mean"],
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_bs["phn_bn5"]["var"]),
+        gold["updated_encoder_phone_phn_bn5_moving_variance"],
+        rtol=1e-4, atol=1e-5)

@@ -86,6 +86,23 @@ def map_tf_name(name: str):
         return "params", ("softmax", "output_bias"), lambda a: a
     if name.endswith("_ringloss/r"):
         return "params", ("softmax", "ring_r"), lambda a: a
+
+    # Multitask encoders (model/multitask_v1/tdnn.py scopes "encoder" /
+    # "encoder_phone"); MultitaskModel is the top-level flax module, so
+    # paths have no "network" root (multitask/model.py submodule names
+    # match the reference variable names 1:1).
+    m = re.fullmatch(
+        r"encoder(?:_phone)?/((?:phn_)?conv\d+|(?:phn_)?dense\d+|z[sp]_dense)"
+        r"/(kernel|bias)", name)
+    if m:
+        tr = _squeeze0 if m.group(2) == "kernel" else (lambda a: a)
+        return "params", (m.group(1), m.group(2)), tr
+    m = re.fullmatch(
+        r"encoder(?:_phone)?/((?:phn_)?bn\d+|z[sp]_bn)"
+        r"/(gamma|beta|moving_mean|moving_variance)", name)
+    if m:
+        coll, leaf = _BN[m.group(2)]
+        return coll, (m.group(1), leaf), lambda a: a
     return None
 
 
