@@ -32,6 +32,11 @@ beam=${beam:-13.0}
 latbeam=${latbeam:-8.0}
 oldarpa=${oldarpa:-}
 newarpa=${newarpa:-}
+# score.sh sweep knobs: word insertion penalties and the WER token filter
+# (scripts/diagnostic/score.sh word_ins_penalty=0.0,0.5,1.0 + the
+# wer_output_filter noise-token stripping).
+wip=${wip:-0.0,0.5,1.0}
+filter_words=${filter_words:-}
 if [ "$graph" != "-" ]; then
   mdl=${mdl:-$(dirname "$graph")/final.mdl}
 fi
@@ -99,12 +104,15 @@ for data in "$@"; do
       lat="$out/lat_rescored.txt"
     fi
     if [ -f "$data/text" ]; then
-      $py tf_kaldi_speaker_tpu.cli.compute_wer "$data/text" "$out/text" \
-        | tee "$out/wer"
-      # local/score.sh equivalent: sweep 1/lmwt over the lattices and keep
-      # the best operating point (no re-decode needed).
+      filter_flags=()
+      [ -n "$filter_words" ] && filter_flags=(--filter-words "$filter_words")
+      $py tf_kaldi_speaker_tpu.cli.compute_wer "${filter_flags[@]}" \
+        "$data/text" "$out/text" | tee "$out/wer"
+      # local/score.sh equivalent: sweep 1/lmwt x word-insertion-penalty
+      # over the lattices and keep the best operating point (no re-decode).
       $py tf_kaldi_speaker_tpu.cli.lattice_best_path \
-        --sweep-lmwt 5:15 --ref-text "$data/text" \
+        --sweep-lmwt 5:15 --word-ins-penalty "$wip" "${filter_flags[@]}" \
+        --ref-text "$data/text" \
         --word-symbol-table "$graph/words.txt" \
         --text-out "$out/text.best" \
         "$lat" "ark:$out/words.best.ark" | tee "$out/wer.best"

@@ -766,9 +766,306 @@ def make_mt_golden():
     print("wrote golden_mt.npz:", sorted(vals))
 
 
+def _tf_pairwise_euc(x, squared):
+    """pairwise_euc_distances (common.py:61-94) incl. the sqrt-of-zero
+    masking that defines the gradient at duplicate rows."""
+    dot = tf.matmul(x, x, transpose_b=True)
+    sq = tf.linalg.diag_part(dot)
+    d = tf.maximum(sq[:, None] - 2.0 * dot + sq[None, :], 0.0)
+    if not squared:
+        zmask = tf.cast(tf.equal(d, 0.0), tf.float32)
+        d = tf.sqrt(d + zmask * 1e-16) * (1.0 - zmask)
+    return d
+
+
+def _tf_pairwise_cos(x):
+    """pairwise_cos_similarity (common.py:97-110): rsqrt outer product."""
+    dot = tf.matmul(x, x, transpose_b=True)
+    inv = tf.math.rsqrt(tf.maximum(
+        tf.reduce_sum(tf.square(x), axis=-1, keepdims=True), 1e-12))
+    return tf.clip_by_value(dot * tf.matmul(inv, inv, transpose_b=True),
+                            -1.0, 1.0)
+
+
+def _tf_semihard(x, labels_np, margin, squared):
+    """semihard_triplet_loss (loss.py:358-498)."""
+    b = len(labels_np)
+    d = _tf_pairwise_euc(x, squared)
+    adj = tf.constant(labels_np[:, None] == labels_np[None, :])
+    adj_not_f = tf.cast(tf.logical_not(adj), tf.float32)
+    d_tile = tf.tile(d, [b, 1])                       # [(i,x), y]
+    mask = tf.cast(
+        tf.logical_and(tf.tile(tf.logical_not(adj), [b, 1]),
+                       d_tile > tf.reshape(tf.transpose(d), [-1, 1])),
+        tf.float32)
+    has_sh = tf.transpose(tf.reshape(
+        tf.reduce_sum(mask, 1, keepdims=True) > 0.0, [b, b]))
+
+    def mmin(data, m):
+        amax = tf.reduce_max(data, 1, keepdims=True)
+        return tf.reduce_min((data - amax) * m, 1, keepdims=True) + amax
+
+    def mmax(data, m):
+        amin = tf.reduce_min(data, 1, keepdims=True)
+        return tf.reduce_max((data - amin) * m, 1, keepdims=True) + amin
+
+    neg_out = tf.transpose(tf.reshape(mmin(d_tile, mask), [b, b]))
+    neg_in = tf.tile(mmax(d, adj_not_f), [1, b])
+    semi_hard = tf.where(has_sh, neg_out, neg_in)
+    loss_mat = margin + d - semi_hard
+    mask_pos = tf.cast(adj, tf.float32) - tf.eye(b)
+    return (tf.reduce_sum(tf.maximum(loss_mat * mask_pos, 0.0))
+            / tf.maximum(tf.reduce_sum(mask_pos), 1e-16))
+
+
+def _tf_positive_transform(cos, loss_type, m):
+    """d_p per flavor (loss.py:537-560)."""
+    if loss_type == "asoftmax":
+        assert int(m) == 4
+        c2, c4 = tf.square(cos), tf.pow(cos, 4)
+        s0 = tf.sign(cos)
+        s3 = tf.sign(2.0 * c2 - 1.0) * s0
+        return s3 * (8.0 * c4 - 8.0 * c2 + 1.0) + (2.0 * s0 + s3 - 3.0)
+    if loss_type == "additive_margin_softmax":
+        return cos - m
+    shifted = cos * np.cos(m) - tf.sqrt(1.0 - tf.square(cos)) * np.sin(m)
+    return tf.where(cos <= np.cos(np.pi - m), -shifted - 2.0, shifted)
+
+
+def _tf_angular(x, labels_np, triplet_type, loss_type, m):
+    """angular_triplet_loss (loss.py:501-634)."""
+    b = len(labels_np)
+    cos = _tf_pairwise_cos(x)
+    d_p = _tf_positive_transform(cos, loss_type, m)
+    d_n = cos
+    eye = np.eye(b, dtype=bool)
+    leq = labels_np[None, :] == labels_np[:, None]
+    if triplet_type == "all":
+        tri = d_n[:, None, :] - d_p[:, :, None]
+        distinct = (~eye)[:, :, None] & (~eye)[:, None, :] & (~eye)[None, :, :]
+        valid = leq[:, :, None] & (~leq)[:, None, :]
+        mask = tf.constant((distinct & valid).astype(np.float32))
+        tri = tf.maximum(mask * tri, 0.0)
+        n_pos = tf.reduce_sum(tf.cast(tri > 1e-12, tf.float32))
+        return tf.reduce_sum(tri) / (n_pos + 1e-16)
+    mask_ap = tf.constant((~eye & leq).astype(np.float32))
+    ap = d_p * mask_ap + tf.reduce_max(d_p, 1, keepdims=True) * (1 - mask_ap)
+    hardest_p = tf.reduce_min(ap, 1, keepdims=True)
+    mask_an = tf.constant((~leq).astype(np.float32))
+    # quirk preserved: the fallback for non-negatives is min of the
+    # POSITIVE-transformed distances (loss.py:623)
+    an = d_n * mask_an + tf.reduce_min(d_p, 1, keepdims=True) * (1 - mask_an)
+    hardest_n = tf.reduce_max(an, 1, keepdims=True)
+    return tf.reduce_mean(tf.maximum(hardest_n - hardest_p, 0.0))
+
+
+def _tf_l2norm_rows(x, eps=1e-12):
+    """l2_scaling to norm 1 (common.py:45-58): x * rsqrt(max(sumsq, eps))."""
+    return x * tf.math.rsqrt(tf.maximum(
+        tf.reduce_sum(tf.square(x), axis=-1, keepdims=True), eps))
+
+
+def _tf_e2e(x, n_spk, n_seg, s=20.0):
+    """e2e_valid_loss (loss.py:637-705)."""
+    n = n_spk * n_seg
+    dim = int(x.shape[1])
+    f = _tf_l2norm_rows(x)
+    grouped = tf.reshape(f, [n_spk, n_seg, dim])
+    center = _tf_l2norm_rows(tf.reduce_mean(grouped, axis=1))
+    center_ex = _tf_l2norm_rows(tf.reshape(
+        tf.reduce_sum(grouped, axis=1, keepdims=True) - grouped, [n, dim]))
+    sim = tf.matmul(f, center, transpose_b=True)
+    sim_ex = tf.reduce_sum(f * center_ex, axis=1)
+    own = np.repeat(np.arange(n_spk), n_seg).astype(np.int32)
+    mask = tf.constant(np.eye(n_spk, dtype=np.float32)[own])
+    sim = sim * (1.0 - mask) + sim_ex[:, None] * mask
+    return tf1.losses.sparse_softmax_cross_entropy(
+        labels=own, logits=s * sim,
+        reduction=tf1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS)
+
+
+def _tf_generalized(x, w, labels_np, num_cls, margin, target_margin, topn,
+                    weights, average_update=None):
+    """generalized_angular_triplet_loss, raw mode (loss.py:708-901).
+
+    average_update: None for learnable centers; (momentum,) to apply the
+    moving-average center assign first (loss.py:767-787) — w must then be
+    a tf.Variable and the returned extras include the updated centers.
+    """
+    b = len(labels_np)
+    eps = 1e-12
+    f_norm = tf.nn.l2_normalize(x, axis=1)
+    w_update = w
+    if average_update is not None:
+        decay = 1.0 - average_update[0]
+        sel_w = tf.gather(tf.transpose(w), labels_np)
+        delta = (sel_w - x) * decay
+        w_update = w.assign(tf.transpose(
+            tf.transpose(w) - tf.scatter_nd(
+                labels_np[:, None].astype(np.int32), delta,
+                [num_cls, int(x.shape[1])])))
+    w_norm = tf.nn.l2_normalize(w_update, axis=0)
+
+    dist = tf.reduce_sum(tf.square(
+        f_norm[:, None, :] - tf.transpose(w_norm)[None, :, :]), axis=2)
+    idx = np.stack([np.arange(b), labels_np], axis=1).astype(np.int32)
+    target = tf.gather_nd(dist, idx)
+    onehot = tf.constant(np.eye(num_cls, dtype=np.float32)[labels_np])
+    new_dist = dist * (1 - onehot) + (
+        tf.reduce_max(dist, 1, keepdims=True) + dist) * onehot
+    tmask = tf.cast(target > target_margin, tf.float32)
+
+    if topn == 1:
+        tri = tf.maximum(margin + target - tf.reduce_min(new_dist, 1), 1e-16)
+        tri = tmask * tri
+    elif topn == 0:
+        tri = tf.maximum(margin + target[:, None] - new_dist, 1e-16)
+        tri = tri * (1 - onehot) * tmask[:, None]
+    else:
+        neg, _ = tf.nn.top_k(-new_dist, topn, sorted=False)
+        tri = tf.maximum(margin + target[:, None] + neg, 1e-16)
+        tri = tmask[:, None] * tri
+    tri_loss = tf.reduce_sum(tri) / (
+        tf.reduce_sum(tf.cast(tri > eps, tf.float32)) + eps)
+    center_loss = tf.reduce_sum(tmask * target) / (tf.reduce_sum(tmask) + eps)
+    between = 2.0 - 2.0 * tf.matmul(w_norm, w_norm, transpose_a=True)
+    between_loss = -tf.reduce_sum(
+        (1.0 - tf.eye(num_cls)) * between) / (num_cls * (num_cls - 1))
+    loss = (weights[0] * tri_loss + weights[1] * center_loss
+            + weights[2] * between_loss)
+    return loss, dict(triplet=tri_loss, center=center_loss,
+                      between=between_loss), w_update
+
+
+GT_MARGIN, GT_TARGET_MARGIN = 0.3, 1.6
+GT_WEIGHTS = (1.0, 0.5, 0.3)
+RING_INIT, RING_LAMBDA, MHE_LAMBDA = 2.5, 0.3, 0.1
+
+
+def make_triplet_goldens():
+    """Golden fixtures for the non-margin loss zoo under real TF:
+    semi-hard triplet (loss.py:358-498, incl. the duplicate-row sqrt
+    masking), angular triplet all/hard × {asoftmax m=4, AM, Arc}
+    (loss.py:501-634), GE2E valid loss (loss.py:637-705), generalized
+    angular triplet topn∈{0,1,2} learnable + moving-average center update
+    (loss.py:708-901), and ring+MHE auxiliaries composed on AM-softmax
+    (loss.py:985-1037). Losses and, where TF defines finite gradients,
+    d/dfeatures (+ d/dkernel, d/dr)."""
+    rng = np.random.RandomState(23)
+    N_SPK, N_SEG, D, C = 4, 3, 16, 10
+    B = N_SPK * N_SEG
+    labels = np.repeat(np.arange(N_SPK), N_SEG).astype(np.int32)
+
+    # semihard set: rows 0/1 duplicated (zero-distance positive pair),
+    # row 3 tiny-norm, rest random.
+    feats_semi = rng.randn(B, D).astype(np.float32)
+    feats_semi[1] = feats_semi[0]
+    feats_semi[3] *= 1e-4
+    # angular/e2e/generalized set: well-separated norms, no duplicates.
+    feats_ang = (rng.randn(B, D) * rng.uniform(0.5, 2.0, (B, 1))).astype(
+        np.float32)
+    kernel = rng.randn(D, C).astype(np.float32)
+    labels_cls = rng.randint(0, C, B).astype(np.int32)
+
+    out = {"features_semi": feats_semi, "features_ang": feats_ang,
+           "labels": labels, "kernel": kernel, "labels_cls": labels_cls}
+
+    g = tf1.Graph()
+    with g.as_default():
+        fs = tf.constant(feats_semi)
+        fa = tf.constant(feats_ang)
+        fetches = {}
+        for squared in (False, True):
+            nm = "semihard_sq" if squared else "semihard"
+            loss = _tf_semihard(fs, labels, 0.5, squared)
+            fetches[nm] = loss
+            fetches[nm + "_dfeat"] = tf.gradients(loss, fs)[0]
+        for tt in ("all", "hard"):
+            for lt, m in (("asoftmax", 4), ("additive_margin_softmax", 0.25),
+                          ("additive_angular_margin_softmax", 0.4)):
+                nm = "angular_%s_%s" % (tt, lt)
+                loss = _tf_angular(fa, labels, tt, lt, m)
+                fetches[nm] = loss
+                fetches[nm + "_dfeat"] = tf.gradients(loss, fa)[0]
+        loss = _tf_e2e(fa, N_SPK, N_SEG)
+        fetches["e2e"] = loss
+        fetches["e2e_dfeat"] = tf.gradients(loss, fa)[0]
+
+        w_var = tf1.get_variable("gt_kernel", initializer=tf.constant(kernel))
+        for topn in (0, 1, 2):
+            nm = "gtriplet_topn%d" % topn
+            loss, parts, _ = _tf_generalized(
+                fa, w_var, labels_cls, C, GT_MARGIN, GT_TARGET_MARGIN, topn,
+                GT_WEIGHTS)
+            fetches[nm] = loss
+            for pn, pv in parts.items():
+                fetches["%s_%s" % (nm, pn)] = pv
+            dfeat, dkernel = tf.gradients(loss, [fa, w_var])
+            fetches[nm + "_dfeat"] = dfeat
+            fetches[nm + "_dkernel"] = dkernel
+
+        # ring + MHE auxiliaries on an AM-softmax base (loss.py:985-1037)
+        r = tf1.get_variable("ring_r", initializer=tf.constant(RING_INIT))
+        w2 = tf1.get_variable("am_kernel", initializer=tf.constant(kernel))
+        wn = tf.nn.l2_normalize(w2, axis=0)
+        logits = tf.matmul(fa, wn)
+        idx = np.stack([np.arange(B), labels_cls], 1).astype(np.int32)
+        sel = tf.gather_nd(logits, idx)
+        fnorm = tf.maximum(tf.norm(fa, axis=1), 1e-12)
+        cos_t = tf.clip_by_value(sel / fnorm, -1 + 1e-12, 1 - 1e-12)
+        scaled = (cos_t - 0.2) * fnorm
+        lam = tf.maximum(0.0, 1000.0 * (1.0 + 1e-4 * 5000.0) ** -5.0)
+        fa_w = 1.0 / (1.0 + lam)
+        upd = (1.0 - fa_w) * logits + fa_w * (
+            logits + tf.scatter_nd(idx, scaled - sel, tf.shape(logits)))
+        base = tf1.losses.sparse_softmax_cross_entropy(
+            labels=labels_cls, logits=upd,
+            reduction=tf1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS)
+        ring = RING_LAMBDA * tf.reduce_mean(
+            tf.square(tf.norm(fa, axis=1) - r))
+        sel_w = tf.gather(tf.transpose(wn), labels_cls)
+        mhe = MHE_LAMBDA / (tf.reduce_mean(
+            2.0 - 2.0 * tf.matmul(sel_w, wn)) + 1e-6)
+        aux_total = base + ring + mhe
+        fetches["aux_ring"] = ring
+        fetches["aux_mhe"] = mhe
+        fetches["aux_total"] = aux_total
+        da, dk2, dr = tf.gradients(aux_total, [fa, w2, r])
+        fetches["aux_total_dfeat"] = da
+        fetches["aux_total_dkernel"] = dk2
+        fetches["aux_total_dr"] = dr
+
+        # moving-average center update: value + post-update centers only
+        # (TF registers Assign as NotDifferentiable, so no feature grads
+        # flow through the center path — the JAX side must stop_gradient).
+        w_avg = tf1.get_variable("gt_avg_kernel",
+                                 initializer=tf.constant(kernel),
+                                 trainable=False)
+        avg_loss, avg_parts, w_updated = _tf_generalized(
+            fa, w_avg, labels_cls, C, GT_MARGIN, GT_TARGET_MARGIN, 1,
+            GT_WEIGHTS, average_update=(0.95,))
+
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            vals = sess.run(fetches)
+            # one run applies the assign exactly once
+            got_loss, got_tri, got_w = sess.run(
+                [avg_loss, avg_parts["triplet"], w_updated])
+            vals["gtriplet_average"] = got_loss
+            vals["gtriplet_average_triplet"] = got_tri
+            vals["gtriplet_average_centers"] = got_w
+
+    for k, v in vals.items():
+        assert np.all(np.isfinite(v)), "non-finite TF golden %s" % k
+    out.update(vals)
+    np.savez_compressed(os.path.join(OUT, "golden_triplet.npz"), **out)
+    print("wrote golden_triplet.npz:",
+          sorted(k for k in out if not k.endswith("dfeat")))
+
+
 if __name__ == "__main__":
     import sys as _sys
-    which = _sys.argv[1:] or ["net", "losses", "att", "vlad", "mt"]
+    which = _sys.argv[1:] or ["net", "losses", "att", "vlad", "mt", "triplet"]
     if "net" in which:
         main()
     if "losses" in which:
@@ -779,3 +1076,5 @@ if __name__ == "__main__":
         make_pooling_golden("vlad")
     if "mt" in which:
         make_mt_golden()
+    if "triplet" in which:
+        make_triplet_goldens()

@@ -629,3 +629,65 @@ def test_python_decode_tolerates_unused_bad_tid2pdf_rows(setup):
     bad[used[0] - 1] = 999999
     with pytest.raises(ValueError, match="tid2pdf"):
         decode_faster_py(fst, loglikes, bad, acoustic_scale=1.0, beam=16.0)
+
+
+def test_best_path_word_ins_penalty():
+    """lattice-add-penalty semantics (scripts/diagnostic/score.sh): the
+    penalty is added per WORD-emitting arc after scaling, so raising it
+    flips the best path from a cheap many-word route to a pricier
+    few-word route; oracle = brute-force path enumeration."""
+    from tf_kaldi_speaker_tpu.backend.lattice import Lattice, LatticeArc
+
+    # two routes 0->3: three words (cost 3x1.0) vs one word (cost 3.5)
+    lat = Lattice(num_states=4)
+    lat.arcs = [
+        LatticeArc(0, 1, 1, 10, 0.5, 0.5),
+        LatticeArc(1, 2, 2, 11, 0.5, 0.5),
+        LatticeArc(2, 3, 3, 12, 0.5, 0.5),
+        LatticeArc(0, 3, 4, 20, 2.0, 1.5),
+    ]
+    lat.finals = {3: (0.0, 0.0)}
+
+    w0, _, c0 = lat.best_path()
+    assert w0 == [10, 11, 12] and abs(c0 - 3.0) < 1e-9
+    # wip=0.5: route A 3.0+1.5=4.5 > route B 3.5+0.5=4.0 -> flips
+    w1, _, c1 = lat.best_path(word_ins_penalty=0.5)
+    assert w1 == [20] and abs(c1 - 4.0) < 1e-9
+
+    # oracle on every (scale, wip): enumerate both paths by hand
+    for acw in (0.5, 1.0, 2.0):
+        for wip in (0.0, 0.3, 1.0):
+            costs = {
+                (10, 11, 12): 1.5 + acw * 1.5 + 3 * wip,
+                (20,): 2.0 + acw * 1.5 + wip,
+            }
+            want_words, want_cost = min(
+                ((k, v) for k, v in costs.items()), key=lambda kv: kv[1])
+            w, _, c = lat.best_path(acoustic_scale=acw,
+                                    word_ins_penalty=wip)
+            assert tuple(w) == want_words, (acw, wip)
+            assert abs(c - want_cost) < 1e-9, (acw, wip)
+
+
+def test_wer_filter_words(tmp_path, capsys):
+    """--filter-words strips tokens from BOTH sides before scoring (the
+    wer_output_filter hook): noise-only disagreements stop counting."""
+    from tf_kaldi_speaker_tpu.backend.wer import (
+        compute_wer, filter_transcripts)
+    from tf_kaldi_speaker_tpu.cli import compute_wer as wer_cli
+
+    refs = {"u1": ["<NOISE>", "a", "b"], "u2": ["c", "<UNK>"]}
+    hyps = {"u1": ["a", "b"], "u2": ["c", "d"]}
+    assert compute_wer(refs, hyps).errors == 2  # del <NOISE>, sub <UNK>/d
+    drop = ["<NOISE>", "<UNK>"]
+    fr, fh = filter_transcripts(refs, drop), filter_transcripts(hyps, drop)
+    assert compute_wer(fr, fh).errors == 1  # only the inserted 'd' remains
+
+    ref_f, hyp_f = str(tmp_path / "ref"), str(tmp_path / "hyp")
+    with open(ref_f, "w") as fd:
+        fd.writelines("%s %s\n" % (k, " ".join(v)) for k, v in refs.items())
+    with open(hyp_f, "w") as fd:
+        fd.writelines("%s %s\n" % (k, " ".join(v)) for k, v in hyps.items())
+    assert wer_cli.main(["--filter-words", "<NOISE>,<UNK>", ref_f, hyp_f]) == 0
+    out = capsys.readouterr().out
+    assert "[ 1 / 3" in out  # 1 error over 3 filtered ref words

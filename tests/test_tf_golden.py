@@ -410,3 +410,159 @@ def test_mt_golden_train_mode_and_bn_update(mt_imported):
         np.asarray(new_bs["phn_bn5"]["var"]),
         gold["updated_encoder_phone_phn_bn5_moving_variance"],
         rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Non-margin loss zoo vs real TF (scripts/make_tf_golden.py triplet):
+# semi-hard triplet loss.py:358-498, angular triplet :501-634, GE2E :637-705,
+# generalized angular triplet :708-901, ring/MHE auxiliaries :985-1037.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def triplet_gold():
+    return np.load(os.path.join(GOLD, "golden_triplet.npz"))
+
+
+def _check(name, gold, loss, dfeat=None, extra=()):
+    np.testing.assert_allclose(
+        float(loss), float(gold[name]), rtol=1e-5, atol=1e-6,
+        err_msg="%s loss diverges from real TF" % name)
+    if dfeat is not None:
+        np.testing.assert_allclose(
+            np.asarray(dfeat), gold[name + "_dfeat"], rtol=1e-4, atol=1e-5,
+            err_msg="%s d/dfeatures diverges from real TF" % name)
+    for key, val in extra:
+        np.testing.assert_allclose(
+            np.asarray(val), gold[key], rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+@pytest.mark.parametrize("squared", [False, True])
+def test_semihard_triplet_matches_tf(triplet_gold, squared):
+    """Semi-hard mining incl. the duplicate-row sqrt masking (rows 0/1 are
+    identical) and the tiny-norm row."""
+    from tf_kaldi_speaker_tpu.losses.triplet import semihard_triplet_loss
+
+    feats = jnp.asarray(triplet_gold["features_semi"])
+    labels = jnp.asarray(triplet_gold["labels"])
+    fn = lambda f: semihard_triplet_loss(f, labels, 0.5, squared)[0]
+    loss, dfeat = jax.value_and_grad(fn)(feats)
+    _check("semihard_sq" if squared else "semihard", triplet_gold, loss, dfeat)
+
+
+@pytest.mark.parametrize("tt", ["all", "hard"])
+@pytest.mark.parametrize("lt,m", [
+    ("asoftmax", 4),
+    ("additive_margin_softmax", 0.25),
+    ("additive_angular_margin_softmax", 0.4),
+])
+def test_angular_triplet_matches_tf(triplet_gold, tt, lt, m):
+    from tf_kaldi_speaker_tpu.losses.triplet import angular_triplet_loss
+
+    feats = jnp.asarray(triplet_gold["features_ang"])
+    labels = jnp.asarray(triplet_gold["labels"])
+    fn = lambda f: angular_triplet_loss(f, labels, float(m), tt, lt)[0]
+    loss, dfeat = jax.value_and_grad(fn)(feats)
+    _check("angular_%s_%s" % (tt, lt), triplet_gold, loss, dfeat)
+
+
+def test_e2e_valid_loss_matches_tf(triplet_gold):
+    from tf_kaldi_speaker_tpu.losses.triplet import e2e_valid_loss
+
+    feats = jnp.asarray(triplet_gold["features_ang"])
+    labels = jnp.asarray(triplet_gold["labels"])
+    fn = lambda f: e2e_valid_loss(f, labels, 4, 3)[0]
+    loss, dfeat = jax.value_and_grad(fn)(feats)
+    _check("e2e", triplet_gold, loss, dfeat)
+
+
+_GT_CFG = dict(
+    margin=0.3, target_margin=1.6, triplet_center="learnable",
+    loss_compute="raw", triplet_loss_weight=1.0, center_loss_weight=0.5,
+    between_loss_weight=0.3, l2_loss_weight=0.0,
+)
+
+
+@pytest.mark.parametrize("topn", [0, 1, 2])
+def test_generalized_triplet_learnable_matches_tf(triplet_gold, topn):
+    """Learnable-center generalized angular triplet: total loss, the
+    triplet/center/between components, and d/dfeatures + d/dkernel."""
+    from tf_kaldi_speaker_tpu.losses.head import LossHead
+
+    head = LossHead(
+        loss_func="generalized_angular_triplet_loss", num_outputs=10,
+        config=dict(_GT_CFG, triplet_topn=topn))
+    feats = jnp.asarray(triplet_gold["features_ang"])
+    labels = jnp.asarray(triplet_gold["labels_cls"])
+    kernel = jnp.asarray(triplet_gold["kernel"])
+
+    def fn(f, k):
+        return head.apply({"params": {"output_kernel": k}}, f, labels)[0]
+
+    loss, (dfeat, dkernel) = jax.value_and_grad(fn, argnums=(0, 1))(
+        feats, kernel)
+    _, ep = head.apply({"params": {"output_kernel": kernel}}, feats, labels)
+    nm = "gtriplet_topn%d" % topn
+    _check(nm, triplet_gold, loss, dfeat, extra=[
+        (nm + "_triplet", ep["triplet_loss"]),
+        (nm + "_center", ep["center_loss"]),
+        (nm + "_between", ep["between_loss"]),
+        (nm + "_dkernel", dkernel),
+    ])
+
+
+def test_generalized_triplet_average_update_matches_tf(triplet_gold):
+    """Moving-average center mode: one train-mode step must reproduce the
+    TF loss AND the post-assign centers; the loss gradient must NOT leak
+    through the center update into features (tf Assign is
+    NotDifferentiable)."""
+    from tf_kaldi_speaker_tpu.losses.head import LossHead
+
+    head = LossHead(
+        loss_func="generalized_angular_triplet_loss", num_outputs=10,
+        config=dict(_GT_CFG, triplet_topn=1, triplet_center="average",
+                    triplet_center_momentum=0.95))
+    feats = jnp.asarray(triplet_gold["features_ang"])
+    labels = jnp.asarray(triplet_gold["labels_cls"])
+    kernel = jnp.asarray(triplet_gold["kernel"])
+    variables = {"params": {"output_kernel": kernel},
+                 "loss_stats": {"triplet_centers": kernel}}
+
+    (loss, ep), mut = head.apply(
+        variables, feats, labels, 0, True, mutable=["loss_stats"])
+    _check("gtriplet_average", triplet_gold, loss, extra=[
+        ("gtriplet_average_triplet", ep["triplet_loss"]),
+        ("gtriplet_average_centers", mut["loss_stats"]["triplet_centers"]),
+    ])
+
+
+def test_aux_ring_mhe_matches_tf(triplet_gold):
+    """Ring + MHE auxiliaries composed on AM-softmax: total loss and
+    gradients w.r.t. features, kernel, and the ring radius r."""
+    from tf_kaldi_speaker_tpu.losses.head import LossHead
+
+    head = LossHead(
+        loss_func="additive_margin_softmax", num_outputs=10,
+        config=dict(
+            amsoftmax_m=0.2, amsoftmax_lambda_min=0.0,
+            amsoftmax_lambda_base=1000.0, amsoftmax_lambda_gamma=1e-4,
+            amsoftmax_lambda_power=5.0,
+            aux_loss_func=["ring_loss", "mhe_loss"],
+            ring_loss_init=2.5, ring_loss_lambda=0.3, mhe_lambda=0.1,
+        ))
+    feats = jnp.asarray(triplet_gold["features_ang"])
+    labels = jnp.asarray(triplet_gold["labels_cls"])
+    kernel = jnp.asarray(triplet_gold["kernel"])
+
+    def fn(f, params):
+        loss, ep = head.apply({"params": params}, f, labels, 5000)
+        return loss, ep
+
+    params = {"output_kernel": kernel, "ring_r": jnp.float32(2.5)}
+    (loss, ep), (dfeat, dparams) = jax.value_and_grad(
+        fn, argnums=(0, 1), has_aux=True)(feats, params)
+    _check("aux_total", triplet_gold, loss, dfeat, extra=[
+        ("aux_ring", ep["ring_loss"]),
+        ("aux_mhe", ep["mhe_loss"]),
+        ("aux_total_dkernel", dparams["output_kernel"]),
+        ("aux_total_dr", dparams["ring_r"]),
+    ])

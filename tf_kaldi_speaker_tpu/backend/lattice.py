@@ -88,11 +88,17 @@ class Lattice:
         return order
 
     def best_path_arcs(
-        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0,
+        word_ins_penalty: float = 0.0,
     ) -> Tuple[List[int], float]:
         """Arc indices of the shortest path under scaled costs, in path
         order, plus the total cost (shared core of best_path and the
-        confidence extraction)."""
+        confidence extraction).
+
+        ``word_ins_penalty`` adds a constant to every word-emitting arc
+        AFTER scaling — Kaldi's ``lattice-add-penalty`` applied between
+        lattice-scale and lattice-best-path (scripts/diagnostic/score.sh
+        word_ins_penalty sweep)."""
         order = self.topological_order()
         INF = float("inf")
         cost = [INF] * self.num_states
@@ -106,6 +112,8 @@ class Lattice:
                 continue
             for i, a in out.get(s, ()):
                 c = cost[s] + lm_scale * a.graph_cost + acoustic_scale * a.acoustic_cost
+                if a.olabel > 0:
+                    c += word_ins_penalty
                 if c < cost[a.dst]:
                     cost[a.dst] = c
                     back[a.dst] = (s, i)
@@ -127,14 +135,17 @@ class Lattice:
         return path[::-1], best_cost
 
     def best_path(
-        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+        self, acoustic_scale: float = 1.0, lm_scale: float = 1.0,
+        word_ins_penalty: float = 0.0,
     ) -> Tuple[List[int], List[int], float]:
         """Shortest path under scaled costs: (words, alignment, total_cost).
 
-        Equivalent to ``lattice-scale --acoustic-scale=a --lm-scale=l`` +
-        ``lattice-best-path``; sweeping scales here replaces re-decoding.
+        Equivalent to ``lattice-scale --acoustic-scale=a --lm-scale=l``
+        [+ ``lattice-add-penalty``] + ``lattice-best-path``; sweeping
+        scales here replaces re-decoding.
         """
-        path, best_cost = self.best_path_arcs(acoustic_scale, lm_scale)
+        path, best_cost = self.best_path_arcs(
+            acoustic_scale, lm_scale, word_ins_penalty)
         words = [self.arcs[i].olabel for i in path if self.arcs[i].olabel > 0]
         align = [self.arcs[i].ilabel for i in path if self.arcs[i].ilabel > 0]
         return words, align, best_cost

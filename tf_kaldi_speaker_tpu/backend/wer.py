@@ -111,6 +111,17 @@ def compute_wer(
     return stats
 
 
+def filter_transcripts(
+    texts: Dict[str, Sequence], drop: Sequence[str]
+) -> Dict[str, List[str]]:
+    """Token-deletion WER filter applied to refs and hyps before scoring —
+    the native form of the reference's sed-based ``wer_output_filter`` /
+    ``wer_ref_filter`` hooks (scripts/diagnostic/score.sh:46-50, which
+    strip e.g. <NOISE>/<SPOKEN_NOISE>/<UNK> on both sides)."""
+    dropset = set(drop)
+    return {k: [w for w in v if w not in dropset] for k, v in texts.items()}
+
+
 def read_text_file(path: str) -> Dict[str, List[str]]:
     """Kaldi text format: 'utt-id word word ...' per line."""
     out: Dict[str, List[str]] = {}

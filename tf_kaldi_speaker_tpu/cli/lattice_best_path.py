@@ -23,7 +23,7 @@ import sys
 import numpy as np
 
 from ..backend.lattice import read_lattice_ark
-from ..backend.wer import compute_wer, read_text_file
+from ..backend.wer import compute_wer, filter_transcripts, read_text_file
 from ..kio import open_or_fd, read_words_txt, write_vec_int
 
 
@@ -46,6 +46,16 @@ def main(argv=None) -> int:
                         help="score acoustic-scale=1/lmwt for each integer "
                         "lmwt in [LO, HI] against --ref-text and keep the "
                         "best (the local/score.sh sweep)")
+    parser.add_argument("--word-ins-penalty", default="0.0",
+                        help="comma list of word insertion penalties added "
+                        "to word-emitting arcs after scaling "
+                        "(lattice-add-penalty; score.sh sweeps 0.0,0.5,1.0)."
+                        " Swept jointly with --sweep-lmwt; otherwise the "
+                        "first value is applied")
+    parser.add_argument("--filter-words", default=None,
+                        help="comma list of tokens stripped from ref AND "
+                        "hyp before WER (the wer_output_filter hook, e.g. "
+                        "'<NOISE>,<SPOKEN_NOISE>,<UNK>')")
     parser.add_argument("--ref-text", default=None,
                         help="reference transcripts for --sweep-lmwt")
     parser.add_argument("lattice_ark", help="text-Lattice archive")
@@ -73,11 +83,19 @@ def main(argv=None) -> int:
     else:
         logging.info("Read 0 lattices.")
 
-    def transcripts(acoustic_scale, lm_scale):
+    try:
+        penalties = [float(x) for x in args.word_ins_penalty.split(",")]
+    except ValueError:
+        parser.error("--word-ins-penalty expects comma-separated floats")
+    filter_words = (args.filter_words.split(",")
+                    if args.filter_words else [])
+
+    def transcripts(acoustic_scale, lm_scale, wip):
         out = {}
         for key, lat in lats:
             w, a, c = lat.best_path(acoustic_scale=acoustic_scale,
-                                    lm_scale=lm_scale)
+                                    lm_scale=lm_scale,
+                                    word_ins_penalty=wip)
             out[key] = (w, a, c)
         return out
 
@@ -90,19 +108,25 @@ def main(argv=None) -> int:
             parser.error("--sweep-lmwt needs 1 <= LO <= HI (got %s)"
                          % args.sweep_lmwt)
         refs = read_text_file(args.ref_text)
+        if filter_words:
+            refs = filter_transcripts(refs, filter_words)
         best = None
-        for lmwt in range(lo, hi + 1):
-            res = transcripts(1.0 / lmwt, args.lm_scale)
-            hyp = {k: [words_tab.get(int(w), "<unk#%d>" % w)
-                       for w in v[0]] for k, v in res.items()}
-            stats = compute_wer(refs, hyp)
-            logging.info("lmwt %d: %%WER %.2f", lmwt, stats.wer)
-            if best is None or stats.wer < best[1]:
-                best = (lmwt, stats.wer, res)
-        lmwt, wer, res = best
-        print("best lmwt %d: %%WER %.2f" % (lmwt, wer))
+        for wip in penalties:
+            for lmwt in range(lo, hi + 1):
+                res = transcripts(1.0 / lmwt, args.lm_scale, wip)
+                hyp = {k: [words_tab.get(int(w), "<unk#%d>" % w)
+                           for w in v[0]] for k, v in res.items()}
+                if filter_words:
+                    hyp = filter_transcripts(hyp, filter_words)
+                stats = compute_wer(refs, hyp)
+                logging.info("lmwt %d wip %g: %%WER %.2f",
+                             lmwt, wip, stats.wer)
+                if best is None or stats.wer < best[2]:
+                    best = (lmwt, wip, stats.wer, res)
+        lmwt, wip, wer, res = best
+        print("best lmwt %d wip %g: %%WER %.2f" % (lmwt, wip, wer))
     else:
-        res = transcripts(args.acoustic_scale, args.lm_scale)
+        res = transcripts(args.acoustic_scale, args.lm_scale, penalties[0])
 
     fp_words = open_or_fd(args.wspecifier, "wb")
     fp_align = open_or_fd(args.align_out, "wb") if args.align_out else None

@@ -198,7 +198,10 @@ class LossHead(nn.Module):
                 delta = (sel_w - features) * decay
                 scatter = jnp.zeros_like(w.T).at[labels].add(delta)
                 # NOTE: repeated labels accumulate, matching tf.scatter_nd.
-                w = w - scatter.T
+                # TF registers Assign as NotDifferentiable, so the reference
+                # leaks NO gradient from the loss through the center update
+                # back into `features` (loss.py:783-787); mirror that.
+                w = jax.lax.stop_gradient(w - scatter.T)
                 centers.value = w
         else:
             w = kernel

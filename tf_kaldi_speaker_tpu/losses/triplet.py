@@ -84,10 +84,15 @@ def angular_triplet_loss(
     b = features.shape[0]
     eps = 1e-12
     cos = pairwise_cos_similarity(features)
+    eye = jnp.eye(b, dtype=bool)
+    # The self-similarity is identically 1 — constant in `features` — but
+    # computing it numerically makes the arc-margin sqrt(1-cos²) emit
+    # inf/NaN gradients at cosθ=1. Pin the diagonal to the constant (TF
+    # reaches the same zero gradient only by luck of clip_by_value
+    # rounding; golden tests assert gradient parity).
+    cos = jnp.where(eye, 1.0, cos)
     d_p = _positive_transform(cos, loss_type, margin)
     d_n = cos
-
-    eye = jnp.eye(b, dtype=bool)
     label_eq = labels[None, :] == labels[:, None]
 
     if triplet_type == "all":
