@@ -766,6 +766,56 @@ def make_mt_golden():
     print("wrote golden_mt.npz:", sorted(vals))
 
 
+TRAIN_LR, TRAIN_MOMENTUM, TRAIN_STEPS = 0.05, 0.9, 2
+
+
+def make_train_golden():
+    """Full end-to-end TRAIN-STEP parity fixture: starting from the
+    committed model-0 checkpoint, run TRAIN_STEPS MomentumOptimizer steps
+    (reference trainer.py:332-347 'momentum' branch) of the train-mode
+    network + AM-softmax with BN EMA update ops as control dependencies
+    (trainer.py:435-436), under real TF. Records the per-step losses and
+    saves the post-training variables as model-trained-<k>, which
+    tests/test_tf_golden.py compares against the flax Trainer running the
+    same steps through its one jitted train step — catching any drift in
+    gradient flow, optimizer slot semantics, or BN-update interleaving."""
+    _update_ops.clear()
+    gold = np.load(os.path.join(OUT, "golden.npz"))
+    feats, labels = gold["features"], gold["labels"]
+    g = tf1.Graph()
+    losses = []
+    with g.as_default():
+        f_ph = tf1.placeholder(tf.float32, [None, None, DIM])
+        l_ph = tf1.placeholder(tf.int32, [None])
+        s_ph = tf1.placeholder(tf.int32, [])
+        out_tr, _ = build_network(f_ph, training=True)
+        loss_tr, _ = build_amsoftmax(out_tr, l_ph, s_ph)
+        update_ops = list(_update_ops)
+        opt = tf1.train.MomentumOptimizer(TRAIN_LR, TRAIN_MOMENTUM)
+        with tf.control_dependencies(update_ops):
+            train_op = opt.minimize(loss_tr)
+        model_vars = [v for v in tf1.global_variables()
+                      if "Momentum" not in v.name]
+        saver = tf1.train.Saver(var_list=model_vars)
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.restore(sess, os.path.join(OUT, "model-0"))
+            for step in range(TRAIN_STEPS):
+                loss_v, _ = sess.run(
+                    [loss_tr, train_op],
+                    {f_ph: feats, l_ph: labels, s_ph: step})
+                losses.append(loss_v)
+            saver.save(sess, os.path.join(OUT, "model-trained-%d"
+                                          % TRAIN_STEPS),
+                       write_meta_graph=False)
+    np.savez_compressed(
+        os.path.join(OUT, "golden_train.npz"),
+        losses=np.asarray(losses, np.float32),
+        lr=np.float32(TRAIN_LR), momentum=np.float32(TRAIN_MOMENTUM))
+    print("wrote golden_train.npz (losses %s) + model-trained-%d"
+          % (losses, TRAIN_STEPS))
+
+
 def _tf_pairwise_euc(x, squared):
     """pairwise_euc_distances (common.py:61-94) incl. the sqrt-of-zero
     masking that defines the gradient at duplicate rows."""
@@ -1065,7 +1115,8 @@ def make_triplet_goldens():
 
 if __name__ == "__main__":
     import sys as _sys
-    which = _sys.argv[1:] or ["net", "losses", "att", "vlad", "mt", "triplet"]
+    which = _sys.argv[1:] or ["net", "losses", "att", "vlad", "mt",
+                              "triplet", "train"]
     if "net" in which:
         main()
     if "losses" in which:
@@ -1078,3 +1129,5 @@ if __name__ == "__main__":
         make_mt_golden()
     if "triplet" in which:
         make_triplet_goldens()
+    if "train" in which:
+        make_train_golden()

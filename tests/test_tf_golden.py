@@ -566,3 +566,55 @@ def test_aux_ring_mhe_matches_tf(triplet_gold):
         ("aux_total_dkernel", dparams["output_kernel"]),
         ("aux_total_dr", dparams["ring_r"]),
     ])
+
+
+def test_train_steps_match_tf(tmp_path_factory):
+    """FULL TRAIN-STEP parity: from the imported model-0 checkpoint, two
+    steps of our one jitted train step (grads + optax momentum + BN EMA
+    updates) must reproduce real TF's MomentumOptimizer run — per-step
+    losses AND every post-training variable (params + BN moving stats)
+    against the model-trained-2 checkpoint. Catches drift in gradient
+    flow, optimizer slot semantics, or BN-update interleaving."""
+    from tf_kaldi_speaker_tpu.parallel.mesh import make_mesh
+
+    gold = np.load(os.path.join(GOLD, "golden.npz"))
+    tg = np.load(os.path.join(GOLD, "golden_train.npz"))
+    cfg = dict(CFG, optimizer="momentum", momentum=float(tg["momentum"]))
+    mesh = make_mesh(devices=jax.devices()[:1])
+
+    def build(name, ckpt):
+        t = Trainer(ParamsPlain(**cfg),
+                    str(tmp_path_factory.mktemp(name) / "nnet"),
+                    dim=20, num_speakers=10, mesh=mesh)
+        t.build("train", 20, cfg["loss_func"], 10)
+        imported, skipped = import_reference_checkpoint(
+            os.path.join(GOLD, ckpt), t)
+        assert not skipped, skipped
+        return t
+
+    t = build("tfg_train", "model-0")
+    state = t.state
+    feats = jnp.asarray(gold["features"])
+    labels = jnp.asarray(gold["labels"])
+    lr = jnp.float32(float(tg["lr"]))
+    for i, want in enumerate(tg["losses"]):
+        state, metrics = t._train_step(state, feats, labels, lr)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(want), rtol=1e-4, atol=1e-5,
+            err_msg="train loss at step %d diverges from real TF" % i)
+    assert tg["losses"][0] > tg["losses"][1]  # it actually learns
+
+    want = build("tfg_trained", "model-trained-2").state
+    got_flat = jax.tree_util.tree_flatten_with_path(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})[0]
+    want_flat = jax.tree_util.tree_flatten_with_path(
+        {"params": jax.device_get(want.params),
+         "batch_stats": jax.device_get(want.batch_stats)})[0]
+    assert len(got_flat) == len(want_flat) and len(got_flat) >= 30
+    for (kp, g), (kw, w) in zip(got_flat, want_flat):
+        assert kp == kw
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5,
+            err_msg="post-training variable %s diverges from real TF"
+            % jax.tree_util.keystr(kp))
