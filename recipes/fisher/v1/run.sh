@@ -36,7 +36,11 @@ py="python -m"
 
 if [ $stage -le 1 ]; then
   echo "=== stage 1: 8 kHz MFCC + VAD"
-  for name in train_background enroll test; do
+  # Include a separate plda_data set in the prep loop so stage 4's
+  # extraction finds its features.
+  extra=""
+  [ "$plda_data" != "train_background" ] && extra="$plda_data"
+  for name in train_background enroll test $extra; do
     $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
       --sample-rate 8000 --num-ceps 23 --num-mel-bins 23 \
       --low-freq 20 --high-freq 3700 \

@@ -239,3 +239,33 @@ def test_fix_data_dir(tmp_path):
     assert s2u == {"spkA": ["u1"], "spkB": ["u2", "u4"]}
     # backup kept the original 4-line utt2spk
     assert len(open(os.path.join(d, ".backup", "utt2spk")).readlines()) == 4
+
+
+def test_fix_data_dir_with_segments(tmp_path):
+    """With a segments file, wav.scp is RECORDING-keyed (utils/
+    fix_data_dir.sh special case): it must be filtered to the recordings
+    surviving segments reference, never intersected with utterance ids."""
+    import os
+
+    from tf_kaldi_speaker_tpu.cli.fix_data_dir import fix_data_dir
+
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    with open(os.path.join(d, "utt2spk"), "w") as f:
+        f.write("u1 spkA\nu2 spkA\nu3 spkB\n")
+    with open(os.path.join(d, "segments"), "w") as f:
+        # u3 dropped by feats.scp below -> reco2 keeps only u2
+        f.write("u1 reco1 0.0 1.0\nu2 reco2 0.0 1.0\nu3 reco2 1.0 2.0\n")
+    with open(os.path.join(d, "feats.scp"), "w") as f:
+        f.write("u1 a.ark:1\nu2 a.ark:2\n")
+    with open(os.path.join(d, "wav.scp"), "w") as f:
+        f.write("reco1 r1.wav\nreco2 r2.wav\nreco9 r9.wav\n")
+
+    kept = fix_data_dir(d)
+    assert kept["utt2spk"] == 2
+    assert kept["segments"] == 2
+    # wav.scp filtered by recording, NOT emptied by utt-id intersection
+    wavs = [l.split()[0] for l in open(os.path.join(d, "wav.scp"))]
+    assert wavs == ["reco1", "reco2"]
+    segs = [l.split()[0] for l in open(os.path.join(d, "segments"))]
+    assert segs == ["u1", "u2"]

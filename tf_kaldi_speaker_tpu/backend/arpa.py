@@ -31,8 +31,10 @@ class ArpaLm:
     """In-memory ARPA model with backoff scoring.
 
     ``ngrams``: tuple(words) -> (logprob_ln, backoff_ln); words are the
-    file's strings. ``contexts``: set of tuples that EXTEND to a higher-
-    order n-gram (used for state truncation).
+    file's strings. ``contexts``: the live LM states for truncation — every
+    tuple that extends to a higher-order n-gram PLUS every non-top-order
+    n-gram with a nonzero backoff weight (pruned ARPA files keep such
+    histories without continuations; ConstArpaLm semantics).
     """
 
     def __init__(self) -> None:

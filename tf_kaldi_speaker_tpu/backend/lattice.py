@@ -99,14 +99,23 @@ class Lattice:
         AFTER scaling — Kaldi's ``lattice-add-penalty`` applied between
         lattice-scale and lattice-best-path (scripts/diagnostic/score.sh
         word_ins_penalty sweep)."""
-        order = self.topological_order()
+        # The topo order and adjacency depend only on the graph; cache them
+        # so scale sweeps (lmwt x wip = dozens of best_path calls per
+        # lattice) pay the setup once. Keyed on the arc count, the only way
+        # this immutable-by-convention structure is ever grown.
+        cached = getattr(self, "_dp_cache", None)
+        if cached is not None and cached[0] == len(self.arcs):
+            _, order, out = cached
+        else:
+            order = self.topological_order()
+            out = {}
+            for i, a in enumerate(self.arcs):
+                out.setdefault(a.src, []).append((i, a))
+            self._dp_cache = (len(self.arcs), order, out)
         INF = float("inf")
         cost = [INF] * self.num_states
         back: List[Tuple[int, int]] = [(-1, -1)] * self.num_states  # (state, arc idx)
         cost[self.start] = 0.0
-        out: Dict[int, List[Tuple[int, LatticeArc]]] = {}
-        for i, a in enumerate(self.arcs):
-            out.setdefault(a.src, []).append((i, a))
         for s in order:
             if cost[s] == INF:
                 continue
@@ -362,13 +371,18 @@ def _state_frames(lat: Lattice) -> List[int]:
 
 
 def best_path_confidences(
-    lat: Lattice, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+    lat: Lattice, acoustic_scale: float = 1.0, lm_scale: float = 1.0,
+    word_ins_penalty: float = 0.0,
 ):
     """Best-path words with PER-OCCURRENCE posterior confidences: for each
     word arc on the best path, the total posterior of lattice arcs carrying
     the same word label at the same frame index (a light-weight stand-in
     for Kaldi's MBR/sausage confidences — time-aligned competitors pool,
-    other occurrences of the same word do not)."""
+    other occurrences of the same word do not).
+
+    ``word_ins_penalty`` picks the same best path the sweep selected; the
+    posteriors themselves stay penalty-free (Kaldi's lattice-to-post is run
+    on the scaled, un-penalized lattice)."""
     post = arc_posteriors(lat, acoustic_scale, lm_scale)
     frame = _state_frames(lat)
     pooled: Dict[Tuple[int, int], float] = {}
@@ -376,7 +390,7 @@ def best_path_confidences(
         if a.olabel > 0:
             key = (a.olabel, frame[a.src])
             pooled[key] = pooled.get(key, 0.0) + post[i]
-    path, _ = lat.best_path_arcs(acoustic_scale, lm_scale)
+    path, _ = lat.best_path_arcs(acoustic_scale, lm_scale, word_ins_penalty)
     return [
         (lat.arcs[i].olabel,
          min(1.0, pooled.get((lat.arcs[i].olabel, frame[lat.arcs[i].src]),

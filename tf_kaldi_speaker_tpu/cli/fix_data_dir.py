@@ -6,7 +6,9 @@ three times while pruning short utterances and small speakers) to restore
 the data-dir invariants:
 
 - every per-utterance file (wav.scp, feats.scp, utt2spk, vad.scp,
-  utt2num_frames, utt2dur, text) is filtered to the common utterance set,
+  utt2num_frames, utt2dur, text) is filtered to the common utterance set
+  (with a ``segments`` file, wav.scp is recording-keyed and is instead
+  filtered to the recordings the surviving segments reference),
 - files are sorted by key (C locale, like Kaldi's validate_data_dir),
 - spk2utt is regenerated from utt2spk,
 - a ``.backup/`` subdirectory keeps the pre-fix files.
@@ -47,7 +49,15 @@ def _read_table(path: str) -> Dict[str, str]:
 
 def fix_data_dir(data: str, backup: bool = True) -> Dict[str, int]:
     """Returns {filename: kept_count}; raises if utt2spk is missing."""
-    present = [f for f in UTT_FILES if os.path.exists(os.path.join(data, f))]
+    # With a segments file, wav.scp is keyed by RECORDING id, not utterance
+    # id (utils/fix_data_dir.sh special-cases this): keep it out of the
+    # utterance intersection and filter it afterwards to the recordings the
+    # surviving segments reference.
+    has_segments = os.path.exists(os.path.join(data, "segments"))
+    utt_files = [f for f in UTT_FILES if not (has_segments and f == "wav.scp")]
+    if has_segments:
+        utt_files.append("segments")
+    present = [f for f in utt_files if os.path.exists(os.path.join(data, f))]
     if "utt2spk" not in present:
         raise SystemExit("%s: no utt2spk — not a data dir" % data)
     tables = {f: _read_table(os.path.join(data, f)) for f in present}
@@ -61,7 +71,7 @@ def fix_data_dir(data: str, backup: bool = True) -> Dict[str, int]:
     if backup:
         bdir = os.path.join(data, ".backup")
         os.makedirs(bdir, exist_ok=True)
-        for f in present + ["spk2utt"]:
+        for f in present + ["spk2utt", "wav.scp"]:
             src = os.path.join(data, f)
             if os.path.exists(src):
                 shutil.copy2(src, os.path.join(bdir, f))
@@ -75,6 +85,25 @@ def fix_data_dir(data: str, backup: bool = True) -> Dict[str, int]:
             for k in sorted(common):
                 fd.write("%s %s\n" % (k, t[k]) if t[k] else "%s\n" % k)
         kept[f] = len(common)
+
+    # With segments: filter the recording-keyed wav.scp to the recordings
+    # that surviving segments reference.
+    wav_path = os.path.join(data, "wav.scp")
+    if has_segments and os.path.exists(wav_path):
+        recos = {tables["segments"][u].split()[0] for u in common}
+        wav = _read_table(wav_path)
+        kept_recos = sorted(set(wav) & recos)
+        missing = recos - set(wav)
+        if missing:
+            log.warning("wav.scp: %d recordings referenced by segments "
+                        "are missing", len(missing))
+        dropped = len(wav) - len(kept_recos)
+        if dropped:
+            log.info("wav.scp: dropped %d/%d recordings", dropped, len(wav))
+        with open(wav_path, "w") as fd:
+            for k in kept_recos:
+                fd.write("%s %s\n" % (k, wav[k]) if wav[k] else "%s\n" % k)
+        kept["wav.scp"] = len(kept_recos)
 
     # Regenerate spk2utt from the fixed utt2spk.
     spk2utt: Dict[str, List[str]] = {}

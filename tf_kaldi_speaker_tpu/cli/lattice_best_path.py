@@ -151,10 +151,12 @@ def main(argv=None) -> int:
         from ..backend.lattice import best_path_confidences
 
         scale = (1.0 / best[0]) if args.sweep_lmwt else args.acoustic_scale
+        wip = best[1] if args.sweep_lmwt else penalties[0]
         with open(args.confidence_out, "w") as fd:
             for key, lat in lats:
                 conf = best_path_confidences(
-                    lat, acoustic_scale=scale, lm_scale=args.lm_scale)
+                    lat, acoustic_scale=scale, lm_scale=args.lm_scale,
+                    word_ins_penalty=wip)
                 fd.write("%s %s\n" % (key, " ".join(
                     "%s:%.4f" % (words_tab.get(int(w), "<unk#%d>" % w), c)
                     for w, c in conf)))
