@@ -767,21 +767,33 @@ def make_mt_golden():
 
 
 TRAIN_LR, TRAIN_MOMENTUM, TRAIN_STEPS = 0.05, 0.9, 2
+# Adam moves slowly from cold slots at lr=0.05; 3 steps make the bias
+# correction (t-dependent) observable. Epsilon 1e-3 (not the 1e-8 default):
+# at 1e-8 the m/(sqrt(v)+eps) normalization turns near-zero gradients into
+# sign-unstable +-lr updates, so fp32 backend noise (oneDNN vs XLA) flips
+# individual params and the fixture stops being reproducible; 1e-3 keeps
+# tiny-gradient updates linear while making the eps-OUTSIDE-bias-correction
+# placement (the TF1-vs-optax difference under test) even more visible.
+ADAM_STEPS = 3
+ADAM_EPS = 1e-3
 
 
-def make_train_golden():
+def make_train_golden(optimizer="momentum"):
     """Full end-to-end TRAIN-STEP parity fixture: starting from the
-    committed model-0 checkpoint, run TRAIN_STEPS MomentumOptimizer steps
-    (reference trainer.py:332-347 'momentum' branch) of the train-mode
-    network + AM-softmax with BN EMA update ops as control dependencies
-    (trainer.py:435-436), under real TF. Records the per-step losses and
-    saves the post-training variables as model-trained-<k>, which
-    tests/test_tf_golden.py compares against the flax Trainer running the
-    same steps through its one jitted train step — catching any drift in
-    gradient flow, optimizer slot semantics, or BN-update interleaving."""
+    committed model-0 checkpoint, run optimizer steps (reference
+    trainer.py:332-347 'momentum'/'adam' branches, TF default Adam
+    hyperparameters) of the train-mode network + AM-softmax with BN EMA
+    update ops as control dependencies (trainer.py:435-436), under real
+    TF. Records the per-step losses and saves the post-training variables
+    as model-trained[-adam]-<k>, which tests/test_tf_golden.py compares
+    against the flax Trainer running the same steps through its one
+    jitted train step — catching any drift in gradient flow, optimizer
+    slot semantics (incl. TF1 Adam's eps-outside-bias-correction form),
+    or BN-update interleaving."""
     _update_ops.clear()
     gold = np.load(os.path.join(OUT, "golden.npz"))
     feats, labels = gold["features"], gold["labels"]
+    steps = TRAIN_STEPS if optimizer == "momentum" else ADAM_STEPS
     g = tf1.Graph()
     losses = []
     with g.as_default():
@@ -791,29 +803,36 @@ def make_train_golden():
         out_tr, _ = build_network(f_ph, training=True)
         loss_tr, _ = build_amsoftmax(out_tr, l_ph, s_ph)
         update_ops = list(_update_ops)
-        opt = tf1.train.MomentumOptimizer(TRAIN_LR, TRAIN_MOMENTUM)
+        if optimizer == "momentum":
+            opt = tf1.train.MomentumOptimizer(TRAIN_LR, TRAIN_MOMENTUM)
+            slot_names = ("Momentum",)
+            ckpt = "model-trained-%d" % steps
+            npz = "golden_train.npz"
+        else:
+            opt = tf1.train.AdamOptimizer(TRAIN_LR, epsilon=ADAM_EPS)
+            slot_names = ("Adam", "beta1_power", "beta2_power")
+            ckpt = "model-trained-adam-%d" % steps
+            npz = "golden_train_adam.npz"
         with tf.control_dependencies(update_ops):
             train_op = opt.minimize(loss_tr)
         model_vars = [v for v in tf1.global_variables()
-                      if "Momentum" not in v.name]
+                      if not any(s in v.name for s in slot_names)]
         saver = tf1.train.Saver(var_list=model_vars)
         with tf1.Session() as sess:
             sess.run(tf1.global_variables_initializer())
             saver.restore(sess, os.path.join(OUT, "model-0"))
-            for step in range(TRAIN_STEPS):
+            for step in range(steps):
                 loss_v, _ = sess.run(
                     [loss_tr, train_op],
                     {f_ph: feats, l_ph: labels, s_ph: step})
                 losses.append(loss_v)
-            saver.save(sess, os.path.join(OUT, "model-trained-%d"
-                                          % TRAIN_STEPS),
+            saver.save(sess, os.path.join(OUT, ckpt),
                        write_meta_graph=False)
     np.savez_compressed(
-        os.path.join(OUT, "golden_train.npz"),
+        os.path.join(OUT, npz),
         losses=np.asarray(losses, np.float32),
         lr=np.float32(TRAIN_LR), momentum=np.float32(TRAIN_MOMENTUM))
-    print("wrote golden_train.npz (losses %s) + model-trained-%d"
-          % (losses, TRAIN_STEPS))
+    print("wrote %s (losses %s) + %s" % (npz, losses, ckpt))
 
 
 def _tf_pairwise_euc(x, squared):
@@ -1130,4 +1149,5 @@ if __name__ == "__main__":
     if "triplet" in which:
         make_triplet_goldens()
     if "train" in which:
-        make_train_golden()
+        make_train_golden("momentum")
+        make_train_golden("adam")

@@ -568,18 +568,26 @@ def test_aux_ring_mhe_matches_tf(triplet_gold):
     ])
 
 
-def test_train_steps_match_tf(tmp_path_factory):
-    """FULL TRAIN-STEP parity: from the imported model-0 checkpoint, two
-    steps of our one jitted train step (grads + optax momentum + BN EMA
-    updates) must reproduce real TF's MomentumOptimizer run — per-step
-    losses AND every post-training variable (params + BN moving stats)
-    against the model-trained-2 checkpoint. Catches drift in gradient
-    flow, optimizer slot semantics, or BN-update interleaving."""
+@pytest.mark.parametrize("optimizer", ["momentum", "adam"])
+def test_train_steps_match_tf(tmp_path_factory, optimizer):
+    """FULL TRAIN-STEP parity: from the imported model-0 checkpoint, a few
+    steps of our one jitted train step (grads + optax update + BN EMA
+    updates) must reproduce real TF's MomentumOptimizer / AdamOptimizer
+    run — per-step losses AND every post-training variable (params + BN
+    moving stats) against the model-trained[-adam] checkpoint. Catches
+    drift in gradient flow, optimizer slot semantics (incl. TF1 Adam's
+    eps-outside-bias-correction form), or BN-update interleaving."""
     from tf_kaldi_speaker_tpu.parallel.mesh import make_mesh
 
     gold = np.load(os.path.join(GOLD, "golden.npz"))
-    tg = np.load(os.path.join(GOLD, "golden_train.npz"))
-    cfg = dict(CFG, optimizer="momentum", momentum=float(tg["momentum"]))
+    if optimizer == "momentum":
+        tg = np.load(os.path.join(GOLD, "golden_train.npz"))
+        cfg = dict(CFG, optimizer="momentum", momentum=float(tg["momentum"]))
+        trained = "model-trained-%d" % len(tg["losses"])
+    else:
+        tg = np.load(os.path.join(GOLD, "golden_train_adam.npz"))
+        cfg = dict(CFG, optimizer="adam", adam_epsilon=1e-3)
+        trained = "model-trained-adam-%d" % len(tg["losses"])
     mesh = make_mesh(devices=jax.devices()[:1])
 
     def build(name, ckpt):
@@ -602,9 +610,9 @@ def test_train_steps_match_tf(tmp_path_factory):
         np.testing.assert_allclose(
             float(metrics["loss"]), float(want), rtol=1e-4, atol=1e-5,
             err_msg="train loss at step %d diverges from real TF" % i)
-    assert tg["losses"][0] > tg["losses"][1]  # it actually learns
+    assert tg["losses"][0] > tg["losses"][-1]  # it actually learns
 
-    want = build("tfg_trained", "model-trained-2").state
+    want = build("tfg_trained", trained).state
     got_flat = jax.tree_util.tree_flatten_with_path(
         {"params": jax.device_get(state.params),
          "batch_stats": jax.device_get(state.batch_stats)})[0]
@@ -612,9 +620,14 @@ def test_train_steps_match_tf(tmp_path_factory):
         {"params": jax.device_get(want.params),
          "batch_stats": jax.device_get(want.batch_stats)})[0]
     assert len(got_flat) == len(want_flat) and len(got_flat) >= 30
+    # Adam's per-element normalization amplifies fp32 backend noise
+    # (oneDNN vs XLA gradient ulps) on tiny-|g| weights; a semantic error
+    # (eps placement, bias correction) would diverge by orders of
+    # magnitude more than this tolerance.
+    atol = 1e-4 if optimizer == "adam" else 1e-5
     for (kp, g), (kw, w) in zip(got_flat, want_flat):
         assert kp == kw
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5,
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=atol,
             err_msg="post-training variable %s diverges from real TF"
             % jax.tree_util.keystr(kp))

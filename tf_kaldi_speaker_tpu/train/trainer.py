@@ -107,6 +107,39 @@ def l2_regularization(params, weight_scale: float, output_scale: float):
     return total
 
 
+def _scale_by_tf1_adam(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """tf.train.AdamOptimizer semantics (reference trainer.py:345-347,
+    default hyperparameters): update = sqrt(1-b2^t)/(1-b1^t) * m_t /
+    (sqrt(v_t) + eps) — the bias correction is folded into the step size
+    and epsilon sits OUTSIDE the v bias correction. optax.scale_by_adam
+    puts eps inside the corrected denominator (m_hat/(sqrt(v_hat)+eps)),
+    which diverges for near-zero second moments; the TF-golden train-step
+    test pins this exact form."""
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, grads
+        )
+        t = count.astype(jnp.float32)
+        c = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        upd = jax.tree.map(lambda m, v: c * m / (jnp.sqrt(v) + eps), mu, nu)
+        return upd, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Dict[str, Any]) -> optax.GradientTransformation:
     """sgd / momentum / adam (reference trainer.py:328-347), without the LR
     scale — the per-step learning rate is applied in the train step so the
@@ -125,7 +158,8 @@ def make_optimizer(cfg: Dict[str, Any]) -> optax.GradientTransformation:
             optax.trace(decay=float(cfg["momentum"]), nesterov=cfg.get("use_nesterov", False))
         )
     elif name == "adam":
-        chain.append(optax.scale_by_adam())
+        chain.append(_scale_by_tf1_adam(
+            eps=float(cfg.get("adam_epsilon", 1e-8))))
     else:
         raise ValueError("Optimizer %s is not supported" % name)
     return optax.chain(*chain) if chain else optax.identity()
