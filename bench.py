@@ -190,6 +190,57 @@ def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
     return batch * K * groups / dt / len(jax.devices())
 
 
+def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
+    """Embedding-extraction throughput (BASELINE.md primary metric
+    "extract embeddings/sec"): the flagship model through the real
+    cli/extract path — Extractor.embed_stream with length-bucketed masked
+    device batches (extract/extractor.py). Synthetic utterances drawn
+    uniform [400, 800] frames (post-VAD VoxCeleb-ish lengths, spanning 4
+    length buckets). Returns (embeddings/sec, frames/sec) median over
+    ``windows`` timed passes."""
+    import json as _json
+    import os
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    nnet = "/tmp/tfks_bench_extract/nnet"
+    os.makedirs(nnet, exist_ok=True)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        _json.dump(cfg, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("%d\n" % dim)
+    trainer = Trainer(ParamsPlain(**cfg), nnet, dim=dim,
+                      num_speakers=num_speakers)
+    trainer.build("train", dim, cfg["loss_func"], num_speakers)
+    trainer.save(0)
+
+    extractor = Extractor(nnet, batch_size=128)
+    rng = np.random.RandomState(0)
+    utts = [
+        ("utt%05d" % i,
+         rng.randn(int(rng.randint(400, 801)), dim).astype(np.float32))
+        for i in range(n_utts)
+    ]
+    total_frames = sum(f.shape[0] for _, f in utts)
+
+    def one_pass():
+        n = 0
+        for _key, emb in extractor.embed_stream(iter(utts)):
+            n += 1
+        assert n == n_utts, (n, n_utts)
+
+    one_pass()  # warmup: compiles one program per touched length bucket
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        one_pass()
+        rates.append(time.perf_counter() - t0)
+    dt = sorted(rates)[len(rates) // 2]
+    return n_utts / dt, total_frames / dt
+
+
 def main(e2e_headline: bool = False) -> None:
     from __graft_entry__ import FLAGSHIP
     from tf_kaldi_speaker_tpu.train.trainer import Trainer
@@ -272,9 +323,13 @@ def main(e2e_headline: bool = False) -> None:
     chunks_per_sec_per_chip = batch / dt / n_chips
     e2e_rate, e2e_spread = bench_e2e_pool(cfg, dim, num_speakers)
     stream_rate = bench_e2e_stream(cfg, dim, num_speakers)
+    emb_rate, frame_rate = bench_extract(cfg, dim, num_speakers)
     extra = {
         "e2e_window_spread": [round(r, 0) for r in e2e_spread],
         "e2e_stream_chunks_per_sec_per_chip": round(stream_rate, 2),
+        "extract_embeddings_per_sec": round(emb_rate, 2),
+        # frames/sec ÷ 100 frames/sec-of-audio = ×realtime
+        "extract_x_realtime": round(frame_rate / 100.0, 1),
     }
     if e2e_headline:
         out = {
