@@ -198,7 +198,6 @@ def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
     uniform [400, 800] frames (post-VAD VoxCeleb-ish lengths, spanning 4
     length buckets). Returns (embeddings/sec, frames/sec) median over
     ``windows`` timed passes."""
-    import json as _json
     import os
 
     from tf_kaldi_speaker_tpu.extract.extractor import Extractor
@@ -208,7 +207,7 @@ def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
     nnet = "/tmp/tfks_bench_extract/nnet"
     os.makedirs(nnet, exist_ok=True)
     with open(os.path.join(nnet, "config.json"), "w") as f:
-        _json.dump(cfg, f)
+        json.dump(cfg, f)
     with open(os.path.join(nnet, "feature_dim"), "w") as f:
         f.write("%d\n" % dim)
     trainer = Trainer(ParamsPlain(**cfg), nnet, dim=dim,

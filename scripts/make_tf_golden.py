@@ -828,10 +828,13 @@ def make_train_golden(optimizer="momentum"):
                 losses.append(loss_v)
             saver.save(sess, os.path.join(OUT, ckpt),
                        write_meta_graph=False)
+    extra = ({"momentum": np.float32(TRAIN_MOMENTUM)}
+             if optimizer == "momentum"
+             else {"adam_epsilon": np.float32(ADAM_EPS)})
     np.savez_compressed(
         os.path.join(OUT, npz),
         losses=np.asarray(losses, np.float32),
-        lr=np.float32(TRAIN_LR), momentum=np.float32(TRAIN_MOMENTUM))
+        lr=np.float32(TRAIN_LR), **extra)
     print("wrote %s (losses %s) + %s" % (npz, losses, ckpt))
 
 

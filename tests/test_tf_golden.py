@@ -586,7 +586,8 @@ def test_train_steps_match_tf(tmp_path_factory, optimizer):
         trained = "model-trained-%d" % len(tg["losses"])
     else:
         tg = np.load(os.path.join(GOLD, "golden_train_adam.npz"))
-        cfg = dict(CFG, optimizer="adam", adam_epsilon=1e-3)
+        cfg = dict(CFG, optimizer="adam",
+                   adam_epsilon=float(tg["adam_epsilon"]))
         trained = "model-trained-adam-%d" % len(tg["losses"])
     mesh = make_mesh(devices=jax.devices()[:1])
 
