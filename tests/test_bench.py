@@ -1,0 +1,52 @@
+"""Smoke tests for bench.py, the driver's benchmark artifact.
+
+These measure nothing; they assert the three bench paths (device-pool
+e2e, streaming e2e, extraction) run end to end on tiny shapes so a
+refactor cannot silently break the round's benchmark run. bench.py main()
+itself is flagship-sized and TPU-targeted, so it is not driven here.
+"""
+
+import numpy as np
+import pytest
+
+from __graft_entry__ import FLAGSHIP
+
+TINY = dict(
+    FLAGSHIP,
+    tdnn_layer_size=16,
+    num_nodes_pooling_layer=32,
+    num_nodes_last_layer=16,
+    num_speakers_per_batch=8,
+    min_segment_len=200,
+    max_segment_len=208,  # 2 length buckets -> 2 compiles per path
+    steps_per_dispatch=2,
+)
+DIM, NUM_SPEAKERS = 30, 16
+
+
+@pytest.mark.slow
+def test_bench_e2e_pool_smoke():
+    import bench
+
+    rate, spread = bench.bench_e2e_pool(
+        TINY, DIM, NUM_SPEAKERS, groups=2, windows=1)
+    assert np.isfinite(rate) and rate > 0
+    assert len(spread) == 1
+
+
+@pytest.mark.slow
+def test_bench_e2e_stream_smoke():
+    import bench
+
+    rate = bench.bench_e2e_stream(TINY, DIM, NUM_SPEAKERS, groups=2)
+    assert np.isfinite(rate) and rate > 0
+
+
+@pytest.mark.slow
+def test_bench_extract_smoke():
+    import bench
+
+    emb_rate, frame_rate = bench.bench_extract(
+        TINY, DIM, NUM_SPEAKERS, n_utts=8, windows=1)
+    assert np.isfinite(emb_rate) and emb_rate > 0
+    assert frame_rate > emb_rate  # every utterance has >1 frame
