@@ -16,3 +16,22 @@ mycrazycracy/tf-kaldi-speaker (reference layout documented in SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # An explicit JAX_PLATFORMS env var is caller intent (test conftest,
+    # CLI subprocesses spawned by e2e tests, CPU-mesh dry runs). Some
+    # environments install a sitecustomize that re-pins
+    # jax.config.jax_platforms to the local accelerator in EVERY python
+    # process, which silently overrides the env var and can then block
+    # at first backend init when that accelerator is unreachable.
+    # Re-assert the env var before any backend in this process
+    # initializes (importing this package precedes any jax.devices()
+    # call in all our entry points).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - config rename safety net
+        pass

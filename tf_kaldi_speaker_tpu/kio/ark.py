@@ -38,6 +38,16 @@ class BadInputFormat(Exception):
     pass
 
 
+def _check_dims(*dims) -> None:
+    """Reject negative header dimensions. Kaldi dims are non-negative;
+    ``fd.read(negative)`` slurps the whole stream and numpy infers ANY
+    negative reshape dim (not just -1), so a corrupted negative dimension
+    field would otherwise be silently accepted instead of raising."""
+    for d in dims:
+        if int(d) < 0:
+            raise BadInputFormat("negative dimension %d in header" % int(d))
+
+
 # --------------------------------------------------------------------------
 # Compressed matrix ("CM ") — format constants
 # --------------------------------------------------------------------------
@@ -93,6 +103,7 @@ def _read_compressed_mat(fd, fmt: str, start: int | None = None,
     if fmt != "CM ":
         raise UnknownMatrixHeader("Compressed format %r not supported" % fmt)
     gmin, grange, rows, cols = np.frombuffer(fd.read(16), dtype=_GLOBAL_HEADER, count=1)[0]
+    _check_dims(rows, cols)
     headers_u16 = np.frombuffer(fd.read(int(cols) * 8), dtype=_COL_HEADER).reshape(cols, 4)
     p = _u16_to_float(headers_u16, gmin, grange)  # [cols, 4]
 
@@ -128,6 +139,7 @@ def _read_compressed_codes(fd, fmt: str, start: int | None = None,
     if fmt != "CM ":
         raise UnknownMatrixHeader("Compressed format %r not supported" % fmt)
     gmin, grange, rows, cols = np.frombuffer(fd.read(16), dtype=_GLOBAL_HEADER, count=1)[0]
+    _check_dims(rows, cols)
     headers_u16 = np.frombuffer(fd.read(int(cols) * 8), dtype=_COL_HEADER).reshape(cols, 4)
     p = _u16_to_float(headers_u16, gmin, grange)  # [cols, 4]
 
@@ -221,6 +233,7 @@ def _read_mat_binary(fd) -> np.ndarray:
     else:
         raise UnknownMatrixHeader("The header contained '%s'" % header)
     s1, rows, s2, cols = np.frombuffer(fd.read(10), dtype="int8,int32,int8,int32", count=1)[0]
+    _check_dims(rows, cols)
     buf = fd.read(int(rows) * int(cols) * size)
     return np.frombuffer(buf, dtype=dtype).reshape(rows, cols)
 
@@ -235,6 +248,7 @@ def _read_submat_binary(fd, start: int, length: int) -> np.ndarray:
         # case; supporting it removes the "must pre-compress" constraint.)
         dtype, size = (np.float32, 4) if header == "FM " else (np.float64, 8)
         s1, rows, s2, cols = np.frombuffer(fd.read(10), dtype="int8,int32,int8,int32", count=1)[0]
+        _check_dims(rows, cols)
         if rows < start + length:
             raise ValueError("Not enough frames for submatrix read")
         fd.seek(int(start) * int(cols) * size, 1)
@@ -364,6 +378,8 @@ def _read_vec_flt_binary(fd) -> np.ndarray:
     if fd.read(1).decode() != "\4":
         raise BadInputFormat("missing int32 size marker")
     dim = np.frombuffer(fd.read(4), dtype="int32", count=1)[0]
+    _check_dims(dim)
+
     return np.frombuffer(fd.read(int(dim) * size), dtype=dtype)
 
 
@@ -378,6 +394,8 @@ def _read_subvec_flt_binary(fd, start: int, length: int) -> np.ndarray:
     if fd.read(1).decode() != "\4":
         raise BadInputFormat("missing int32 size marker")
     dim = np.frombuffer(fd.read(4), dtype="int32", count=1)[0]
+    _check_dims(dim)
+
     if start + length > dim:
         raise ValueError("subvector read out of range")
     if start > 0:
@@ -439,6 +457,8 @@ def read_vec_int(file_or_fd) -> np.ndarray:
             if fd.read(1).decode() != "\4":
                 raise BadInputFormat("missing int32 size marker")
             dim = np.frombuffer(fd.read(4), dtype="int32", count=1)[0]
+            _check_dims(dim)
+
             # elements are (int8 size, int32 value) pairs
             vec = np.frombuffer(
                 fd.read(int(dim) * 5), dtype=[("size", "int8"), ("value", "int32")], count=dim
@@ -458,6 +478,8 @@ def _read_subvec_int_binary(fd, start: int, length: int) -> np.ndarray:
     if fd.read(1).decode() != "\4":
         raise BadInputFormat("missing int32 size marker")
     dim = np.frombuffer(fd.read(4), dtype="int32", count=1)[0]
+    _check_dims(dim)
+
     if start + length > dim:
         raise ValueError("subvector read out of range")
     if start > 0:

@@ -89,6 +89,10 @@ int tfks_decode_submat(const char *path, int64_t offset, int32_t start,
     if (!pread_full(fd, &gh, sizeof(gh), pos)) return TFKS_ERR_IO;
     pos += sizeof(gh);
     const int32_t rows = gh.num_rows, cols = gh.num_cols;
+    // Corrupt negative dims would pass the signed capacity check and then
+    // drive a size_t-cast giant vector allocation (bad_alloc across the C
+    // ABI aborts the process); reject them as a malformed header.
+    if (rows < 0 || cols < 0) return TFKS_ERR_HEADER;
     if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
     if (static_cast<int64_t>(length) * cols > out_capacity) return TFKS_ERR_CAPACITY;
 
@@ -132,6 +136,7 @@ int tfks_decode_submat(const char *path, int64_t offset, int32_t start,
     int32_t rows, cols;
     std::memcpy(&rows, dims + 1, 4);
     std::memcpy(&cols, dims + 6, 4);
+    if (rows < 0 || cols < 0) return TFKS_ERR_HEADER;
     if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
     if (static_cast<int64_t>(length) * cols > out_capacity) return TFKS_ERR_CAPACITY;
     const int64_t data_pos = pos + 10 + static_cast<int64_t>(start) * cols * 4;
@@ -160,6 +165,7 @@ int tfks_read_codes(const char *path, int64_t offset, int32_t start,
   if (!pread_full(fd, &gh, sizeof(gh), pos)) return TFKS_ERR_IO;
   pos += sizeof(gh);
   const int32_t rows = gh.num_rows, cols = gh.num_cols;
+  if (rows < 0 || cols < 0) return TFKS_ERR_HEADER;
   if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
   if (static_cast<int64_t>(length) * cols > codes_capacity) return TFKS_ERR_CAPACITY;
 
