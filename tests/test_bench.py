@@ -21,7 +21,10 @@ TINY = dict(
     max_segment_len=208,  # 2 length buckets -> 2 compiles per path
     steps_per_dispatch=2,
 )
-DIM, NUM_SPEAKERS = 30, 16
+# NUM_SPEAKERS must match bench._bench_egs's synthetic corpus (64 speakers):
+# the loader feeds real speaker labels, so a smaller softmax head would get
+# out-of-range labels and the smoked step would compute a malformed loss.
+DIM, NUM_SPEAKERS = 30, 64
 
 
 @pytest.mark.slow

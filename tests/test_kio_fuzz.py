@@ -40,7 +40,7 @@ def _mat_bytes(compress: bool) -> bytes:
 
 def _read_all(data: bytes):
     for _key, mat in ark.read_mat_ark(io.BytesIO(data)):
-        assert np.all(np.isfinite(mat)) or True  # force full decode
+        np.isfinite(mat).all()  # force full decode
         _ = mat.shape
 
 
@@ -87,3 +87,47 @@ def test_negative_dims_fail_cleanly():
     data[rows_off:rows_off + 4] = struct.pack("<i", -5)
     with pytest.raises(OK_ERRORS):
         _read_all(bytes(data))
+
+
+def _vec_bytes() -> bytes:
+    buf = io.BytesIO()
+    ark.write_vec_flt(buf, np.arange(13, dtype=np.float32), key="utt1")
+    return buf.getvalue()
+
+
+def _read_all_vec(data: bytes):
+    for _key, vec in ark.read_vec_flt_ark(io.BytesIO(data)):
+        np.isfinite(vec).all()
+        _ = vec.shape
+
+
+def test_vector_truncation_raises_not_truncates():
+    """A truncated float-vector payload must raise, never silently return
+    fewer elements than the dim field promises (frombuffer without count
+    accepts whatever bytes are present)."""
+    data = _vec_bytes()
+    for cut in (len(data) - 8, len(data) - 1):
+        with pytest.raises(OK_ERRORS):
+            _read_all_vec(data[:cut])
+
+
+def test_vector_wild_and_negative_dims_fail_cleanly():
+    for wild in (2 ** 20, -5):
+        data = bytearray(_vec_bytes())
+        dim_off = data.index(b"FV ") + 4  # past 'FV ' and the \4 marker
+        data[dim_off:dim_off + 4] = struct.pack("<i", wild)
+        with pytest.raises(OK_ERRORS):
+            _read_all_vec(bytes(data))
+
+
+def test_vector_byte_flips_fail_cleanly():
+    data = _vec_bytes()
+    rng = np.random.RandomState(2)
+    for _trial in range(100):
+        pos = int(rng.randint(0, len(data)))
+        corrupted = bytearray(data)
+        corrupted[pos] ^= 1 << int(rng.randint(0, 8))
+        try:
+            _read_all_vec(bytes(corrupted))
+        except OK_ERRORS:
+            pass

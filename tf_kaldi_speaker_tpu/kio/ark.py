@@ -379,8 +379,9 @@ def _read_vec_flt_binary(fd) -> np.ndarray:
         raise BadInputFormat("missing int32 size marker")
     dim = np.frombuffer(fd.read(4), dtype="int32", count=1)[0]
     _check_dims(dim)
-
-    return np.frombuffer(fd.read(int(dim) * size), dtype=dtype)
+    # count= makes a short read raise instead of silently returning a
+    # truncated vector (frombuffer without count accepts whatever is there)
+    return np.frombuffer(fd.read(int(dim) * size), dtype=dtype, count=int(dim))
 
 
 def _read_subvec_flt_binary(fd, start: int, length: int) -> np.ndarray:
@@ -400,7 +401,7 @@ def _read_subvec_flt_binary(fd, start: int, length: int) -> np.ndarray:
         raise ValueError("subvector read out of range")
     if start > 0:
         fd.seek(start * size, 1)
-    return np.frombuffer(fd.read(length * size), dtype=dtype)
+    return np.frombuffer(fd.read(length * size), dtype=dtype, count=int(length))
 
 
 def write_vec_flt(file_or_fd, v: np.ndarray, key: str = "") -> None:

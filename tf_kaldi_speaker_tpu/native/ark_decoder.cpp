@@ -153,7 +153,7 @@ int tfks_decode_submat(const char *path, int64_t offset, int32_t start,
 // p0/p25/p75/p100 per column) WITHOUT applying the piecewise mapping.
 int tfks_read_codes(const char *path, int64_t offset, int32_t start,
                     int32_t length, uint8_t *codes, float *headers,
-                    int64_t codes_capacity) {
+                    int64_t codes_capacity, int64_t headers_capacity) {
   int fd = get_fd(path);
   if (fd < 0) return TFKS_ERR_OPEN;
   char head[5];
@@ -168,6 +168,10 @@ int tfks_read_codes(const char *path, int64_t offset, int32_t start,
   if (rows < 0 || cols < 0) return TFKS_ERR_HEADER;
   if (start < 0 || length < 0 || start + length > rows) return TFKS_ERR_RANGE;
   if (static_cast<int64_t>(length) * cols > codes_capacity) return TFKS_ERR_CAPACITY;
+  // headers is [4, cols] in the CALLER's column count; a corrupt header
+  // claiming more columns than the caller allocated would overflow it
+  // below even when length*cols fits the codes buffer.
+  if (static_cast<int64_t>(cols) * 4 > headers_capacity) return TFKS_ERR_CAPACITY;
 
   std::vector<uint16_t> col_headers(static_cast<size_t>(cols) * 4);
   if (!pread_full(fd, col_headers.data(), col_headers.size() * 2, pos))
@@ -205,7 +209,8 @@ int tfks_read_batch_codes(const char **paths, const int64_t *offsets,
       uint8_t *cdst = codes_out + static_cast<int64_t>(i) * stride_rows * cols;
       float *hdst = headers_out + static_cast<int64_t>(i) * 4 * cols;
       int r = tfks_read_codes(paths[i], offsets[i], starts[i], lengths[i], cdst,
-                              hdst, static_cast<int64_t>(stride_rows) * cols);
+                              hdst, static_cast<int64_t>(stride_rows) * cols,
+                              static_cast<int64_t>(cols) * 4);
       if (r < 0) {
         int expected = 0;
         err.compare_exchange_strong(expected, r);
