@@ -1135,10 +1135,93 @@ def make_triplet_goldens():
           sorted(k for k in out if not k.endswith("dfeat")))
 
 
+def make_export_golden():
+    """EXPORT-direction interop proof: a (perturbed) trainer state from THIS
+    framework, written by train/tf_export.py under the reference's TF
+    variable names, is restored here by a real tf.compat.v1.train.Saver into
+    the reference graph and run forward. tests/test_tf_golden.py imports the
+    same committed checkpoint files and must reproduce these TF outputs —
+    i.e. the original tf-kaldi-speaker code computes OUR model exactly."""
+    import jax
+
+    from tf_kaldi_speaker_tpu.train.tf_export import export_reference_checkpoint
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    import tempfile
+
+    cfg = dict(
+        seed=3, network_type="tdnn", tdnn_layer_size=WIDTH,
+        num_nodes_pooling_layer=POOL_NODES, num_nodes_last_layer=LAST_NODES,
+        pooling_type="statistics_pooling", embedding_node="tdnn6_dense",
+        last_layer_linear=True, loss_func="additive_margin_softmax",
+        amsoftmax_m=AM_M, amsoftmax_lambda_min=0.0,
+        amsoftmax_lambda_base=1000.0, amsoftmax_lambda_gamma=1e-4,
+        amsoftmax_lambda_power=5.0, batchnorm_momentum=BN_MOMENTUM,
+        optimizer="sgd", weight_l2_regularizer=0.0,
+    )
+    t = Trainer(ParamsPlain(**cfg), os.path.join(tempfile.mkdtemp(), "nnet"),
+                dim=DIM, num_speakers=NUM_SPK)
+    t.build("train", DIM, cfg["loss_func"], NUM_SPK)
+
+    rng = np.random.RandomState(13)
+    params = jax.device_get(t.state.params)
+    batch_stats = jax.device_get(t.state.batch_stats)
+
+    def perturb(tree, fn):
+        return {k: perturb(v, fn) if isinstance(v, dict)
+                else fn(k, np.asarray(v, np.float32)) for k, v in tree.items()}
+
+    # Noise on every weight and NON-default BN moving stats: init defaults
+    # (zeros/ones) would hide epsilon, orientation and mean/var-order bugs.
+    params = perturb(
+        params, lambda k, a: a + 0.05 * rng.standard_normal(a.shape)
+        .astype(np.float32))
+    batch_stats = perturb(
+        batch_stats,
+        lambda k, a: (0.3 * rng.standard_normal(a.shape)).astype(np.float32)
+        if k == "mean"
+        else rng.uniform(0.5, 1.5, a.shape).astype(np.float32))
+
+    exp_dir = os.path.join(OUT, "export")
+    prefix = os.path.join(exp_dir, "model-3")
+    exported, skipped = export_reference_checkpoint(
+        params, batch_stats, prefix, step=3)
+    assert not skipped, skipped
+
+    feats = rng.randn(B, L, DIM).astype(np.float32)
+    labels = rng.randint(0, NUM_SPK, B).astype(np.int32)
+    g = tf1.Graph()
+    with g.as_default():
+        f_ph = tf1.placeholder(tf.float32, [None, None, DIM])
+        l_ph = tf1.placeholder(tf.int32, [None])
+        s_ph = tf1.placeholder(tf.int32, [])
+        out_eval, ep_eval = build_network(f_ph, training=False)
+        loss_eval, logits_eval = build_amsoftmax(out_eval, l_ph, s_ph)
+        with tf1.Session() as sess:
+            tf1.train.Saver().restore(sess, prefix)  # THE interop step
+            feed = {f_ph: feats, l_ph: labels, s_ph: 0}
+            vals = sess.run(
+                dict(embedding=ep_eval["tdnn6_dense"], output=out_eval,
+                     pooling=ep_eval["pooling"], loss_step0=loss_eval,
+                     logits=logits_eval), feed)
+            vals["loss_step20000"] = sess.run(
+                loss_eval, {f_ph: feats, l_ph: labels, s_ph: 20000})
+    for k, v in vals.items():
+        assert np.all(np.isfinite(v)), "non-finite TF export golden %s" % k
+    np.savez_compressed(
+        os.path.join(OUT, "golden_export.npz"),
+        features=feats, labels=labels,
+        **{k: np.asarray(v) for k, v in vals.items()},
+    )
+    print("wrote golden_export.npz + export/ checkpoint (%d tensors)"
+          % len(exported))
+
+
 if __name__ == "__main__":
     import sys as _sys
     which = _sys.argv[1:] or ["net", "losses", "att", "vlad", "mt",
-                              "triplet", "train"]
+                              "triplet", "train", "export"]
     if "net" in which:
         main()
     if "losses" in which:
@@ -1154,3 +1237,5 @@ if __name__ == "__main__":
     if "train" in which:
         make_train_golden("momentum")
         make_train_golden("adam")
+    if "export" in which:
+        make_export_golden()

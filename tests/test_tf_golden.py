@@ -632,3 +632,33 @@ def test_train_steps_match_tf(tmp_path_factory, optimizer):
             np.asarray(g), np.asarray(w), rtol=1e-4, atol=atol,
             err_msg="post-training variable %s diverges from real TF"
             % jax.tree_util.keystr(kp))
+
+
+# ---------------------------------------------------------------------------
+# EXPORT direction: our trained state -> tf_export -> REAL TF Saver restore
+# into the reference graph (generator: make_tf_golden.py export). Importing
+# the same committed checkpoint here must reproduce the TF outputs — i.e.
+# the original tf-kaldi-speaker code computes our exported model exactly.
+# ---------------------------------------------------------------------------
+
+def test_exported_checkpoint_restores_into_real_tf(tmp_path):
+    gold = np.load(os.path.join(GOLD, "golden_export.npz"))
+    t = Trainer(ParamsPlain(**CFG), str(tmp_path / "nnet"),
+                dim=20, num_speakers=10)
+    t.build("train", 20, CFG["loss_func"], 10)
+    imported, skipped = import_reference_checkpoint(
+        os.path.join(GOLD, "export", "model-3"), t)
+    assert skipped == ["global_step"]  # counter, not a model variable
+    assert len(imported) >= 40
+    loss0, ep = _apply(t, gold, step=0)
+    np.testing.assert_allclose(np.asarray(ep["tdnn6_dense"]),
+                               gold["embedding"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ep["pooling"]), gold["pooling"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ep["logits"]), gold["logits"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(loss0), float(gold["loss_step0"]),
+                               rtol=1e-4, atol=1e-5)
+    loss20k, _ = _apply(t, gold, step=20000)
+    np.testing.assert_allclose(float(loss20k), float(gold["loss_step20000"]),
+                               rtol=1e-4, atol=1e-5)

@@ -223,9 +223,33 @@ def read_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
 
 
 # ----------------------------------------------------------------------
-# Minimal writer (test fixtures only — no prefix compression, one block
-# per entry group, no compression, valid footer/handles)
+# Minimal writer (no prefix compression, one block per entry group, no
+# compression; real masked-CRC32C block trailers and per-tensor checksums
+# so actual TensorFlow Savers restore the output)
 # ----------------------------------------------------------------------
+
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+del _n, _c
+
+
+def _crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc32c(data: bytes) -> int:
+    """LevelDB/TF CRC masking: rotate right 15 and add a constant."""
+    c = _crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
 
 def _encode_entry(key: bytes, value: bytes, prev_key: bytes) -> bytes:
     # no prefix compression (shared=0) — readers must handle it
@@ -259,6 +283,8 @@ def write_tf_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
     entries.append((b"", bytes(header)))
     for name in names:
         arr = np.ascontiguousarray(tensors[name])
+        if np.ndim(tensors[name]) == 0:
+            arr = arr.reshape(())  # ascontiguousarray promotes 0-d to 1-d
         offset = len(data)
         data += arr.tobytes()
         shape_buf = bytearray()
@@ -270,25 +296,33 @@ def write_tf_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
         entry += _write_varint((2 << 3) | 2) + _write_varint(len(shape_buf)) + bytes(shape_buf)
         entry += _write_varint((4 << 3) | 0) + _write_varint(offset)
         entry += _write_varint((5 << 3) | 0) + _write_varint(arr.nbytes)
+        # field 6 (crc32c, fixed32): TF's BundleReader validates tensor
+        # bytes against this masked checksum on every read
+        entry += _write_varint((6 << 3) | 5) + struct.pack(
+            "<I", _masked_crc32c(arr.tobytes()))
         entries.append((name.encode(), bytes(entry)))
 
     with open("%s.data-00000-of-00001" % prefix, "wb") as f:
         f.write(bytes(data))
 
+    def with_trailer(block: bytes) -> bytes:
+        # 1-byte compression type (0 = none) + masked CRC32C of block+type
+        return block + b"\x00" + struct.pack("<I", _masked_crc32c(block + b"\x00"))
+
     # one data block with everything, plus index + footer
     block = _build_block(entries)
     file_buf = bytearray()
-    file_buf += block + b"\x00" + struct.pack("<I", 0)  # compression + crc(0)
+    file_buf += with_trailer(block)
     data_handle = _write_varint(0) + _write_varint(len(block))
 
     index_block = _build_block([(b"\xff", bytes(data_handle))])
     index_off = len(file_buf)
-    file_buf += index_block + b"\x00" + struct.pack("<I", 0)
+    file_buf += with_trailer(index_block)
     index_handle = _write_varint(index_off) + _write_varint(len(index_block))
 
     meta_block = _build_block([])
     meta_off = len(file_buf)
-    file_buf += meta_block + b"\x00" + struct.pack("<I", 0)
+    file_buf += with_trailer(meta_block)
     meta_handle = _write_varint(meta_off) + _write_varint(len(meta_block))
 
     footer = bytearray()

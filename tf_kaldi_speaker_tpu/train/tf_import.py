@@ -64,6 +64,13 @@ def map_tf_name(name: str):
     if m:
         coll, leaf = _BN[m.group(2)]
         return coll, ("network", "tdnn", "self_attention", "att_post_bn", leaf), lambda a: a
+    m = re.fullmatch(r"tdnn/attention/(att_(?:key|value)\d+)/\1_relu/alpha", name)
+    if m:  # prelu alpha inside a key/value dense stack (common.py prelu scope)
+        return "params", ("network", "tdnn", "self_attention", m.group(1),
+                          m.group(1) + "_prelu", "alpha"), lambda a: a
+    if name == "tdnn/attention/att_post_relu/alpha":
+        return "params", ("network", "tdnn", "self_attention", "att_post_prelu",
+                          "alpha"), lambda a: a
 
     # (Ghost)VLAD pooling
     if name == "tdnn/vlad/vlad_centers":
@@ -78,6 +85,10 @@ def map_tf_name(name: str):
     if m:
         coll, leaf = _BN[m.group(2)]
         return coll, ("network", "tdnn", "ghost_vlad", m.group(1), "bn", leaf), lambda a: a
+    m = re.fullmatch(r"tdnn/vlad/(vlad_(?:key|value)\d+)/\1_relu/alpha", name)
+    if m:
+        return "params", ("network", "tdnn", "ghost_vlad", m.group(1),
+                          m.group(1) + "_prelu", "alpha"), lambda a: a
 
     # loss head
     if name == "softmax/output/kernel":
