@@ -167,3 +167,38 @@ def test_export_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "config.json"))
     got = read_tf_checkpoint(os.path.join(out, "model-0"))
     assert "tdnn/tdnn1_conv/kernel" in got
+
+
+def test_roundtrip_multitask(tmp_path):
+    """Export the multitask encoders (speaker+phone trunks) and re-import;
+    only the loss heads (no reference TF name) are skipped."""
+    from tf_kaldi_speaker_tpu.multitask.trainer import TrainerMultiTask
+    from test_multitask import MT_CFG
+
+    t = TrainerMultiTask(ParamsPlain(**MT_CFG), str(tmp_path / "src" / "nnet"),
+                         dim=20, num_speakers=5, num_phones=12)
+    t.build("train", 20, num_speakers=5, num_phones=12)
+    prefix = str(tmp_path / "tf" / "model-1")
+    exported, skipped = export_reference_checkpoint(
+        jax.device_get(t.state.params), jax.device_get(t.state.batch_stats),
+        prefix, step=1)
+    assert sorted(skipped) == [
+        "params:phn_softmax/output_bias", "params:phn_softmax/output_kernel",
+        "params:spk_softmax/output_bias", "params:spk_softmax/output_kernel",
+    ]
+    for name in ("encoder/conv1/kernel", "encoder/dense6/bias",
+                 "encoder/zs_bn/moving_mean", "encoder_phone/phn_conv3/kernel",
+                 "encoder_phone/phn_bn5/moving_variance",
+                 "encoder_phone/zp_dense/kernel"):
+        assert name in exported, name
+
+    t2 = TrainerMultiTask(ParamsPlain(**dict(MT_CFG, seed=9)),
+                          str(tmp_path / "dst" / "nnet"),
+                          dim=20, num_speakers=5, num_phones=12)
+    t2.build("train", 20, num_speakers=5, num_phones=12)
+    imported, _ = import_reference_checkpoint(prefix, t2)
+    assert sorted(imported) == sorted(exported)
+    src = jax.device_get(t.state.params)
+    dst = jax.device_get(t2.state.params)
+    np.testing.assert_array_equal(src["conv1"]["kernel"], dst["conv1"]["kernel"])
+    np.testing.assert_array_equal(src["phn_conv5"]["kernel"], dst["phn_conv5"]["kernel"])
