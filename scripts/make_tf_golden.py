@@ -1135,13 +1135,39 @@ def make_triplet_goldens():
           sorted(k for k in out if not k.endswith("dfeat")))
 
 
-def make_export_golden():
+# Pooling-family config extras for the export-direction goldens; these must
+# exactly mirror the TF builders above (and tests/test_tf_golden.py
+# _CFG_ATT/_CFG_VLAD, which prove the import direction on the same shapes).
+_EXPORT_POOL_CFG = {
+    "stats": {},
+    "att": dict(
+        pooling_type="self_attention", att_key_input="tdnn4_relu",
+        att_key_num_nodes=list(ATT_KEY_NODES), att_key_network_type=3,
+        att_value_input="tdnn5_relu", att_value_num_nodes=[],
+        att_value_network_type=0, att_num_heads=ATT_HEADS,
+        att_split_key=False, att_use_scale=True, att_apply_nonlinear=False,
+        att_penalty_term=ATT_PENALTY_TERM),
+    "vlad": dict(
+        pooling_type="ghost_vlad", vlad_num_centers=VLAD_CENTERS,
+        vlad_num_ghosts=VLAD_GHOSTS, vlad_key_input="tdnn4_relu",
+        vlad_key_num_nodes=[VLAD_KEY_NODES], vlad_value_input="tdnn5_relu",
+        vlad_value_num_nodes=[VLAD_VALUE_NODES], vlad_final_l2_norm=True),
+}
+_EXPORT_BUILD = {"stats": build_network, "att": build_attention_network,
+                 "vlad": build_vlad_network}
+_EXPORT_SEED = {"stats": 13, "att": 14, "vlad": 15}
+
+
+def make_export_golden(kind="stats"):
     """EXPORT-direction interop proof: a (perturbed) trainer state from THIS
     framework, written by train/tf_export.py under the reference's TF
     variable names, is restored here by a real tf.compat.v1.train.Saver into
     the reference graph and run forward. tests/test_tf_golden.py imports the
     same committed checkpoint files and must reproduce these TF outputs —
-    i.e. the original tf-kaldi-speaker code computes OUR model exactly."""
+    i.e. the original tf-kaldi-speaker code computes OUR model exactly.
+    kind selects the pooling family (stats / att / vlad), exercising the
+    exporter's attention-query and vlad-center name mapping under a real
+    Saver restore."""
     import jax
 
     from tf_kaldi_speaker_tpu.train.tf_export import export_reference_checkpoint
@@ -1160,11 +1186,12 @@ def make_export_golden():
         amsoftmax_lambda_power=5.0, batchnorm_momentum=BN_MOMENTUM,
         optimizer="sgd", weight_l2_regularizer=0.0,
     )
+    cfg.update(_EXPORT_POOL_CFG[kind])
     t = Trainer(ParamsPlain(**cfg), os.path.join(tempfile.mkdtemp(), "nnet"),
                 dim=DIM, num_speakers=NUM_SPK)
     t.build("train", DIM, cfg["loss_func"], NUM_SPK)
 
-    rng = np.random.RandomState(13)
+    rng = np.random.RandomState(_EXPORT_SEED[kind])
     params = jax.device_get(t.state.params)
     batch_stats = jax.device_get(t.state.batch_stats)
 
@@ -1183,7 +1210,8 @@ def make_export_golden():
         if k == "mean"
         else rng.uniform(0.5, 1.5, a.shape).astype(np.float32))
 
-    exp_dir = os.path.join(OUT, "export")
+    suffix = "" if kind == "stats" else "_" + kind
+    exp_dir = os.path.join(OUT, "export" + suffix)
     prefix = os.path.join(exp_dir, "model-3")
     exported, skipped = export_reference_checkpoint(
         params, batch_stats, prefix, step=3)
@@ -1196,26 +1224,28 @@ def make_export_golden():
         f_ph = tf1.placeholder(tf.float32, [None, None, DIM])
         l_ph = tf1.placeholder(tf.int32, [None])
         s_ph = tf1.placeholder(tf.int32, [])
-        out_eval, ep_eval = build_network(f_ph, training=False)
+        out_eval, ep_eval = _EXPORT_BUILD[kind](f_ph, training=False)
         loss_eval, logits_eval = build_amsoftmax(out_eval, l_ph, s_ph)
         with tf1.Session() as sess:
             tf1.train.Saver().restore(sess, prefix)  # THE interop step
             feed = {f_ph: feats, l_ph: labels, s_ph: 0}
-            vals = sess.run(
-                dict(embedding=ep_eval["tdnn6_dense"], output=out_eval,
-                     pooling=ep_eval["pooling"], loss_step0=loss_eval,
-                     logits=logits_eval), feed)
+            fetches = dict(embedding=ep_eval["tdnn6_dense"], output=out_eval,
+                           pooling=ep_eval["pooling"], loss_step0=loss_eval,
+                           logits=logits_eval)
+            if "attention_penalty" in ep_eval:
+                fetches["attention_penalty"] = ep_eval["attention_penalty"]
+            vals = sess.run(fetches, feed)
             vals["loss_step20000"] = sess.run(
                 loss_eval, {f_ph: feats, l_ph: labels, s_ph: 20000})
     for k, v in vals.items():
         assert np.all(np.isfinite(v)), "non-finite TF export golden %s" % k
     np.savez_compressed(
-        os.path.join(OUT, "golden_export.npz"),
+        os.path.join(OUT, "golden_export%s.npz" % suffix),
         features=feats, labels=labels,
         **{k: np.asarray(v) for k, v in vals.items()},
     )
-    print("wrote golden_export.npz + export/ checkpoint (%d tensors)"
-          % len(exported))
+    print("wrote golden_export%s.npz + export%s/ checkpoint (%d tensors)"
+          % (suffix, suffix, len(exported)))
 
 
 if __name__ == "__main__":
@@ -1238,4 +1268,5 @@ if __name__ == "__main__":
         make_train_golden("momentum")
         make_train_golden("adam")
     if "export" in which:
-        make_export_golden()
+        for _kind in ("stats", "att", "vlad"):
+            make_export_golden(_kind)

@@ -641,15 +641,24 @@ def test_train_steps_match_tf(tmp_path_factory, optimizer):
 # the original tf-kaldi-speaker code computes our exported model exactly.
 # ---------------------------------------------------------------------------
 
-def test_exported_checkpoint_restores_into_real_tf(tmp_path):
-    gold = np.load(os.path.join(GOLD, "golden_export.npz"))
-    t = Trainer(ParamsPlain(**CFG), str(tmp_path / "nnet"),
+@pytest.mark.parametrize("kind", ["stats", "att", "vlad"])
+def test_exported_checkpoint_restores_into_real_tf(tmp_path, kind):
+    """One fixture per pooling family: the attention/vlad variants prove the
+    exporter's query/center/key-stack name mapping under a real TF Saver."""
+    suffix = "" if kind == "stats" else "_" + kind
+    gold = np.load(os.path.join(GOLD, "golden_export%s.npz" % suffix))
+    cfg = {"stats": CFG, "att": _CFG_ATT, "vlad": _CFG_VLAD}[kind]
+    t = Trainer(ParamsPlain(**cfg), str(tmp_path / "nnet"),
                 dim=20, num_speakers=10)
-    t.build("train", 20, CFG["loss_func"], 10)
+    t.build("train", 20, cfg["loss_func"], 10)
     imported, skipped = import_reference_checkpoint(
-        os.path.join(GOLD, "export", "model-3"), t)
+        os.path.join(GOLD, "export" + suffix, "model-3"), t)
     assert skipped == ["global_step"]  # counter, not a model variable
     assert len(imported) >= 40
+    if kind == "att":
+        np.testing.assert_allclose(
+            float(_apply(t, gold, step=0)[1]["attention_penalty"]),
+            float(gold["attention_penalty"]), rtol=1e-4, atol=1e-6)
     loss0, ep = _apply(t, gold, step=0)
     np.testing.assert_allclose(np.asarray(ep["tdnn6_dense"]),
                                gold["embedding"], rtol=1e-4, atol=1e-4)
