@@ -375,7 +375,22 @@ VLAD_CENTERS, VLAD_GHOSTS = 6, 2
 VLAD_VALUE_NODES, VLAD_KEY_NODES = 20, 16
 
 
-def _frame_stack(feats, training):
+def _plain_relu(x, name):
+    del name  # tf.nn.relu creates no variables
+    return tf.nn.relu(x)
+
+
+def prelu_tf(x, name):
+    """Reference PReLU (common.py:27-42): per-channel alpha, init 0.01,
+    pos + alpha*(x-|x|)/2; variable <scope>/<name>/alpha."""
+    with tf1.variable_scope(name):
+        alpha = tf1.get_variable(
+            "alpha", x.shape[-1], dtype=tf.float32,
+            initializer=tf1.constant_initializer(0.01))
+        return tf.nn.relu(x) + alpha * (x - tf.abs(x)) * 0.5
+
+
+def _frame_stack(feats, training, relu=_plain_relu):
     """Shared frame-level stack (conv1-3 + dense4/5 + BN + relu), recording
     the relu endpoints attention/vlad tap (reference tdnn.py:45-131)."""
     ep = {}
@@ -383,45 +398,48 @@ def _frame_stack(feats, training):
     for i, k in ((1, 5), (2, 5), (3, 7)):
         x = conv2d(x, WIDTH, k, "tdnn%d_conv" % i)
         x = bn(x, "tdnn%d_bn" % i, training)
-        x = tf.nn.relu(x)
+        x = relu(x, "tdnn%d_relu" % i)
     x = tf.squeeze(x, axis=1)
     x = dense(x, WIDTH, "tdnn4_dense")
     x = bn(x, "tdnn4_bn", training)
-    x = tf.nn.relu(x)
+    x = relu(x, "tdnn4_relu")
     ep["tdnn4_relu"] = x
     x = dense(x, POOL_NODES, "tdnn5_dense")
     x = bn(x, "tdnn5_bn", training)
-    x = tf.nn.relu(x)
+    x = relu(x, "tdnn5_relu")
     ep["tdnn5_relu"] = x
     return x, ep
 
 
-def _utt_tail(x, ep, training):
+def _utt_tail(x, ep, training, relu=_plain_relu):
     """Utterance-level layers 6/7 after pooling (tdnn.py:145-189)."""
     x = dense(x, WIDTH, "tdnn6_dense")
     ep["tdnn6_dense"] = x
     x = bn(x, "tdnn6_bn", training)
-    x = tf.nn.relu(x)
+    x = relu(x, "tdnn6_relu")
     x = dense(x, LAST_NODES, "tdnn7_dense")
     x = bn(x, "tdnn7_bn", training)
     ep["tdnn7_bn"] = x
     return x, ep
 
 
-def build_attention_network(feats, training, reuse=None):
+def build_attention_network(feats, training, reuse=None, relu=_plain_relu,
+                            apply_nonlinear=False):
     """Frame stack + multi-head self-attention pooling (reference
     pooling.py:37-192: key stack dense_bn_relu -> dense_tanh [type 3],
     heads on the value only [att_split_key false], scaled dot with a
     learned per-head query, weighted mean ‖ weighted stddev with the 1e-12
-    floor, and the ‖WWᵀ−I‖² head-diversity penalty normalized by B)."""
+    floor, and the ‖WWᵀ−I‖² head-diversity penalty normalized by B).
+    relu=prelu_tf + apply_nonlinear=True exercise the reference's PReLU
+    alphas and the att_post_bn/att_post_relu tail."""
     with tf1.variable_scope("tdnn", reuse=reuse):
-        x, ep = _frame_stack(feats, training)
+        x, ep = _frame_stack(feats, training, relu=relu)
         with tf1.variable_scope("attention"):
             key = ep["tdnn4_relu"]
             value = ep["tdnn5_relu"]
             key = dense(key, ATT_KEY_NODES[0], "att_key0/att_key0_dense")
             key = bn(key, "att_key0/att_key0_bn", training)
-            key = tf.nn.relu(key)
+            key = relu(key, "att_key0/att_key0_relu")
             key = dense(key, ATT_KEY_NODES[1], "att_key1/att_key1_dense")
             key = tf.nn.tanh(key)
 
@@ -451,13 +469,17 @@ def build_attention_network(feats, training, reuse=None):
             floor = tf.cast(att_var <= VAR2STD_EPSILON, tf.float32)
             att_std = tf.sqrt((1.0 - floor) * att_var + floor * VAR2STD_EPSILON)
             x = tf.concat([att_mean, att_std], axis=1)
+            if apply_nonlinear:
+                # reference pooling.py att_apply_nonlinear tail
+                x = bn(x, "att_post_bn", training)
+                x = relu(x, "att_post_relu")
             ep["pooling"] = x
 
             gram = tf.einsum("bhl,bkl->bhk", weights, weights) \
                 - tf.eye(ATT_HEADS, batch_shape=[b])
             ep["attention_penalty"] = ATT_PENALTY_TERM * (
                 tf.reduce_sum(tf.square(gram)) / tf.cast(b, tf.float32))
-        return _utt_tail(x, ep, training)
+        return _utt_tail(x, ep, training, relu=relu)
 
 
 def build_vlad_network(feats, training, reuse=None):
@@ -1153,9 +1175,19 @@ _EXPORT_POOL_CFG = {
         vlad_key_num_nodes=[VLAD_KEY_NODES], vlad_value_input="tdnn5_relu",
         vlad_value_num_nodes=[VLAD_VALUE_NODES], vlad_final_l2_norm=True),
 }
-_EXPORT_BUILD = {"stats": build_network, "att": build_attention_network,
-                 "vlad": build_vlad_network}
-_EXPORT_SEED = {"stats": 13, "att": 14, "vlad": 15}
+# PReLU everywhere + the att_post_bn/att_post_relu tail: pins the prelu
+# alpha name mapping (tdnnN_relu/alpha, att_key0_relu/alpha,
+# att_post_relu/alpha) under a real Saver restore.
+_EXPORT_POOL_CFG["att_prelu"] = dict(
+    _EXPORT_POOL_CFG["att"], network_relu_type="prelu",
+    att_apply_nonlinear=True)
+_EXPORT_BUILD = {
+    "stats": build_network, "att": build_attention_network,
+    "vlad": build_vlad_network,
+    "att_prelu": lambda f, training, reuse=None: build_attention_network(
+        f, training, reuse, relu=prelu_tf, apply_nonlinear=True),
+}
+_EXPORT_SEED = {"stats": 13, "att": 14, "vlad": 15, "att_prelu": 16}
 
 
 def make_export_golden(kind="stats"):
@@ -1268,5 +1300,5 @@ if __name__ == "__main__":
         make_train_golden("momentum")
         make_train_golden("adam")
     if "export" in which:
-        for _kind in ("stats", "att", "vlad"):
+        for _kind in ("stats", "att", "vlad", "att_prelu"):
             make_export_golden(_kind)

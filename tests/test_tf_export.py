@@ -168,6 +168,76 @@ def test_export_cli(tmp_path):
     got = read_tf_checkpoint(os.path.join(out, "model-0"))
     assert "tdnn/tdnn1_conv/kernel" in got
 
+    # Exporting an OLDER step must not repoint the source model dir.
+    from tf_kaldi_speaker_tpu.train import checkpoints
+
+    t.save(5)
+    assert checkpoints.read_pointer(nnet) == 5
+    rc = cli.main(["--checkpoint", "0", str(tmp_path / "model"),
+                   str(tmp_path / "tf_out_old")])
+    assert rc == 0
+    assert checkpoints.read_pointer(nnet) == 5  # untouched
+    assert os.path.exists(os.path.join(str(tmp_path / "tf_out_old"),
+                                       "model-0.index"))
+
+
+def test_export_cli_failure_writes_nothing(tmp_path, monkeypatch):
+    """A refused export (unmappable variables, no --allow-partial) must not
+    leave a complete-looking checkpoint in out_dir."""
+    import json
+
+    from tf_kaldi_speaker_tpu.cli import export_tf_checkpoint as cli
+    from tf_kaldi_speaker_tpu.train import tf_export
+
+    params = ParamsPlain(**TINY)
+    nnet = str(tmp_path / "model" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, params.loss_func, 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY, f)
+
+    real_map = tf_export.map_flax_leaf
+
+    def partial_map(coll, path):
+        # make one real leaf unmappable -> skipped, rc 1 without
+        # --allow-partial
+        if path and path[-1] == "kernel":
+            return None
+        return real_map(coll, path)
+
+    monkeypatch.setattr(tf_export, "map_flax_leaf", partial_map)
+    out = str(tmp_path / "tf_out")
+    rc = cli.main([str(tmp_path / "model"), out])
+    assert rc == 1
+    assert not os.path.exists(out)  # nothing written at all
+
+    rc = cli.main(["--allow-partial", str(tmp_path / "model"), out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "model-0.index"))
+
+
+def test_crc32c_native_matches_python():
+    """The native tfks_crc32c must agree with the pure-Python table (and the
+    published CRC32C check vector) so exported checkpoints are identical
+    whichever path computed the checksums."""
+    from tf_kaldi_speaker_tpu.kio import native_decode as nd
+    from tf_kaldi_speaker_tpu.kio import tf_bundle as tb
+
+    def py_crc(data):
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = tb._CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
+
+    assert py_crc(b"123456789") == 0xE3069283  # RFC 3720 check value
+    if not nd.native_available():
+        pytest.skip("native core unavailable")
+    rng = np.random.RandomState(0)
+    for n in (0, 1, 7, 8, 9, 64, 1000, 4097):
+        data = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
+        assert nd.crc32c_fast(data) == py_crc(data), n
+
 
 def test_roundtrip_multitask(tmp_path):
     """Export the multitask encoders (speaker+phone trunks) and re-import;

@@ -641,13 +641,20 @@ def test_train_steps_match_tf(tmp_path_factory, optimizer):
 # the original tf-kaldi-speaker code computes our exported model exactly.
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("kind", ["stats", "att", "vlad"])
+_CFG_ATT_PRELU = dict(_CFG_ATT, network_relu_type="prelu",
+                      att_apply_nonlinear=True)
+
+
+@pytest.mark.parametrize("kind", ["stats", "att", "vlad", "att_prelu"])
 def test_exported_checkpoint_restores_into_real_tf(tmp_path, kind):
     """One fixture per pooling family: the attention/vlad variants prove the
-    exporter's query/center/key-stack name mapping under a real TF Saver."""
+    exporter's query/center/key-stack name mapping under a real TF Saver;
+    att_prelu additionally pins every PReLU alpha name and the
+    att_post_bn/att_post_relu tail."""
     suffix = "" if kind == "stats" else "_" + kind
     gold = np.load(os.path.join(GOLD, "golden_export%s.npz" % suffix))
-    cfg = {"stats": CFG, "att": _CFG_ATT, "vlad": _CFG_VLAD}[kind]
+    cfg = {"stats": CFG, "att": _CFG_ATT, "vlad": _CFG_VLAD,
+           "att_prelu": _CFG_ATT_PRELU}[kind]
     t = Trainer(ParamsPlain(**cfg), str(tmp_path / "nnet"),
                 dim=20, num_speakers=10)
     t.build("train", 20, cfg["loss_func"], 10)
@@ -655,10 +662,6 @@ def test_exported_checkpoint_restores_into_real_tf(tmp_path, kind):
         os.path.join(GOLD, "export" + suffix, "model-3"), t)
     assert skipped == ["global_step"]  # counter, not a model variable
     assert len(imported) >= 40
-    if kind == "att":
-        np.testing.assert_allclose(
-            float(_apply(t, gold, step=0)[1]["attention_penalty"]),
-            float(gold["attention_penalty"]), rtol=1e-4, atol=1e-6)
     loss0, ep = _apply(t, gold, step=0)
     np.testing.assert_allclose(np.asarray(ep["tdnn6_dense"]),
                                gold["embedding"], rtol=1e-4, atol=1e-4)
@@ -668,6 +671,10 @@ def test_exported_checkpoint_restores_into_real_tf(tmp_path, kind):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(loss0), float(gold["loss_step0"]),
                                rtol=1e-4, atol=1e-5)
+    if kind.startswith("att"):
+        np.testing.assert_allclose(
+            float(ep["attention_penalty"]),
+            float(gold["attention_penalty"]), rtol=1e-4, atol=1e-6)
     loss20k, _ = _apply(t, gold, step=20000)
     np.testing.assert_allclose(float(loss20k), float(gold["loss_step20000"]),
                                rtol=1e-4, atol=1e-5)

@@ -44,19 +44,18 @@ def main(argv=None) -> int:
     if not os.path.isdir(nnet_dir):
         nnet_dir = args.model_dir
     ckpt = args.checkpoint
+    # Resolve read-only: exporting must not repoint the source model dir.
     step = checkpoints.select_checkpoint(
-        nnet_dir, int(ckpt) if ckpt.lstrip("-").isdigit() else ckpt)
+        nnet_dir, int(ckpt) if ckpt.lstrip("-").isdigit() else ckpt,
+        write=False)
     raw, step = checkpoints.load_checkpoint(nnet_dir, step=step)
 
-    os.makedirs(args.out_dir, exist_ok=True)
     prefix = os.path.join(args.out_dir, "model-%d" % step)
+    # Validate the name mapping BEFORE writing anything: a failed export
+    # must not leave a complete-looking checkpoint in out_dir.
     exported, skipped = export_reference_checkpoint(
         raw["params"], raw.get("batch_stats", {}), prefix, step=step,
-        momentum_slots=args.momentum_slots)
-    for aux in ("config.json", "feature_dim", "num_speakers", "num_phones"):
-        src = os.path.join(nnet_dir, aux)
-        if os.path.exists(src):
-            shutil.copy(src, os.path.join(args.out_dir, aux))
+        momentum_slots=args.momentum_slots, dry_run=True)
     print("Exported %d tensors -> %s (%d without reference names%s)"
           % (len(exported), prefix, len(skipped),
              ": " + ", ".join(skipped[:5]) + ", ..." if skipped else ""))
@@ -69,6 +68,14 @@ def main(argv=None) -> int:
               "--allow-partial to export anyway)" % len(skipped),
               file=sys.stderr)
         return 1
+    os.makedirs(args.out_dir, exist_ok=True)
+    export_reference_checkpoint(
+        raw["params"], raw.get("batch_stats", {}), prefix, step=step,
+        momentum_slots=args.momentum_slots)
+    for aux in ("config.json", "feature_dim", "num_speakers", "num_phones"):
+        src = os.path.join(nnet_dir, aux)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.out_dir, aux))
     return 0
 
 

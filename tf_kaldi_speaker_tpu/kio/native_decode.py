@@ -75,6 +75,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
         ]
+        lib.tfks_crc32c.restype = ctypes.c_uint32
+        lib.tfks_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.tfks_decode_batch.restype = ctypes.c_int
         lib.tfks_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -192,3 +194,12 @@ def close_all() -> None:
 
 def native_available() -> bool:
     return _get_lib() is not None
+
+
+def crc32c_fast(data: bytes) -> Optional[int]:
+    """Unmasked CRC32C via the native core (memory-bandwidth rate), or None
+    when it is unavailable (caller falls back to the pure-Python table)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    return int(lib.tfks_crc32c(data, len(data)))

@@ -238,6 +238,14 @@ del _n, _c
 
 
 def _crc32c(data: bytes) -> int:
+    # Hot for real-model export (every tensor + every SSTable block is
+    # checksummed): prefer the native core (hardware CRC / table in C++),
+    # fall back to the pure-Python table loop.
+    from .native_decode import crc32c_fast
+
+    crc = crc32c_fast(data)
+    if crc is not None:
+        return crc
     crc = 0xFFFFFFFF
     tbl = _CRC32C_TABLE
     for b in data:
@@ -286,7 +294,8 @@ def write_tf_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
         if np.ndim(tensors[name]) == 0:
             arr = arr.reshape(())  # ascontiguousarray promotes 0-d to 1-d
         offset = len(data)
-        data += arr.tobytes()
+        raw = arr.tobytes()  # serialize once: data shard + checksum share it
+        data += raw
         shape_buf = bytearray()
         for d in arr.shape:
             dim_msg = _write_varint((1 << 3) | 0) + _write_varint(int(d))
@@ -299,7 +308,7 @@ def write_tf_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
         # field 6 (crc32c, fixed32): TF's BundleReader validates tensor
         # bytes against this masked checksum on every read
         entry += _write_varint((6 << 3) | 5) + struct.pack(
-            "<I", _masked_crc32c(arr.tobytes()))
+            "<I", _masked_crc32c(raw))
         entries.append((name.encode(), bytes(entry)))
 
     with open("%s.data-00000-of-00001" % prefix, "wb") as f:

@@ -94,9 +94,12 @@ def load_checkpoint(
     return raw, step
 
 
-def select_checkpoint(model_dir: str, checkpoint: str | int = "last") -> int:
+def select_checkpoint(model_dir: str, checkpoint: str | int = "last",
+                      write: bool = True) -> int:
     """Resolve "last" / step-id / "-1" (best by valid_loss) to a step and
     rewrite the pointer (reference misc/utils.py:217-270 + make_checkpoint.py).
+    ``write=False`` resolves only, leaving the model dir untouched (read-only
+    consumers like the checkpoint exporter).
 
     "best" reads ``<model_dir>/../valid_loss`` lines "epoch loss eer" and maps
     the best epoch to step best_epoch*num_steps_per_epoch — correct for this
@@ -136,5 +139,6 @@ def select_checkpoint(model_dir: str, checkpoint: str | int = "last") -> int:
     else:
         step = int(checkpoint)
     assert step in steps, "checkpoint model-%d not found" % step
-    write_pointer(model_dir, step)
+    if write:
+        write_pointer(model_dir, step)
     return step

@@ -96,19 +96,25 @@ def map_flax_leaf(coll: str, path: Tuple[str, ...]):
 
 
 def _map_pool_leaf(tf_scope: str, coll: str, rest: Tuple[str, ...]):
-    """Attention / vlad subtree -> tdnn/{attention,vlad}/... names."""
-    if rest == ("query",):
-        return "tdnn/attention/query", _ident
-    if rest == ("vlad_centers",):
-        return "tdnn/vlad/vlad_centers", _ident
-    if len(rest) == 2 and rest[0] == "vlad_weight_affine":
-        return "tdnn/vlad/vlad_weight_affine/%s" % rest[1], _ident
-    if len(rest) == 2 and rest[0] == "att_post_bn":
-        tfleaf = _bn_leaf(coll, rest[1])
-        if tfleaf:
-            return "tdnn/attention/att_post_bn/%s" % tfleaf, _ident
-    if rest == ("att_post_prelu", "alpha"):
-        return "tdnn/attention/att_post_relu/alpha", _ident
+    """Attention / vlad subtree -> tdnn/{attention,vlad}/... names.
+
+    Family-specific leaves are gated on ``tf_scope`` so a leaf of one family
+    appearing under the other's subtree is reported as skipped instead of
+    producing a cross-scope name the importer would map elsewhere."""
+    if tf_scope == "attention":
+        if rest == ("query",):
+            return "tdnn/attention/query", _ident
+        if len(rest) == 2 and rest[0] == "att_post_bn":
+            tfleaf = _bn_leaf(coll, rest[1])
+            if tfleaf:
+                return "tdnn/attention/att_post_bn/%s" % tfleaf, _ident
+        if rest == ("att_post_prelu", "alpha"):
+            return "tdnn/attention/att_post_relu/alpha", _ident
+    if tf_scope == "vlad":
+        if rest == ("vlad_centers",):
+            return "tdnn/vlad/vlad_centers", _ident
+        if len(rest) == 2 and rest[0] == "vlad_weight_affine":
+            return "tdnn/vlad/vlad_weight_affine/%s" % rest[1], _ident
     if len(rest) == 3:
         grp, kind, leaf = rest
         if kind == "affine" and leaf in ("kernel", "bias"):
@@ -145,6 +151,7 @@ def export_reference_checkpoint(
     prefix: str,
     step: int = 0,
     momentum_slots: bool = False,
+    dry_run: bool = False,
 ) -> Tuple[List[str], List[str]]:
     """Write (params, batch_stats) as a reference-named TF checkpoint.
 
@@ -158,6 +165,8 @@ def export_reference_checkpoint(
         momentum_slots: also write zero ``<name>/Momentum`` slot tensors for
             every trainable param so the reference's MomentumOptimizer
             training graphs restore without missing-variable errors.
+        dry_run: resolve and validate every name mapping but write nothing —
+            lets callers reject a partial export before any file exists.
 
     Returns (exported_names, skipped_flax_paths).
     """
@@ -188,6 +197,8 @@ def export_reference_checkpoint(
             if momentum_slots and coll == "params":
                 tensors[name + "/Momentum"] = np.zeros_like(value)
     tensors["global_step"] = np.asarray(step, np.int64)
+    if dry_run:
+        return exported, skipped
     os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
     write_tf_checkpoint(prefix, tensors)
     write_checkpoint_pointer(os.path.dirname(os.path.abspath(prefix)),
