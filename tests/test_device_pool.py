@@ -102,6 +102,46 @@ def test_pool_budget_rotation(pool_env):
     pool.close()
 
 
+def test_pool_close_then_stage_rebuilds(pool_env):
+    """close() resets the residency state: a later stage() rebuilds the
+    device arrays instead of no-op'ing with frames=None (trainer restart
+    flow on a reused pool object)."""
+    root, d = pool_env
+    pool = DevicePool(d["data"], d["spklist"])
+    pool.stage()
+    assert pool.frames is not None and pool.full_resident
+    pool.close()
+    assert pool.frames is None and not pool.full_resident
+    pool.stage()  # must rebuild, not early-return
+    assert pool.frames is not None
+    pool.close()
+
+
+def test_sharded_pool_budget_honors_min_speakers(pool_env):
+    """A budget too small for one speaker per shard still stages: the
+    residency selector admits extra (smallest) speakers over budget rather
+    than crashing a later rotation round (review finding)."""
+    from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
+    from tf_kaldi_speaker_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    root, d = pool_env
+    mesh = make_mesh()
+    S = mesh.shape[DATA_AXIS]
+    # ~1.5 speakers' worth of bytes: the plain budget fill would admit < S
+    reader = FeatureReader(d["data"])
+    total = sum(reader.utt2num_frames.values()) * reader.dim
+    reader.close()
+    pool = ShardedDevicePool(
+        d["data"], d["spklist"], mesh, budget_bytes=max(1, total // 6))
+    for round_id in range(3):
+        pool.stage(round_id)
+        resident = {
+            spk for sp2u in pool.shard_spk2utts for spk in sp2u
+        }
+        assert len(resident) >= S, (round_id, len(resident))
+    pool.close()
+
+
 def test_trainer_device_pool_epoch(pool_env):
     root, d = pool_env
     cfg = dict(

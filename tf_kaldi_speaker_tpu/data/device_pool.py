@@ -71,38 +71,62 @@ def _stage_rows(buf, host: np.ndarray, sharding):
 
 
 def _select_resident_items(reader, spk2features, dim, budget_bytes, seed,
-                           round_id):
+                           round_id, min_speakers=1):
     """(speaker, segment) resident list for one residency round, plus a
     full_resident flag. Shared by DevicePool and ShardedDevicePool: when
     the corpus exceeds the budget, whole speakers are rotated in by a
-    round-seeded shuffle."""
+    round-seeded shuffle. ``min_speakers`` (the sharded pool's shard count)
+    is always honored — if the budget-fill admits fewer, the smallest
+    remaining speakers are added over budget rather than crashing a later
+    rotation round. The accounting covers code AND header bytes (the
+    frame-axis sublane padding, <8 rows, is noise)."""
+
+    def spk_bytes(segs):
+        # codes: frames * dim * 1 B; headers: 4 * dim float32 per utterance
+        return (
+            sum(reader.utt2num_frames[s.split(" ")[0]] for s in segs) * dim
+            + len(segs) * 16 * dim
+        )
+
     items = [
         (spk, seg) for spk, segs in spk2features.items() for seg in segs
     ]
-    total = sum(
-        reader.utt2num_frames[seg.split(" ")[0]] for _, seg in items
-    ) * dim
+    total = sum(spk_bytes(segs) for segs in spk2features.values())
     if budget_bytes is None or total <= budget_bytes:
         return items, True
     speakers = list(spk2features.keys())
     random.Random(seed + 104729 * round_id).shuffle(speakers)
     chosen: List[Tuple[int, str]] = []
+    chosen_spk = set()
     used = 0
     for spk in speakers:
         segs = spk2features[spk]
-        b = sum(
-            reader.utt2num_frames[s.split(" ")[0]] for s in segs
-        ) * dim
+        b = spk_bytes(segs)
         if used + b > budget_bytes and chosen:
             continue
         chosen.extend((spk, s) for s in segs)
+        chosen_spk.add(spk)
         used += b
         if used >= budget_bytes:
             break
+    if len(chosen_spk) < min_speakers:
+        # Admit the smallest remaining speakers until the floor is met.
+        rest = sorted(
+            (s for s in speakers if s not in chosen_spk),
+            key=lambda s: spk_bytes(spk2features[s]),
+        )
+        for spk in rest[: min_speakers - len(chosen_spk)]:
+            chosen.extend((spk, s) for s in spk2features[spk])
+            chosen_spk.add(spk)
+            used += spk_bytes(spk2features[spk])
+        log.warning(
+            "device pool: budget admits %d speakers but %d are required; "
+            "staging %.0f MB (over budget %.0f MB)",
+            len(chosen_spk), min_speakers, used / 1e6, budget_bytes / 1e6,
+        )
     log.info(
         "device pool: resident %d/%d speakers (%.0f MB of %.0f MB corpus)",
-        len({s for s, _ in chosen}), len(speakers),
-        used / 1e6, total / 1e6,
+        len(chosen_spk), len(speakers), used / 1e6, total / 1e6,
     )
     return chosen, False
 
@@ -132,6 +156,26 @@ def _resolve_speaker(rng, spk2utts, utt_len_of, spk, batch_speakers, i,
                 % batch_length
             )
         spk = rng.choice(pool)
+
+
+def _draw_speaker_rows(rng, spk2utts, utt_len_of, utt_offset_of,
+                       batch_speakers, i, num_segments, batch_length):
+    """One speaker's rows of a batch: resolve the speaker (resampling rule),
+    then draw ``num_segments`` (utt, start) pairs with random chunk starts
+    inside each utterance. Shared by DevicePool and ShardedDevicePool so the
+    sampling distribution cannot diverge between the replicated and sharded
+    paths. Returns (spk, [(utt, start), ...])."""
+    spk, cand = _resolve_speaker(
+        rng, spk2utts, utt_len_of, batch_speakers[i], batch_speakers, i,
+        batch_length,
+    )
+    if len(cand) < num_segments:
+        cand = cand * (num_segments // len(cand) + 1)
+    rows = [
+        (u, utt_offset_of(u) + rng.randint(0, utt_len_of(u) - batch_length))
+        for u in rng.sample(cand, num_segments)
+    ]
+    return spk, rows
 
 
 class DevicePool:
@@ -200,9 +244,13 @@ class DevicePool:
             [self.reader.utt2num_frames[s.split(" ")[0]] for _, s in items],
             np.int32,
         )
+        total_frames = int(np.sum(lens, dtype=np.int64))
+        if total_frames >= 2**31:
+            raise ValueError(
+                "pool of %d frames exceeds the int32 index space; set a "
+                "pool budget (or use ShardedDevicePool)" % total_frames)
         offsets = np.zeros((n,), np.int32)
-        offsets[1:] = np.cumsum(lens)[:-1]
-        total_frames = int(lens.sum())
+        offsets[1:] = np.cumsum(lens, dtype=np.int64)[:-1]
         # Pad the frame axis to the sublane tile so XLA keeps the layout.
         f_pad = -(-total_frames // 8) * 8
 
@@ -217,6 +265,10 @@ class DevicePool:
             labels[i] = spk
             self.spk2utts.setdefault(spk, []).append(i)
 
+        # Free the previous round's HBM buffers BEFORE allocating the new
+        # ones — re-staging only happens in budget-rotation mode, where the
+        # pool is sized near free HBM and holding both would OOM.
+        self.frames = self.headers = None
         self.frames = _stage_rows(
             _device_zeros((f_pad, self.dim), jnp.uint8, self.sharding),
             host_frames, self.sharding,
@@ -260,25 +312,25 @@ class DevicePool:
         for k in range(group):
             batch_speakers = rng.sample(speakers, num_speakers)
             for i in range(num_speakers):
-                spk, cand = _resolve_speaker(
-                    rng, self.spk2utts, lambda u: self.utt_len[u],
-                    batch_speakers[i], batch_speakers, i, batch_length,
+                spk, rows = _draw_speaker_rows(
+                    rng, self.spk2utts,
+                    lambda u: int(self.utt_len[u]),
+                    lambda u: int(self.utt_offset[u]),
+                    batch_speakers, i, num_segments, batch_length,
                 )
                 labels[k, i * num_segments : (i + 1) * num_segments] = spk
-                if len(cand) < num_segments:
-                    cand = cand * (num_segments // len(cand) + 1)
-                for j, u in enumerate(rng.sample(cand, num_segments)):
-                    row = i * num_segments + j
-                    utts[k, row] = u
-                    starts[k, row] = self.utt_offset[u] + rng.randint(
-                        0, int(self.utt_len[u]) - batch_length
-                    )
+                for j, (u, s) in enumerate(rows):
+                    utts[k, i * num_segments + j] = u
+                    starts[k, i * num_segments + j] = s
         return starts, utts, labels
 
     def close(self) -> None:
         self.reader.close()
         self.frames = None
         self.headers = None
+        # A later stage() must rebuild rather than no-op on a closed pool.
+        self.resident_round = -1
+        self.full_resident = False
 
 
 def gather_chunks(pool_frames, pool_headers, starts, utts, chunk_len: int):
@@ -365,7 +417,7 @@ class ShardedDevicePool:
     def _select_resident(self, round_id: int):
         items, full = _select_resident_items(
             self.reader, self.spk2features, self.dim, self.budget_bytes,
-            self.seed, round_id,
+            self.seed, round_id, min_speakers=self.num_shards,
         )
         if full:
             self.full_resident = True
@@ -397,6 +449,10 @@ class ShardedDevicePool:
             shard_of[spk] = d
             load[d] += spk_frames[spk]
         cap_f = -(-max(load) // 8) * 8
+        if cap_f >= 2**31:
+            raise ValueError(
+                "per-shard pool of %d frames exceeds the int32 index "
+                "space; set a pool budget" % cap_f)
         per_shard_utts = [
             sum(len(spk_items[s]) for s in spk_items if shard_of[s] == d)
             for d in range(S)
@@ -434,6 +490,8 @@ class ShardedDevicePool:
                 fill_n[d] += 1
 
         self.cap_f, self.cap_n = cap_f, cap_n
+        # Free the previous rotation round's buffers before allocating.
+        self.frames = self.headers = None
         if jax.process_count() > 1:
             # DCN/PCIe path: one local-block assembly per array.
             self.frames = jax.make_array_from_process_local_data(
@@ -490,28 +548,24 @@ class ShardedDevicePool:
                 base = (d - self.shard0) * rows_per_shard
                 for i in range(per):
                     try:
-                        spk, cand = _resolve_speaker(
+                        spk, rows = _draw_speaker_rows(
                             rng, spk2utts,
-                            lambda u, d=d: self.shard_utt_len[d][u],
-                            batch_speakers[i], batch_speakers, i,
-                            batch_length,
+                            lambda u, d=d: int(self.shard_utt_len[d][u]),
+                            lambda u, d=d: int(self.shard_utt_offset[d][u]),
+                            batch_speakers, i, num_segments, batch_length,
                         )
                     except ValueError as e:
                         raise ValueError("shard %d: %s" % (d, e)) from None
                     r0 = base + i * num_segments
                     labels[k, r0 : r0 + num_segments] = spk
-                    if len(cand) < num_segments:
-                        cand = cand * (num_segments // len(cand) + 1)
-                    for j, u in enumerate(rng.sample(cand, num_segments)):
+                    for j, (u, s) in enumerate(rows):
                         utts[k, r0 + j] = u
-                        starts[k, r0 + j] = int(
-                            self.shard_utt_offset[d][u]
-                        ) + rng.randint(
-                            0, int(self.shard_utt_len[d][u]) - batch_length
-                        )
+                        starts[k, r0 + j] = s
         return starts, utts, labels
 
     def close(self) -> None:
         self.reader.close()
         self.frames = None
         self.headers = None
+        self.resident_round = -1
+        self.full_resident = False
