@@ -321,3 +321,132 @@ def test_structural_loss_refuses_padded_batch(train_env):
     t.build("train", 20, "semihard_triplet_loss", 8)
     with pytest.raises(ValueError, match="cannot weight padded rows"):
         t.train(d["data"], d["spklist"], learning_rate=0.05)
+
+
+def test_mid_epoch_resume_completes_epoch(train_env):
+    """--cont from a mid-epoch checkpoint runs only the REMAINDER of the
+    epoch (reference train loop: range(curr_step % num_steps, num_steps)),
+    preserving the checkpoint-step == epoch*num_steps invariant that best-
+    checkpoint selection relies on."""
+    root, d = train_env
+    kw = dict(num_steps_per_epoch=6, save_checkpoints_steps=4,
+              steps_per_dispatch=2)
+    t, params, nnet = make_trainer(root, d, name="m_midresume", **kw)
+    t.build("train", 20, params.loss_func, 8)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert int(t.state.step) == 6  # full epoch; crossing checkpoint at 4
+
+    t2, p2, _ = make_trainer(root, d, name="m_midresume", **kw)
+    t2.build("train", 20, p2.loss_func, 8)
+    assert t2.load(4) == 4  # simulate a crash after the step-4 checkpoint
+    t2.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert int(t2.state.step) == 6  # remainder only, NOT 4 + 6
+
+
+def test_embedding_dump_skips_loss_head(train_env):
+    """The embeddings dump runs only the network (reference runs just the
+    embeddings node there): with angular_triplet's e2e valid loss and a
+    sequential batch size that does not match the configured valid-batch
+    shape, the dump must still work — and softmax-batch validation of an
+    angular-triplet model raises a clear error instead of a reshape crash."""
+    root, d = train_env
+    t, params, _ = make_trainer(
+        root, d, name="m_embdump",
+        loss_func="angular_triplet_loss", margin=0.2, triplet_type="hard",
+        loss_type="additive_margin_softmax", batch_type="end2end",
+        num_speakers_per_batch=10, num_segments_per_speaker=1,
+        num_valid_speakers_per_batch=4, num_valid_segments_per_speaker=2,
+    )
+    t.build("valid", 20, "angular_triplet_loss", 8)
+    loss, emb, labels = t.valid(
+        d["data"], d["spklist"], batch_type="end2end", output_embeddings=True
+    )
+    assert np.isfinite(loss)
+    assert emb.shape[0] == labels.shape[0] > 0
+    with pytest.raises(ValueError, match="end2end"):
+        t.valid(d["data"], d["spklist"], batch_type="softmax")
+
+
+def test_frozen_grads_excluded_from_optimizer(train_env):
+    """Frozen-variable gradients are zeroed BEFORE the optimizer chain, so
+    clip_by_global_norm's norm and the Adam moments never see them
+    (reference computes grads over trainable vars only, trainer.py:401)."""
+    import optax
+
+    root, d = train_env
+    t, params, _ = make_trainer(
+        root, d, name="m_frozengrad", optimizer="adam",
+        num_steps_per_epoch=2, save_checkpoints_steps=2,
+    )
+    t.build("train", 20, params.loss_func, 8,
+            noupdate_var_list=["tdnn/tdnn1_conv"])
+    t.train(d["data"], d["spklist"], learning_rate=0.01)
+    adam = [s for s in jax.tree_util.tree_leaves(
+        t.state.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)][0]
+    mu1 = np.asarray(adam.mu["network"]["tdnn"]["tdnn1_conv"]["kernel"])
+    mu7 = np.asarray(adam.mu["network"]["tdnn"]["tdnn7_dense"]["kernel"])
+    assert np.all(mu1 == 0.0)  # frozen: no moment accumulation
+    assert np.any(mu7 != 0.0)  # trainable: moments move
+
+
+def test_aux_losses_honor_sample_weight(train_env):
+    """ring/MHE aux terms weight padded rows out like the main loss: a
+    padded batch (weight 0 rows) must produce the same loss and updates as
+    the unpadded batch."""
+    import jax.numpy as jnp
+
+    root, d = train_env
+    kw = dict(aux_loss_func=["ring_loss", "mhe_loss"],
+              ring_loss_init=10.0, ring_loss_lambda=0.01, mhe_lambda=0.01)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(8, 64, 20).astype(np.float32)
+    labels = rng.randint(0, 8, 8).astype(np.int32)
+    w = np.ones(8, np.float32)
+    w[6:] = 0.0
+    outs = []
+    for flip in (False, True):
+        lab = labels.copy()
+        if flip:
+            lab[6:] = (lab[6:] + 3) % 8
+        tx, px, _ = make_trainer(root, d, name="m_auxw", **kw)
+        tx.build("train", 20, px.loss_func, 8)
+        fx, lx = tx._shard_batch(feats, lab)
+        sx, mx = tx._train_step_w(
+            tx.state, fx, lx, tx._put_rows(w), jnp.float32(0.01))
+        outs.append((float(mx["loss"]),
+                     jax.tree.map(np.asarray, sx.params)))
+    (la, pa), (lb, pb) = outs
+    assert la == lb  # padded-row labels cannot influence ring/MHE
+    for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_aux_losses_ones_weight_parity(train_env):
+    """With all-ones weights the weighted aux terms reduce to the plain
+    means — the weighted and unweighted steps must agree exactly."""
+    import jax.numpy as jnp
+
+    root, d = train_env
+    kw = dict(aux_loss_func=["ring_loss", "mhe_loss"],
+              ring_loss_init=10.0, ring_loss_lambda=0.01, mhe_lambda=0.01)
+    rng = np.random.RandomState(1)
+    feats = rng.randn(8, 64, 20).astype(np.float32)
+    labels = rng.randint(0, 8, 8).astype(np.int32)
+
+    t1, p1, _ = make_trainer(root, d, name="m_auxones1", **kw)
+    t1.build("train", 20, p1.loss_func, 8)
+    f1, l1 = t1._shard_batch(feats, labels)
+    s1, m1 = t1._train_step(t1.state, f1, l1, jnp.float32(0.01))
+
+    t2, p2, _ = make_trainer(root, d, name="m_auxones2", **kw)
+    t2.build("train", 20, p2.loss_func, 8)
+    f2, l2 = t2._shard_batch(feats, labels)
+    s2, m2 = t2._train_step_w(
+        t2.state, f2, l2, t2._put_rows(np.ones(8, np.float32)),
+        jnp.float32(0.01))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

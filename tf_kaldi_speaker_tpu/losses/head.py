@@ -138,6 +138,17 @@ class LossHead(nn.Module):
         endpoints.update(ep)
 
         if aux_enabled:
+            # Per-row aux terms honor sample_weight like the main losses:
+            # device-padding rows (weight 0) must never bias ring/MHE
+            # (the reference never pads, so weighted means are the faithful
+            # extension of loss.py:1003-1034).
+            def _row_mean(per_row):
+                if sample_weight is None:
+                    return jnp.mean(per_row)
+                return jnp.sum(sample_weight * per_row) / jnp.maximum(
+                    jnp.sum(sample_weight), 1.0
+                )
+
             for aux_name in cfg.get("aux_loss_func", []):
                 if aux_name == "ring_loss":
                     r = self.param(
@@ -145,7 +156,7 @@ class LossHead(nn.Module):
                         nn.initializers.constant(float(cfg["ring_loss_init"])),
                         (),
                     )
-                    ring = float(cfg["ring_loss_lambda"]) * jnp.mean(
+                    ring = float(cfg["ring_loss_lambda"]) * _row_mean(
                         jnp.square(jnp.linalg.norm(features, axis=1) - r)
                     )
                     loss = loss + ring
@@ -159,7 +170,8 @@ class LossHead(nn.Module):
                     )
                     sel_w = w_norm.T[labels]  # [B, D]
                     mhe = float(cfg["mhe_lambda"]) / (
-                        jnp.mean(2.0 - 2.0 * sel_w @ w_norm) + 1e-6
+                        _row_mean(jnp.mean(2.0 - 2.0 * sel_w @ w_norm, axis=1))
+                        + 1e-6
                     )
                     loss = loss + mhe
                     endpoints["mhe_loss"] = mhe

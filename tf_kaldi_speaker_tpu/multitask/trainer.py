@@ -373,9 +373,12 @@ class TrainerMultiTask(Trainer):
                 "num_speakers_per_batch=%d must divide across %d hosts"
                 % (glob_speakers, nproc)
             )
-        # K-step dispatch groups (see Trainer.train): K divides num_steps.
-        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
-        while num_steps % K:
+        # Mid-epoch --cont resumes the remainder (see Trainer.train).
+        step0 = int(self.state.step)
+        steps_left = num_steps - step0 % num_steps
+        # K-step dispatch groups (see Trainer.train): K divides steps_left.
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), steps_left))
+        while steps_left % K:
             K -= 1
         loader = KaldiDataRandomQueueV2(
             data_dir, ali_dir, spklist,
@@ -385,9 +388,9 @@ class TrainerMultiTask(Trainer):
             max_qsize=int(cfg.get("max_queue_size", 10)),
             num_speakers=glob_speakers // nproc,
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
-            seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
+            seed=int(cfg.get("seed", 0)) + step0 + pid * 7919,
             length_seed=(
-                int(cfg.get("seed", 0)) + int(self.state.step)
+                int(cfg.get("seed", 0)) + step0
                 if nproc > 1 else None
             ),
             group=K,
@@ -430,7 +433,7 @@ class TrainerMultiTask(Trainer):
         from ..data.pipeline import device_prefetch
 
         def staged():
-            for _ in range(num_steps // K):
+            for _ in range(steps_left // K):
                 batch = loader.fetch()
                 if K == 1:
                     feats, vad, ali, length, labels, resample, _vp = batch
@@ -467,7 +470,9 @@ class TrainerMultiTask(Trainer):
                 else:
                     self.state, metrics = self._train_step(
                         self.state, f, s, a, ln, idx, lr)
-                gstep = int(self.state.step)
+                # Host-side step (no per-group device fetch; see
+                # Trainer._post_group)
+                gstep = step0 + (local_group + 1) * K
                 local_step = local_group * K + K - 1
                 if show and (local_step % show) < K:
                     m = jax.device_get(metrics)

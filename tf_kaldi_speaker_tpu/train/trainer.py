@@ -227,6 +227,7 @@ class Trainer:
         self._valid_step = None
         self._predict_fns: Dict[str, Any] = {}
         self._device_pool = None
+        self._trace_active = False
         self.is_built = False
 
     # ------------------------------------------------------------------
@@ -358,6 +359,12 @@ class Trainer:
             grads, (loss, reg, penalty, acc, updates) = jax.grad(loss_fn, has_aux=True)(
                 state.params
             )
+            if mask is not None:
+                # Zero frozen-variable grads BEFORE the optimizer chain: the
+                # reference computes gradients over trainable vars only
+                # (trainer.py:401), so clip_by_global_norm's norm and the
+                # Adam/momentum slots must not see frozen gradients.
+                grads = jax.tree.map(lambda g, m: g * m, grads, mask)
             upd, opt_state = tx.update(grads, state.opt_state, state.params)
             if mask is not None:
                 upd = jax.tree.map(lambda u, m: u * m, upd, mask)
@@ -596,6 +603,30 @@ class Trainer:
             out_shardings=(self.rep, self.rep),
         )
 
+        # Embeddings-only step for the dump pass: the reference runs just
+        # the embeddings node there (trainer.py:643-645) — routing the dump
+        # through the loss head would crash structural losses
+        # (e2e_valid_loss reshapes by the configured valid-batch shape) on
+        # arbitrary sequential batch sizes.
+        net = EntireNetwork(
+            config=self.params.dict,
+            network_type=self.params.dict.get("network_type", "tdnn"),
+        )
+
+        def embed_fn(state: TrainState, features):
+            _, endpoints = net.apply(
+                {"params": state.params["network"],
+                 "batch_stats": state.batch_stats.get("network", {})},
+                features, False,
+            )
+            return endpoints["output"]
+
+        self._embed_step = jax.jit(
+            embed_fn,
+            in_shardings=(None, self.bsh),
+            out_shardings=self.rep,
+        )
+
     def _build_predict(self) -> None:
         node = self.params.dict.get("embedding_node", "tdnn6_dense")
 
@@ -655,6 +686,12 @@ class Trainer:
             step=jax.device_put(jnp.zeros((), jnp.int32), self.rep)
         )
         if not noload_var_list:
+            # Re-save so checkpoint 0 on disk carries the RESET step (the
+            # copied pretrain msgpack still holds the old internal step; a
+            # crash before the first epoch checkpoint + --cont would
+            # otherwise resume margin annealing from the stale pretrain
+            # step). The reference always re-saves (trainer.py:819).
+            self.save(0)
             return
         fresh = self.network_model.init(
             jax.random.PRNGKey(int(self.params.dict.get("seed", 0)) + 1),
@@ -781,11 +818,18 @@ class Trainer:
             )
         min_len = int(cfg.get("min_segment_len", 200))
         max_len = int(cfg.get("max_segment_len", 400))
-        # K-step dispatch groups: shrink K until it divides num_steps so
-        # the epoch runs exactly num_steps steps with ONE compiled program
+        # Mid-epoch --cont resumes the REMAINDER of the epoch (reference
+        # train loop: range(curr_step % num_steps, num_steps),
+        # trainer.py:482) so the checkpoint-step = epoch*num_steps
+        # invariant that best-checkpoint selection relies on survives a
+        # crash between save_checkpoints_steps checkpoints.
+        step0 = int(self.state.step)
+        steps_left = num_steps - step0 % num_steps
+        # K-step dispatch groups: shrink K until it divides steps_left so
+        # the epoch runs exactly steps_left steps with ONE compiled program
         # (no remainder-shaped recompile). K identical on every host.
-        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
-        while num_steps % K:
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), steps_left))
+        while steps_left % K:
             K -= 1
         # Multi-host: all hosts must agree on each batch's length (the
         # global array's shape is a collective contract). One worker per
@@ -802,11 +846,11 @@ class Trainer:
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
             min_len=min_len,
             max_len=max_len,
-            seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
+            seed=int(cfg.get("seed", 0)) + step0 + pid * 7919,
             num_buckets=int(cfg.get("num_buckets", 8)),
             raw_codes=device_decode,
             length_seed=(
-                int(cfg.get("seed", 0)) + int(self.state.step)
+                int(cfg.get("seed", 0)) + step0
                 if nproc > 1 else None
             ),
             group=K,
@@ -856,7 +900,7 @@ class Trainer:
             step_multi = None
 
         def host_batches():
-            for _ in range(num_steps // K):
+            for _ in range(steps_left // K):
                 batch = loader.fetch()
                 if nproc == 1:
                     batch, _ = self._pad_group_rows(*batch) if K > 1 \
@@ -899,10 +943,15 @@ class Trainer:
                         )
                 self._post_group(
                     cfg, writer, metrics, K, local_group, t0,
-                    show, summary_steps, save_every, profile_steps,
+                    show, summary_steps, save_every, profile_steps, step0,
                 )
         finally:
             loader.stop()
+            if self._trace_active:
+                # The profile window can outlast the epoch's group count;
+                # always flush so the next epoch can start a new trace.
+                jax.profiler.stop_trace()
+                self._trace_active = False
             if writer:
                 writer.close()
         self.save(int(self.state.step))
@@ -929,12 +978,16 @@ class Trainer:
         summary_steps = int(cfg.get("save_summary_steps", 0))
         profile_steps = int(cfg.get("profile_steps", 0))
         writer = None
-        if summary_steps:
+        if summary_steps and jax.process_index() == 0:
+            # one writer per run (multi-host: process 0 only, like train())
             from ..utils.summary import SummaryWriter
 
             writer = SummaryWriter(self.model)
-        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
-        while num_steps % K:
+        # Mid-epoch --cont resumes the remainder (see train()).
+        step0 = int(self.state.step)
+        steps_left = num_steps - step0 % num_steps
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), steps_left))
+        while steps_left % K:
             K -= 1
         num_speakers = int(cfg.get("num_speakers_per_batch", 64))
         num_segments = int(cfg.get("num_segments_per_speaker", 1))
@@ -970,14 +1023,13 @@ class Trainer:
                     sharding=self.rep, seed=int(cfg.get("seed", 0)),
                 )
         pool = self._device_pool
-        epoch_round = int(self.state.step) // max(1, num_steps)
+        epoch_round = step0 // max(1, num_steps)
         pool.stage(epoch_round)
         # Host-disjoint sampling streams; the LENGTH stream is shared so
         # every host dispatches the same program shape (collective shape
         # contract, same as the streaming loaders).
-        rng = _random.Random(
-            int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919)
-        length_rng = _random.Random(int(cfg.get("seed", 0)) + int(self.state.step))
+        rng = _random.Random(int(cfg.get("seed", 0)) + step0 + pid * 7919)
+        length_rng = _random.Random(int(cfg.get("seed", 0)) + step0)
         lr = jnp.float32(learning_rate)
         # Padding policy: the SHARDED pool's sample_group contract already
         # lays rows out in per-shard blocks of equal size, so its batches
@@ -995,7 +1047,7 @@ class Trainer:
         weights_dev = None
         t0 = time.time()
         try:
-            for local_group in range(num_steps // K):
+            for local_group in range(steps_left // K):
                 L = length_rng.choice(buckets)
                 starts, utts, labels = pool.sample_group(
                     rng, K, num_speakers, num_segments, L
@@ -1025,22 +1077,29 @@ class Trainer:
                 )
                 self._post_group(
                     cfg, writer, metrics, K, local_group, t0,
-                    show, summary_steps, save_every, profile_steps,
+                    show, summary_steps, save_every, profile_steps, step0,
                 )
         finally:
+            if self._trace_active:
+                jax.profiler.stop_trace()
+                self._trace_active = False
             if writer:
                 writer.close()
         self.save(int(self.state.step))
 
     def _post_group(
         self, cfg, writer, metrics, K, local_group, t0,
-        show, summary_steps, save_every, profile_steps,
+        show, summary_steps, save_every, profile_steps, step0,
     ):
         """Per-dispatch-group bookkeeping: numerics check, profiling window,
         progress log, summaries, checkpoint. Cadences are crossing checks
         (gstep advances K at a time; metrics at a crossing are the group
-        mean)."""
-        gstep = int(self.state.step)
+        mean). ``step0`` is the epoch-start step: the global step is derived
+        host-side (step0 + groups*K) so the common no-crossing group does
+        NOT block on a device fetch — blocking every group would serialize
+        dispatch with compute and re-add the per-group RTT the K-step
+        dispatch exists to amortize."""
+        gstep = step0 + (local_group + 1) * K
         local_step = local_group * K + K - 1
         if cfg.get("check_numerics", False):
             # Sanitizer mode (SURVEY §5: the reference only has
@@ -1052,8 +1111,12 @@ class Trainer:
                 )
         if profile_steps and local_group == (10 // K):
             jax.profiler.start_trace(os.path.join(self.model, "profile"))
-        if profile_steps and local_group == (10 + profile_steps) // K + 1:
+            self._trace_active = True
+        if profile_steps and self._trace_active and (
+            local_group >= (10 + profile_steps) // K + 1
+        ):
             jax.profiler.stop_trace()
+            self._trace_active = False
         if show and (local_step % show) < K:
             m = jax.device_get(metrics)
             log.info(
@@ -1088,6 +1151,15 @@ class Trainer:
         """Exponential LR sweep 1e-5 · 1.15^k (reference trainer.py:522-590);
         writes ``learning_rate_tuning`` (k, lr, loss) for plotting."""
         cfg = self.params.dict
+        B = int(cfg.get("num_speakers_per_batch", 64)) * int(
+            cfg.get("num_segments_per_speaker", 1))
+        if B % self.mesh.shape[DATA_AXIS] and self.loss_type in STRUCTURAL_LOSSES:
+            # Same policy as train(): mining losses cannot weight padded
+            # rows out, so a padded sweep would be silently biased.
+            raise ValueError(
+                "loss %s cannot weight padded rows out; choose a batch size "
+                "divisible by the %d-way data axis"
+                % (self.loss_type, self.mesh.shape[DATA_AXIS]))
         loader = KaldiDataRandomQueue(
             data_dir, spklist,
             num_parallel=int(cfg.get("num_parallel_datasets", 4)),
@@ -1157,8 +1229,8 @@ class Trainer:
                 while True:
                     features, labels = seq.fetch()
                     b = features.shape[0]
-                    f, l, w = self._shard_batch_weighted(features, labels)
-                    _, emb = self._valid_step(self.state, f, l, w)
+                    (padded,), _ = self._pad_rows(features)
+                    emb = self._embed_step(self.state, self._put_rows(padded))
                     embs.append(np.asarray(emb)[:b])
                     labs.append(labels)
             except DataOutOfRange:
@@ -1169,6 +1241,21 @@ class Trainer:
             labels_out = np.concatenate(labs, 0) if labs else np.zeros((0,), np.int32)
 
         max_iter = int(cfg.get("valid_max_iterations", 100))
+        loss_override = (
+            "e2e_valid_loss" if self.loss_type == "angular_triplet_loss" else None
+        )
+        eff_loss = loss_override or self.loss_type
+        structural = eff_loss in STRUCTURAL_LOSSES
+        if batch_type == "softmax" and loss_override == "e2e_valid_loss":
+            # e2e_valid_loss reshapes by num_valid_speakers x
+            # num_valid_segments — sequential batches cannot satisfy that
+            # contract; the reference's angular-triplet configs validate
+            # with batch_type="end2end".
+            raise ValueError(
+                "angular_triplet_loss validates with batch_type='end2end' "
+                "(its valid loss is the GE2E loss over speaker-major "
+                "batches; reference trainer.py:272-275)"
+            )
         if batch_type == "softmax":
             loader = KaldiDataSeqQueue(
                 data_dir, spklist, num_parallel=nw,
@@ -1204,11 +1291,20 @@ class Trainer:
             raise ValueError("Unknown batch_type %s" % batch_type)
         # Sample-count-weighted streaming mean: every real utterance counts
         # once, so a partial tail batch does not get outsized weight.
+        ndev = self.mesh.shape[DATA_AXIS]
         total, count = 0.0, 0
         try:
             for _ in range(max_iter):
                 features, labels = loader.fetch()
                 b = features.shape[0]
+                if structural and b % ndev:
+                    # Pair/triplet-mining losses cannot weight padded rows
+                    # out (fake zero-distance pairs would bias the mean);
+                    # trim the tail batch to a device multiple instead.
+                    b = (b // ndev) * ndev
+                    if b == 0:
+                        continue
+                    features, labels = features[:b], labels[:b]
                 f, l, w = self._shard_batch_weighted(features, labels)
                 loss, _ = self._valid_step(self.state, f, l, w)
                 total += float(loss) * b

@@ -253,9 +253,12 @@ class TrainerMultiInput(Trainer):
                 "num_speakers_per_batch=%d must divide across %d hosts"
                 % (glob_speakers, nproc)
             )
-        # K-step dispatch groups (see Trainer.train): K divides num_steps.
-        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), num_steps))
-        while num_steps % K:
+        # Mid-epoch --cont resumes the remainder (see Trainer.train).
+        step0 = int(self.state.step)
+        steps_left = num_steps - step0 % num_steps
+        # K-step dispatch groups (see Trainer.train): K divides steps_left.
+        K = max(1, min(int(cfg.get("steps_per_dispatch", 8)), steps_left))
+        while steps_left % K:
             K -= 1
         loader = KaldiMultiDataRandomQueue(
             data_dir, aux_data, spklist,
@@ -267,9 +270,9 @@ class TrainerMultiInput(Trainer):
             num_segments=int(cfg.get("num_segments_per_speaker", 1)),
             min_len=int(cfg.get("min_segment_len", 200)),
             max_len=int(cfg.get("max_segment_len", 400)),
-            seed=int(cfg.get("seed", 0)) + int(self.state.step) + pid * 7919,
+            seed=int(cfg.get("seed", 0)) + step0 + pid * 7919,
             length_seed=(
-                int(cfg.get("seed", 0)) + int(self.state.step)
+                int(cfg.get("seed", 0)) + step0
                 if nproc > 1 else None
             ),
             group=K,
@@ -304,7 +307,7 @@ class TrainerMultiInput(Trainer):
         from ..data.pipeline import device_prefetch
 
         def staged():
-            for _ in range(num_steps // K):
+            for _ in range(steps_left // K):
                 features, labels = loader.fetch()
                 yield self._shard_multi_grouped(features, labels, K,
                                                 local_rows=nproc > 1)
@@ -326,7 +329,9 @@ class TrainerMultiInput(Trainer):
                 else:
                     self.state, metrics = self._train_step(
                         self.state, main, aux, l, lr)
-                gstep = int(self.state.step)
+                # Host-side step (no per-group device fetch; see
+                # Trainer._post_group)
+                gstep = step0 + (local_group + 1) * K
                 local_step = local_group * K + K - 1
                 if show and (local_step % show) < K:
                     m = jax.device_get(metrics)
