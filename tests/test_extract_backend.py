@@ -300,3 +300,64 @@ def test_extractor_sharded_over_mesh_matches_single_device(tmp_path):
     assert sorted(out1) == sorted(out8) == sorted(utts)
     for k in utts:
         np.testing.assert_allclose(out1[k], out8[k], rtol=1e-5, atol=1e-6)
+
+
+def test_extractor_normalize_contract(tmp_path):
+    """normalize=True applies the reference's FINAL L2 norm on every path
+    (short, chunk-average long, exact long) — reference extract.py:85-93."""
+    import json
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    params = ParamsPlain(**TINY_CONFIG)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, "softmax", 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    rng = np.random.RandomState(3)
+    ex = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100,
+                   batch_size=4, normalize=True)
+    short = ex.embed_utterance(rng.randn(60, 20).astype(np.float32))
+    np.testing.assert_allclose(np.linalg.norm(short), 1.0, rtol=1e-5)
+    long_avg = ex.embed_utterance(rng.randn(260, 20).astype(np.float32))
+    np.testing.assert_allclose(np.linalg.norm(long_avg), 1.0, rtol=1e-5)
+    exact = ex.embed_long_exact(rng.randn(300, 20).astype(np.float32))
+    np.testing.assert_allclose(np.linalg.norm(exact), 1.0, rtol=1e-5)
+
+    # normalize=False keeps raw embeddings (no hidden normalization)
+    ex_raw = Extractor(str(tmp_path / "m"), min_chunk_size=10,
+                       chunk_size=100, batch_size=4)
+    raw = ex_raw.embed_utterance(rng.randn(60, 20).astype(np.float32))
+    assert abs(np.linalg.norm(raw) - 1.0) > 1e-3
+
+
+def test_exact_long_guards(tmp_path):
+    """embed_long_exact raises clear errors for too-short inputs instead of
+    crashing inside jit."""
+    import json
+
+    import pytest
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    params = ParamsPlain(**TINY_CONFIG)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, "softmax", 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+    ex = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100)
+    with pytest.raises(ValueError, match="too short"):
+        ex.embed_long_exact(np.zeros((10, 20), np.float32))

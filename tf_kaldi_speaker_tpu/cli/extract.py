@@ -90,10 +90,8 @@ def main(argv=None) -> int:
     writer = ArkScpWriter(args.wspecifier, kind="vec")
     count = 0
     for key, embedding in embedding_stream():
-        if args.normalize:
-            import numpy as np
-
-            embedding = embedding / np.sqrt(np.sum(np.square(embedding)))
+        # --normalize is applied inside the Extractor (per-chunk + final L2,
+        # reference extract.py:85-93) for every path including exact-long.
         writer.write(key, embedding.astype("float32"))
         count += 1
     writer.close()

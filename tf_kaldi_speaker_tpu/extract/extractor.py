@@ -162,6 +162,11 @@ class Extractor:
                 feats[i, : f.shape[0]] = f
                 mask[i, : f.shape[0]] = 1.0
             emb = self._embed_batch(feats, mask)
+            if self.normalize:
+                # the reference applies a FINAL L2 norm to both paths
+                # (extract.py:92-93), not just inside the chunk average
+                emb = emb / np.sqrt(
+                    np.sum(np.square(emb), axis=1, keepdims=True))
             for i, (key, _) in enumerate(items):
                 yield key, emb[i]
 
@@ -192,19 +197,34 @@ class Extractor:
             this = self.chunk_size if T - start > self.chunk_size else T - start
             lengths.append(this)
             chunks.append(feature[start : start + this])
-        embs = []
-        for c in chunks:
-            bucket = self._bucket_for(c.shape[0])
-            feats = np.zeros((1, bucket, self.dim), np.float32)
-            mask = np.zeros((1, bucket), np.float32)
-            feats[0, : c.shape[0]] = c
-            mask[0, : c.shape[0]] = 1.0
-            embs.append(self._embed_batch(feats, mask)[0])
-        embs = np.stack(embs)
+        # Batch chunks per bucket (the reference batches all full chunks in
+        # one predict, extract.py:82) instead of one padded forward each.
+        by_bucket: Dict[int, List[int]] = {}
+        for idx, c in enumerate(chunks):
+            by_bucket.setdefault(self._bucket_for(c.shape[0]), []).append(idx)
+        results: List[Optional[np.ndarray]] = [None] * num_chunks
+        for bucket in sorted(by_bucket):
+            idxs = by_bucket[bucket]
+            for i0 in range(0, len(idxs), self.batch_size):
+                sel = idxs[i0 : i0 + self.batch_size]
+                feats = np.zeros((len(sel), bucket, self.dim), np.float32)
+                mask = np.zeros((len(sel), bucket), np.float32)
+                for j, idx in enumerate(sel):
+                    c = chunks[idx]
+                    feats[j, : c.shape[0]] = c
+                    mask[j, : c.shape[0]] = 1.0
+                out = self._embed_batch(feats, mask)
+                for j, idx in enumerate(sel):
+                    results[idx] = out[j]
+        embs = np.stack(results)
         lengths = np.asarray(lengths, np.float64)[:, None]
         if self.normalize:
             embs = embs / np.sqrt(np.sum(np.square(embs), axis=1, keepdims=True))
-        return (np.sum(embs * lengths, axis=0) / np.sum(lengths)).astype(np.float32)
+        emb = (np.sum(embs * lengths, axis=0) / np.sum(lengths)).astype(np.float32)
+        if self.normalize:
+            # final L2 norm, applied to both paths (extract.py:92-93)
+            emb = emb / np.sqrt(np.sum(np.square(emb)))
+        return emb
 
     def embed_utterance(self, feature: np.ndarray) -> np.ndarray:
         """Single-utterance path (same numbers as embed_stream)."""
@@ -223,13 +243,16 @@ class Extractor:
     def _build_exact_long(self):
         if getattr(self, "_frames_jit", None) is not None:
             return
-        from ..models.pooling import VAR2STD_EPSILON
         from ..models.tdnn import TDNN_TOTAL_CONTEXT, TDNNFrames, TDNNTail
 
-        assert self.params.dict.get("pooling_type") == "statistics_pooling", (
+        cfg = self.params.dict
+        if cfg.get("network_type", "tdnn") != "tdnn":
+            raise ValueError(
+                "exact long-utterance extraction requires the TDNN network "
+                "(network_type=%r)" % cfg.get("network_type"))
+        assert cfg.get("pooling_type") == "statistics_pooling", (
             "exact long-utterance extraction requires statistics pooling"
         )
-        cfg = self.params.dict
         frames = TDNNFrames(config=cfg)
         tail = TDNNTail(config=cfg)
         node = self.node
@@ -237,93 +260,103 @@ class Extractor:
             "params": self.variables["params"]["tdnn"],
             "batch_stats": self.variables["batch_stats"].get("tdnn", {}),
         }
+        # Follow the model's compute dtype like the normal forward (fwd
+        # above): a bf16 model must not emit fp32-numerics embeddings for
+        # long utterances and bf16 ones for short — one embedding space.
+        bf16 = cfg.get("compute_dtype", "float32") == "bfloat16"
 
-        def frames_fn(feats):  # [1, L, D] -> (count, sum, sumsq)
-            h = frames.apply(tdnn_vars, feats, False)[0]  # [L-14, W]
+        def cast(v):
+            if not bf16:
+                return v
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, v)
+
+        def frames_h(feats):
+            h = frames.apply(
+                cast(tdnn_vars),
+                feats.astype(jnp.bfloat16) if bf16 else feats, False)[0]
+            return h.astype(jnp.float32)  # accumulate stats in f32
+
+        def frames_fn(feats):  # [1, chunk, D] -> (count, sum, sumsq)
+            h = frames_h(feats)
             return (
                 jnp.float32(h.shape[0]),
                 jnp.sum(h, axis=0),
                 jnp.sum(jnp.square(h), axis=0),
             )
 
-        def tail_fn(count, s1, s2):
-            mean = s1 / count
-            var = jnp.maximum(s2 / count - mean * mean, 0.0)
-            std = jnp.sqrt(jnp.where(var <= VAR2STD_EPSILON, VAR2STD_EPSILON, var))
-            pooled = jnp.concatenate([mean, std])[None, :]
-            endpoints = tail.apply(tdnn_vars, pooled, False)
-            return endpoints[node][0]
+        def frames_masked_fn(feats, n_valid):
+            # n_valid is TRACED (one compile per pad bucket, not per tail
+            # length): rows >= n_valid involve pad frames and are masked.
+            h = frames_h(feats)
+            m = (jnp.arange(h.shape[0]) < n_valid).astype(h.dtype)[:, None]
+            return (
+                n_valid.astype(jnp.float32),
+                jnp.sum(h * m, axis=0),
+                jnp.sum(jnp.square(h) * m, axis=0),
+            )
+
+        def tail_fn(pooled):  # [2W] f32 -> embedding
+            p = pooled[None]
+            endpoints = tail.apply(
+                cast(tdnn_vars), p.astype(jnp.bfloat16) if bf16 else p, False)
+            return endpoints[node][0].astype(jnp.float32)
 
         self._frames_jit = jax.jit(frames_fn)
+        self._frames_masked = jax.jit(frames_masked_fn)
         self._tail_jit = jax.jit(tail_fn)
         self._tdnn_context = TDNN_TOTAL_CONTEXT
 
     def embed_long_exact(self, feature: np.ndarray) -> np.ndarray:
-        """Exact embedding for arbitrarily long utterances, O(chunk) memory."""
+        """Exact embedding for arbitrarily long utterances, O(chunk) memory.
+
+        Sufficient statistics are accumulated across chunks in float64 on
+        the host (a one-pass E[x^2]-mean^2 in float32 would cancel
+        catastrophically over hour-scale inputs)."""
+        from ..models.pooling import VAR2STD_EPSILON
+
         self._build_exact_long()
         ctx = self._tdnn_context
         T = feature.shape[0]
+        if T <= ctx:
+            raise ValueError(
+                "utterance too short for the exact long path "
+                "(%d frames <= TDNN context %d)" % (T, ctx))
         chunk = min(self.chunk_size, max(self.min_chunk_size, 4096))
         step = chunk - ctx
-        count, s1, s2 = 0.0, None, None
+        count = 0.0
+        s1 = s2 = None
         start = 0
         while start < T - ctx:
             end = min(start + chunk, T)
             piece = feature[start:end]
-            if piece.shape[0] <= ctx:
-                break
-            # pad time to the chunk's static shape for compile reuse
-            pad = chunk - piece.shape[0]
-            n_valid = piece.shape[0] - ctx
-            if pad:
-                piece = np.concatenate(
-                    [piece, np.zeros((pad, piece.shape[1]), piece.dtype)], 0
-                )
-            if pad:
-                # unpadded path for the trailing piece (rare; last chunk)
-                c, a, b = self._frames_jit_dynamic(feature[start:end])
-            else:
+            if piece.shape[0] == chunk:
                 c, a, b = self._frames_jit(jnp.asarray(piece[None]))
+            else:
+                # trailing short piece: pad to a bucket, mask the pad rows
+                c, a, b = self._frames_jit_dynamic(piece)
             count += float(c)
-            s1 = a if s1 is None else s1 + a
-            s2 = b if s2 is None else s2 + b
+            a64 = np.asarray(a, np.float64)
+            b64 = np.asarray(b, np.float64)
+            s1 = a64 if s1 is None else s1 + a64
+            s2 = b64 if s2 is None else s2 + b64
             start += step
-        return np.asarray(self._tail_jit(jnp.float32(count), s1, s2))
+        mean = s1 / count
+        var = np.maximum(s2 / count - mean * mean, 0.0)
+        std = np.sqrt(np.where(var <= VAR2STD_EPSILON, VAR2STD_EPSILON, var))
+        pooled = np.concatenate([mean, std]).astype(np.float32)
+        emb = np.asarray(self._tail_jit(jnp.asarray(pooled)))
+        if self.normalize:
+            emb = emb / np.sqrt(np.sum(np.square(emb)))
+        return emb
 
     def _frames_jit_dynamic(self, piece: np.ndarray):
-        """Unpadded fallback for the last (short) chunk — one extra compile
-        per distinct tail length bucket."""
+        """Pad the trailing short chunk to a length bucket and mask — one
+        extra compile per distinct pad BUCKET (n_valid is traced)."""
         bucket = self._bucket_for(piece.shape[0])
         padded = np.zeros((bucket, piece.shape[1]), piece.dtype)
         padded[: piece.shape[0]] = piece
-        from ..models.tdnn import TDNN_TOTAL_CONTEXT
-
-        h_count = piece.shape[0] - TDNN_TOTAL_CONTEXT
-        c, a, b = self._frames_masked_jit(jnp.asarray(padded[None]), h_count)
-        return c, a, b
-
-    @property
-    def _frames_masked_jit(self):
-        if getattr(self, "_frames_masked", None) is None:
-            from functools import partial
-
-            from ..models.tdnn import TDNNFrames
-
-            cfg = self.params.dict
-            frames = TDNNFrames(config=cfg)
-            tdnn_vars = {
-                "params": self.variables["params"]["tdnn"],
-                "batch_stats": self.variables["batch_stats"].get("tdnn", {}),
-            }
-
-            @partial(jax.jit, static_argnums=(1,))
-            def fn(feats, n_valid):
-                h = frames.apply(tdnn_vars, feats, False)[0][:n_valid]
-                return (
-                    jnp.float32(n_valid),
-                    jnp.sum(h, axis=0),
-                    jnp.sum(jnp.square(h), axis=0),
-                )
-
-            self._frames_masked = fn
-        return self._frames_masked
+        n_valid = piece.shape[0] - self._tdnn_context
+        return self._frames_masked(
+            jnp.asarray(padded[None]), jnp.int32(n_valid))

@@ -73,6 +73,11 @@ class EmbeddingServer:
                     job = _Job(feature)
                     outer.jobs.put(job)
                     job.event.wait()
+                    if job.result is None:
+                        # utterance was skipped (too short) or the batch
+                        # failed: emb_dim 0 = error sentinel on the wire
+                        sock.sendall(struct.pack("<i", 0))
+                        continue
                     emb = job.result.astype(np.float32)
                     sock.sendall(struct.pack("<i", emb.shape[0]) + emb.tobytes())
 
@@ -103,9 +108,17 @@ class EmbeddingServer:
                 except queue.Empty:
                     break
             stream = [("j%d" % i, j.feature) for i, j in enumerate(batch)]
-            results = dict(self.extractor.embed_stream(iter(stream)))
+            try:
+                results = dict(self.extractor.embed_stream(iter(stream)))
+            except Exception:
+                # one bad batch must not kill the collector (every waiting
+                # client would hang forever); fail the batch's jobs instead
+                log.exception("embedding batch failed")
+                results = {}
             for i, j in enumerate(batch):
-                j.result = results["j%d" % i]
+                # missing key = utterance skipped by embed_stream (too
+                # short); the handler answers with the error sentinel
+                j.result = results.get("j%d" % i)
                 j.event.set()
 
     def serve_forever(self):
@@ -142,5 +155,9 @@ def embed_remote(address, feature: np.ndarray) -> np.ndarray:
         sock.sendall(struct.pack("<ii", *feature.shape) + feature.tobytes())
         head = _recv_exact(sock, 4)
         (dim,) = struct.unpack("<i", head)
+        if dim <= 0:
+            raise ValueError(
+                "server could not embed the utterance "
+                "(shorter than min_chunk_size, or batch failure)")
         body = _recv_exact(sock, dim * 4)
         return np.frombuffer(body, np.float32).copy()
