@@ -140,6 +140,7 @@ if [ $stage -le 7 ]; then
     --train-utt2spk "$data_root/swbd_sre/mfcc/utt2spk" \
     --lda-dim 150 \
     --adapt-scp "$exp/xvectors_sre16_major.scp" \
+    --adapt-within-scale 0.75 --adapt-between-scale 0.25 \
     "${subset_flags[@]}" \
     --scores "$exp/scores_sre16.txt"
 fi

@@ -113,6 +113,120 @@ def test_smoothing_and_save_load(tmp_path):
     np.testing.assert_allclose(loaded.transform, plda.transform)
 
 
+def reconstruct_covars(p):
+    """(Φ_w, Φ_b) in the ORIGINAL space from (transform, psi):
+    A Φ_w Aᵀ = I and A Φ_b Aᵀ = diag(ψ) ⇒ Φ_w = A⁻¹A⁻ᵀ, Φ_b = A⁻¹diag(ψ)A⁻ᵀ."""
+    inv = np.linalg.inv(p.transform)
+    return inv @ inv.T, inv @ np.diag(p.psi) @ inv.T
+
+
+def exact_stats_data(rng, mean, cov, n):
+    """n samples whose SAMPLE mean/covariance (biased) are exactly mean/cov."""
+    dim = len(mean)
+    z = rng.randn(n, dim)
+    z -= z.mean(axis=0)
+    z = z @ np.linalg.inv(np.linalg.cholesky(z.T @ z / n)).T
+    return z @ np.linalg.cholesky(cov).T + mean
+
+
+def test_smoothing_matches_kaldi_semantics():
+    """SmoothWithinClassCovariance adds factor × BETWEEN to within
+    (kaldi plda.cc: within_class_covar = 1 + factor·ψ per dim), i.e. in the
+    original space Φ_w ← Φ_w + factor·Φ_b with Φ_b unchanged."""
+    rng = np.random.RandomState(21)
+    x, labels = synth_data(rng, n_spk=10, per=5)
+    plda = train_plda(x, labels, num_em_iters=4)
+    f = 0.3
+    sm = plda.smooth_within_class_covariance(f)
+    w0, b0 = reconstruct_covars(plda)
+    w1, b1 = reconstruct_covars(sm)
+    np.testing.assert_allclose(w1, w0 + f * b0, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(b1, b0, rtol=1e-8, atol=1e-10)
+    # and per-dim in the diagonalized space: ψ' = ψ/(1+fψ)
+    np.testing.assert_allclose(sm.psi, plda.psi / (1.0 + f * plda.psi), rtol=1e-12)
+
+
+def test_adapt_is_identity_for_in_domain_data():
+    """Adaptation data with EXACTLY the model's mean and total covariance
+    has no excess variance (s ≡ 1) ⇒ the model must come back unchanged
+    (kaldi UpdatePlda adds excess only where s > 1)."""
+    rng = np.random.RandomState(22)
+    x, labels = synth_data(rng, n_spk=10, per=5)
+    plda = train_plda(x, labels, num_em_iters=4)
+    w0, b0 = reconstruct_covars(plda)
+    data = exact_stats_data(np.random.RandomState(23), plda.mean, w0 + b0, 200)
+    adapted = plda.adapt(data)
+    np.testing.assert_allclose(adapted.mean, plda.mean, atol=1e-8)
+    w1, b1 = reconstruct_covars(adapted)
+    np.testing.assert_allclose(w1, w0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(b1, b0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.sort(adapted.psi), np.sort(plda.psi), rtol=1e-6)
+
+
+def test_adapt_distributes_excess_with_configured_scales():
+    """Kaldi UpdatePlda: in the total-covariance-whitened space, adaptation
+    variance in excess of 1.0 along each eigendirection is added to
+    within/between with the configured scales. Verified in the original
+    space against an independently computed excess matrix E:
+    Φ_w' = Φ_w + w_scale·E and Φ_b' = Φ_b + b_scale·E."""
+    rng = np.random.RandomState(24)
+    x, labels = synth_data(rng, n_spk=10, per=5)
+    plda = train_plda(x, labels, num_em_iters=4)
+    w0, b0 = reconstruct_covars(plda)
+    total = w0 + b0
+    # inflate the adaptation covariance along two known directions
+    d1 = np.zeros(16); d1[0] = 1.0
+    d2 = np.ones(16) / 4.0
+    cov = total + 3.0 * np.outer(d1, d1) + 1.5 * np.outer(d2, d2)
+    data = exact_stats_data(np.random.RandomState(25), plda.mean, cov, 300)
+    ws, bs = 0.75, 0.25  # the reference SRE16 scales (sre run.sh:471)
+    adapted = plda.adapt(data, within_covar_scale=ws, between_covar_scale=bs)
+
+    # independent oracle for E: whiten by the model total covariance,
+    # eigendecompose the projected adaptation covariance, keep the excess
+    # over 1.0, and map back.
+    tvals, tvecs = np.linalg.eigh(total)
+    t_half_inv = tvecs @ np.diag(tvals ** -0.5) @ tvecs.T
+    s, p = np.linalg.eigh(t_half_inv @ cov @ t_half_inv)
+    excess = np.maximum(s - 1.0, 0.0)
+    t_half = tvecs @ np.diag(tvals ** 0.5) @ tvecs.T
+    e_mat = t_half @ (p * excess) @ p.T @ t_half
+
+    w1, b1 = reconstruct_covars(adapted)
+    np.testing.assert_allclose(w1, w0 + ws * e_mat, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(b1, b0 + bs * e_mat, rtol=1e-5, atol=1e-7)
+
+
+def test_adapt_mean_replaced_and_mean_diff_scale():
+    """The model mean is REPLACED by the adaptation mean (not interpolated),
+    and mean_diff_scale adds scale·outer(shift) to the adaptation variance:
+    a pure mean shift with otherwise in-domain covariance must grow the
+    total covariance along the shift direction only."""
+    rng = np.random.RandomState(26)
+    x, labels = synth_data(rng, n_spk=10, per=5)
+    plda = train_plda(x, labels, num_em_iters=4)
+    w0, b0 = reconstruct_covars(plda)
+    total = w0 + b0
+    shift = np.zeros(16); shift[3] = 4.0
+    data = exact_stats_data(np.random.RandomState(27), plda.mean + shift, total, 200)
+
+    adapted = plda.adapt(data, mean_diff_scale=1.0)
+    np.testing.assert_allclose(adapted.mean, plda.mean + shift, atol=1e-8)
+    w1, b1 = reconstruct_covars(adapted)
+    grown = (w1 + b1) - total
+    # growth is rank-1 along the shift (up to the excess-over-1 truncation)
+    assert grown[3, 3] > 1.0
+    off = grown.copy(); off[3, :] = 0; off[:, 3] = 0
+    assert np.abs(off).max() < 1e-6 * grown[3, 3]
+
+    # with mean_diff_scale=0 the shift contributes nothing to the variance
+    adapted0 = plda.adapt(data, mean_diff_scale=0.0)
+    w2, b2 = reconstruct_covars(adapted0)
+    np.testing.assert_allclose(w2, w0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(b2, b0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(adapted0.mean, plda.mean + shift, atol=1e-8)
+
+
 def test_adaptation_shifts_mean_and_grows_covar():
     rng = np.random.RandomState(6)
     x, labels = synth_data(rng)

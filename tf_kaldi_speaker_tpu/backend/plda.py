@@ -138,12 +138,19 @@ class Plda:
 
     # ------------------------------------------------------------------
     def smooth_within_class_covariance(self, factor: float) -> "Plda":
-        """Kaldi Plda::SmoothWithinClassCovariance: add factor × within to
-        within; rescale so within stays identity."""
+        """Kaldi Plda::SmoothWithinClassCovariance (``ivector-copy-plda
+        --smoothing``, reference egs/voxceleb/v1/run.sh:398).
+
+        Adds ``factor`` times the BETWEEN-class covariance to the
+        within-class covariance (a per-dimension regularization: in the
+        diagonalized space within_d goes 1 → 1 + factor·ψ_d), then rescales
+        each transform row so the new within covariance is unit again.
+        Equivalently, in the original space: Φ_w ← Φ_w + factor·Φ_b.
+        """
         assert 0.0 <= factor
-        scale = 1.0 + factor
-        psi = self.psi / scale
-        transform = self.transform / np.sqrt(scale)
+        within = 1.0 + factor * self.psi          # [D] smoothed within (diag space)
+        psi = self.psi / within
+        transform = self.transform * (within ** -0.5)[:, None]
         return Plda(mean=self.mean.copy(), transform=transform, psi=psi)
 
     def adapt(
@@ -156,44 +163,54 @@ class Plda:
         """Unsupervised domain adaptation (Kaldi PldaUnsupervisedAdaptor /
         ivector-adapt-plda, used by the SRE16 recipe at sre run.sh:447-470).
 
-        Excess variance of the adaptation data (over the model's total
-        variance) along each principal direction is distributed to the
-        within/between covariances with the configured scales; the mean
-        shift is absorbed into the model mean.
+        Follows Kaldi's ``PldaUnsupervisedAdaptor::UpdatePlda`` exactly:
+        the model mean is REPLACED by the adaptation-data mean, and
+        ``mean_diff_scale`` scales the outer product of the mean shift
+        added to the adaptation covariance (not a mean interpolation
+        factor). The covariance is projected into the space where the
+        model's TOTAL covariance (within + between) is unit; along each
+        eigendirection of the projected adaptation covariance, variance
+        in excess of 1.0 is added to the within/between covariances with
+        the configured scales; the result is re-diagonalized (Cholesky of
+        the new within, then an orthogonal diagonalization of between).
         """
         x = np.asarray(adaptation_vectors, np.float64)
+        dim = self.dim
         data_mean = x.mean(axis=0)
         xc = x - data_mean
-        data_cov = xc.T @ xc / x.shape[0]
-        # mean update: absorb (scaled) domain mean shift
-        new_mean = self.mean + mean_diff_scale * (data_mean - self.mean)
+        variance = xc.T @ xc / x.shape[0]
+        assert mean_diff_scale >= 0.0
+        mean_diff = data_mean - self.mean
+        variance = variance + mean_diff_scale * np.outer(mean_diff, mean_diff)
+        new_mean = data_mean.copy()
 
-        # Work in the PLDA-transformed space where within=I, between=diag(psi).
-        T = self.transform
-        cov_proj = T @ data_cov @ T.T
-        evals, evecs = np.linalg.eigh(cov_proj)  # data variance along P dirs
-        psi_proj = evecs.T @ np.diag(self.psi) @ evecs
+        # transform_mod: row-scaled transform that makes the model's TOTAL
+        # covariance unit (within=I, between=diag(psi) → scale rows by
+        # (1+psi)^-1/2).
+        transform_mod = self.transform * ((1.0 + self.psi) ** -0.5)[:, None]
+        variance_proj = transform_mod @ variance @ transform_mod.T
+        s, P = np.linalg.eigh(variance_proj)
+        order = np.argsort(s)[::-1]
+        s, P = s[order], P[:, order]
 
-        within_add = np.zeros_like(cov_proj)
-        between_add = np.zeros_like(cov_proj)
-        for i in range(self.dim):
-            model_var = 1.0 + psi_proj[i, i]
-            excess = max(evals[i] - model_var, 0.0)
-            d = evecs[:, i : i + 1]
-            within_add += within_covar_scale * excess * (d @ d.T)
-            between_add += between_covar_scale * excess * (d @ d.T)
+        # Within/between in the space transformed by Pᵀ·transform_mod (the
+        # adaptation covariance is diag(s) there; W + B = I still holds).
+        W = P.T @ (((1.0 / (1.0 + self.psi))[:, None]) * P)
+        B = P.T @ (((self.psi / (1.0 + self.psi))[:, None]) * P)
+        excess = np.maximum(s - 1.0, 0.0)
+        W[np.diag_indices(dim)] += within_covar_scale * excess
+        B[np.diag_indices(dim)] += between_covar_scale * excess
 
-        within = np.eye(self.dim) + within_add
-        between = np.diag(self.psi) + between_add
-        # Re-diagonalize: W^{-1/2}, then eigendecompose between.
-        wvals, wvecs = np.linalg.eigh(within)
-        wvals = np.maximum(wvals, 1e-10)
-        w_half_inv = wvecs @ np.diag(wvals**-0.5) @ wvecs.T
-        b2 = w_half_inv @ between @ w_half_inv.T
-        bvals, bvecs = np.linalg.eigh(b2)
+        combined = P.T @ transform_mod
+        # Simultaneous re-diagonalization: C⁻¹ (Cholesky of W) makes the
+        # new within unit; an orthogonal Q then diagonalizes between.
+        C = np.linalg.cholesky(0.5 * (W + W.T))
+        Cinv = np.linalg.inv(C)
+        b2 = Cinv @ B @ Cinv.T
+        bvals, Q = np.linalg.eigh(0.5 * (b2 + b2.T))
         order = np.argsort(bvals)[::-1]
         new_psi = np.maximum(bvals[order], 0.0)
-        new_transform = bvecs[:, order].T @ w_half_inv @ T
+        new_transform = Q[:, order].T @ Cinv @ combined
         return Plda(mean=new_mean, transform=new_transform, psi=new_psi)
 
     # ------------------------------------------------------------------

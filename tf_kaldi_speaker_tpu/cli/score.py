@@ -65,6 +65,14 @@ def main(argv=None) -> int:
     parser.add_argument("--lda-dim", type=int, default=0, help="apply LDA before PLDA")
     parser.add_argument("--plda-smoothing", type=float, default=0.0)
     parser.add_argument("--adapt-scp", default=None, help="unsupervised PLDA adaptation vectors")
+    parser.add_argument("--adapt-within-scale", type=float, default=0.3,
+                        help="ivector-adapt-plda --within-covar-scale "
+                             "(reference SRE16 uses 0.75, sre run.sh:471)")
+    parser.add_argument("--adapt-between-scale", type=float, default=0.7,
+                        help="ivector-adapt-plda --between-covar-scale "
+                             "(reference SRE16 uses 0.25)")
+    parser.add_argument("--adapt-mean-diff-scale", type=float, default=1.0,
+                        help="ivector-adapt-plda --mean-diff-scale")
     parser.add_argument("--simple-length-norm", action="store_true")
     parser.add_argument("--cohort-scp", default=None,
                         help="apply AS-Norm with this cohort (x-vector scp)")
@@ -175,7 +183,12 @@ def main(argv=None) -> int:
         enroll_p, test_p = prep(enroll), prep(test)
         if args.adapt_scp:
             adapt = prep(_load_scp(args.adapt_scp))
-            plda = plda.adapt(np.stack(list(adapt.values())))
+            plda = plda.adapt(
+                np.stack(list(adapt.values())),
+                mean_diff_scale=args.adapt_mean_diff_scale,
+                within_covar_scale=args.adapt_within_scale,
+                between_covar_scale=args.adapt_between_scale,
+            )
         scores = plda.score_trials(
             enroll_p, enroll_counts, test_p, trials,
             simple_length_norm=args.simple_length_norm,
