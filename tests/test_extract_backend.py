@@ -124,6 +124,42 @@ def test_lda_improves_separation():
     assert eer_after <= eer_before + 0.02
 
 
+def test_lda_matches_kaldi_invariants():
+    """ivector-compute-lda (--total-covariance-factor=0): the fitted
+    transform leaves the projected within-class covariance EXACTLY unit and
+    the projected between-class covariance diagonal with the top-k
+    eigenvalues in descending order; no further row rescaling."""
+    rng = np.random.RandomState(11)
+    n_class, per, dim, k = 12, 25, 20, 8
+    means = rng.randn(n_class, dim) * 2
+    x = np.concatenate([means[i] + rng.randn(per, dim) for i in range(n_class)])
+    labels = np.repeat(np.arange(n_class), per)
+    lda = LDA(dim_out=k).fit(x, labels)
+    A = lda.transform
+
+    xc = x - x.mean(0)
+    within = np.zeros((dim, dim))
+    between = np.zeros((dim, dim))
+    for c in range(n_class):
+        xs = xc[labels == c]
+        mu = xs.mean(0)
+        within += (xs - mu).T @ (xs - mu)
+        between += len(xs) * np.outer(mu, mu)
+    within /= len(x)
+    between /= len(x)
+
+    np.testing.assert_allclose(A @ within @ A.T, np.eye(k), atol=1e-8)
+    pb = A @ between @ A.T
+    np.testing.assert_allclose(pb, np.diag(np.diag(pb)), atol=1e-8)
+    d = np.diag(pb)
+    assert (np.diff(d) <= 1e-9).all()  # descending
+    # top-k generalized eigenvalues of (between, within)
+    wvals, wvecs = np.linalg.eigh(within)
+    wh = wvecs @ np.diag(wvals**-0.5) @ wvecs.T
+    gev = np.sort(np.linalg.eigvalsh(wh @ between @ wh))[::-1][:k]
+    np.testing.assert_allclose(d, gev, rtol=1e-8)
+
+
 def test_speaker_means_and_trials():
     keys = ["a1", "a2", "b1"]
     embs = np.array([[1.0, 0], [3.0, 0], [0, 2.0]])

@@ -74,13 +74,16 @@ def read_trials(path: str) -> Tuple[List[Tuple[str, str]], np.ndarray]:
 
 
 class LDA:
-    """Linear discriminant analysis with total-covariance whitening.
+    """Linear discriminant analysis, Kaldi ``ivector-compute-lda`` semantics.
 
-    Equivalent of Kaldi ``ivector-compute-lda`` (--total-covariance-factor=0
-    default): maximize between-class over within-class scatter, output a
-    ``dim_out`` × D transform whose rows are scaled so the projected total
-    covariance is white.
-    """
+    The reference recipes all call it with ``--total-covariance-factor=0.0``
+    (e.g. voxceleb run.sh:378, sre run.sh:402): whiten the within-class
+    covariance (interpolated toward total by the factor), diagonalize the
+    projected between-class covariance, and keep the ``dim_out`` leading
+    rows. The projected within-class covariance is exactly identity and the
+    between-class covariance diag of the top eigenvalues — Kaldi performs NO
+    further row rescaling (a previous revision whitened the projected total
+    covariance too, which changes post-LDA cosine scores)."""
 
     def __init__(self, dim_out: int, total_covariance_factor: float = 0.0):
         self.dim_out = dim_out
@@ -113,12 +116,7 @@ class LDA:
         b2 = whiten @ between @ whiten.T
         bvals, bvecs = np.linalg.eigh(b2)
         order = np.argsort(bvals)[::-1][: self.dim_out]
-        proj = bvecs[:, order].T @ whiten
-        # Scale rows so the projected TOTAL covariance is identity (Kaldi's
-        # post-LDA whitening keeps cosine/PLDA scoring well-conditioned).
-        ptc = proj @ total_cov @ proj.T
-        scale = np.diag(np.diag(ptc) ** -0.5)
-        self.transform = scale @ proj
+        self.transform = bvecs[:, order].T @ whiten
         self.mean = mean
         return self
 
