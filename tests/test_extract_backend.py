@@ -89,6 +89,16 @@ def test_eer_metrics_sanity():
     eer0, _ = compute_eer(np.concatenate([np.ones(10), np.zeros(10)]),
                           np.concatenate([np.ones(10), np.zeros(10)]))
     assert eer0 < 0.05
+    # min_dcf threshold is a usable decision point: applying it reproduces
+    # the minimum cost (sid/compute_min_dcf.py returns a threshold, not an
+    # index)
+    from tf_kaldi_speaker_tpu.backend.metrics import compute_min_dcf
+    p_target = 0.01
+    dcf, thr = compute_min_dcf(scores, labels, p_target=p_target)
+    miss = np.mean(scores[labels == 1] <= thr)
+    fa = np.mean(scores[labels == 0] > thr)
+    cost = (miss * p_target + fa * (1 - p_target)) / min(p_target, 1 - p_target)
+    np.testing.assert_allclose(cost, dcf, rtol=1e-9)
 
 
 def test_cos_pairwise_eer_separable():

@@ -70,12 +70,20 @@ def compute_min_dcf(
     Conventions: SRE08 uses p_target=0.01, c_miss=10, c_fa=1 (DETware
     Get_DCF); SRE10 uses p_target=0.001, c_miss=c_fa=1; minDCF12 averages
     p_target ∈ {0.01, 0.001} costs.
+
+    Returns (normalized min cost, score threshold of the minimizing DET
+    point) like the reference's sid/compute_min_dcf.py.
     """
+    scores = np.asarray(scores, dtype=np.float64)
     p_miss, p_fa = det_curve(scores, labels)
     cost = c_miss * p_miss * p_target + c_fa * p_fa * (1.0 - p_target)
     idx = int(np.argmin(cost))
     denom = min(c_miss * p_target, c_fa * (1.0 - p_target))
-    return float(cost[idx] / denom), float(idx)
+    # DET index i corresponds to a threshold between sorted_scores[i-1]
+    # and sorted_scores[i] (index 0 = accept everything).
+    sorted_scores = np.sort(scores)
+    thresholds = np.concatenate([[sorted_scores[0] - 1.0], sorted_scores])
+    return float(cost[idx] / denom), float(thresholds[idx])
 
 
 def min_dcf08(scores, labels) -> float:
