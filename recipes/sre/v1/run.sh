@@ -144,3 +144,20 @@ if [ $stage -le 7 ]; then
     "${subset_flags[@]}" \
     --scores "$exp/scores_sre16.txt"
 fi
+
+if [ $stage -le 8 ]; then
+  echo "=== stage 8: score calibration (beyond reference)"
+  # Map raw PLDA scores to calibrated LLRs with linear logistic regression
+  # trained on a labeled dev split, then report Cllr/minCllr and
+  # actDCF-at-the-Bayes-threshold vs minDCF. Default dev = the SRE10 scores
+  # (cross-corpus calibration); point dev_scores=/dev_trials= at a labeled
+  # in-domain dev set when one exists.
+  dev_scores=${dev_scores:-$exp/scores_sre10.txt}
+  dev_trials=${dev_trials:-$data_root/sre10_test/trials}
+  $py tf_kaldi_speaker_tpu.cli.calibrate_scores \
+    --dev-scores "$dev_scores" --dev-trials "$dev_trials" \
+    --eval-scores "$exp/scores_sre16.txt" \
+    --eval-trials "$data_root/sre16_test/trials" \
+    --operating-point 0.01 --operating-point 0.001 \
+    --calibrated-out "$exp/scores_sre16_cal.txt"
+fi

@@ -124,6 +124,83 @@ def test_fisher_v1_recipe(tmp_path):
     assert "eer" in proc.stdout.lower()
 
 
+def test_sre_recipe(tmp_path):
+    """sre/v1: 8 kHz MFCC -> train -> extract -> SRE10 PLDA, SRE16 PLDA with
+    unsupervised adaptation + per-language (tgl/yue) splits -> calibration.
+    Augmentation is skipped (no musan/rirs), exercising the recipe's own
+    skip path."""
+    data = str(tmp_path / "data")
+    exp = str(tmp_path / "exp")
+    _make_wav_dir(data, "swbd_sre", 10, 6, seed=0, rate=8000)
+    _make_wav_dir(data, "sre16_major", 3, 2, seed=50, rate=8000)
+    _make_wav_dir(data, "sre10_enroll", 3, 2, seed=100, rate=8000)
+    sre10_test = _make_wav_dir(data, "sre10_test", 3, 2, seed=200, rate=8000)
+    _make_wav_dir(data, "sre16_enroll", 4, 2, seed=300, rate=8000)
+    sre16_test = _make_wav_dir(data, "sre16_test", 4, 2, seed=400, rate=8000)
+
+    def write_trials(d, n_spk, langs=None):
+        utts = [l.split()[0] for l in open(os.path.join(d, "wav.scp"))]
+        with open(os.path.join(d, "trials"), "w") as f:
+            for s in range(n_spk):
+                for u in utts:
+                    t = "target" if u.startswith("spk%02d" % s) else "nontarget"
+                    f.write("spk%02d %s %s\n" % (s, u, t))
+        if langs:
+            # speaker index -> language; per-language trial lists filter the
+            # pooled list by the TEST utterance's speaker (SRE16 protocol).
+            for lang in set(langs.values()):
+                with open(os.path.join(d, "trials_%s" % lang), "w") as f:
+                    for line in open(os.path.join(d, "trials")):
+                        u = line.split()[1]
+                        if langs[int(u.split("-")[0][3:])] == lang:
+                            f.write(line)
+
+    write_trials(sre10_test, 3)
+    write_trials(sre16_test, 4, langs={0: "tgl", 1: "tgl", 2: "yue", 3: "yue"})
+
+    cfg_dir = tmp_path / "conf"
+    cfg_dir.mkdir()
+    with open(cfg_dir / "tiny.json", "w") as f:
+        json.dump(TINY_RECIPE_CFG, f)
+
+    script = open(os.path.join(REPO, "recipes/sre/v1/run.sh")).read()
+    script = script.replace("--min-len 200 --min-num-utts 8", "--min-len 30 --min-num-utts 2")
+    script = script.replace("--valid-speakers 200 --valid-utts 5", "--valid-speakers 2 --valid-utts 2")
+    script = script.replace("--lda-dim 150", "--lda-dim 8")
+    run_sh = tmp_path / "run.sh"
+    run_sh.write_text(script)
+
+    env = dict(os.environ)
+    env.update(
+        stage="1", data_root=data, exp=exp,
+        config=str(cfg_dir / "tiny.json"), model=os.path.join(exp, "m"),
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    proc = subprocess.run(
+        ["bash", str(run_sh)], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stdout[-6000:]
+    tail = proc.stdout[-4000:]
+    assert "SKIPPING augmentation" in proc.stdout, tail
+    # SRE10 + SRE16 pooled scores written
+    assert os.path.getsize(os.path.join(exp, "scores_sre10.txt")) > 0, tail
+    assert os.path.getsize(os.path.join(exp, "scores_sre16.txt")) > 0, tail
+    # per-language splits reported and written (eval_plda_sre16.sh protocol)
+    assert "[tgl]" in proc.stdout and "[yue]" in proc.stdout, tail
+    for lang, n_spk_lang in (("tgl", 2), ("yue", 2)):
+        split = os.path.join(exp, "scores_sre16.txt.%s" % lang)
+        lines = open(split).read().splitlines()
+        # 4 enroll speakers x (2 speakers x 2 utts) per language
+        assert len(lines) == 4 * n_spk_lang * 2, (lang, len(lines), tail)
+    # calibration stage: trained map reported, calibrated LLRs written,
+    # one line per pooled sre16 trial (4 enroll spk x 8 test utts)
+    assert "calibration: llr =" in proc.stdout, tail
+    cal = open(os.path.join(exp, "scores_sre16_cal.txt")).read().splitlines()
+    assert len(cal) == 4 * 8, tail
+    assert "actDCF" in proc.stdout, tail
+
+
 def test_voxceleb_recipe_all_stages(tmp_path):
     data = str(tmp_path / "data")
     exp = str(tmp_path / "exp")
