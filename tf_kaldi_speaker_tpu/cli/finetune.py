@@ -23,6 +23,7 @@ import sys
 from ..backend.metrics import compute_cos_pairwise_eer
 from ..kio import FeatureReader
 from ..train.trainer import Trainer
+from ..train.preemption import exit_code_if_preempted, install_preemption_handler
 from ..utils import bookkeeping as bk
 
 
@@ -59,6 +60,7 @@ def main(argv=None) -> int:
     trainer = Trainer(params, nnet_dir, dim=dim, num_speakers=num_speakers)
     trainer.build("train", dim, params.loss_func, num_speakers, noupdate_var_list=noupdate)
     trainer.build("valid", dim, params.loss_func, num_speakers)
+    install_preemption_handler(trainer)
 
     start_epoch = 0
     if args.cont:
@@ -99,6 +101,9 @@ def main(argv=None) -> int:
             learning_rate = lr_schedule[epoch]
         bk.append_lr(lr_path, epoch, learning_rate)
         trainer.train(args.train_dir, args.train_spklist, learning_rate)
+        rc = exit_code_if_preempted(trainer)
+        if rc is not None:
+            return rc
         valid_loss, embeddings, labels = trainer.valid(
             args.valid_dir, args.valid_spklist,
             batch_type=params.dict.get("batch_type", "softmax"), output_embeddings=True,

@@ -19,6 +19,7 @@ import sys
 
 from ..backend.metrics import compute_cos_pairwise_eer
 from ..kio import FeatureReader
+from ..train.preemption import exit_code_if_preempted, install_preemption_handler
 from ..train.trainer import Trainer
 from ..utils import bookkeeping as bk
 
@@ -47,6 +48,7 @@ def main(argv=None) -> int:
     trainer = Trainer(params, nnet_dir, dim=dim, num_speakers=num_speakers)
     trainer.build("train", dim, params.loss_func, num_speakers)
     trainer.build("valid", dim, params.loss_func, num_speakers)
+    install_preemption_handler(trainer)
 
     start_epoch = 0
     if args.cont:
@@ -82,6 +84,9 @@ def main(argv=None) -> int:
             learning_rate = lr_schedule[epoch]
         bk.append_lr(lr_path, epoch, learning_rate)
         trainer.train(args.train_dir, args.train_spklist, learning_rate)
+        rc = exit_code_if_preempted(trainer)
+        if rc is not None:
+            return rc
 
         valid_loss, embeddings, labels = trainer.valid(
             args.valid_dir, args.valid_spklist,

@@ -20,6 +20,7 @@ import sys
 from ..backend.metrics import compute_cos_pairwise_eer
 from ..kio import FeatureReaderV2
 from ..multitask import TrainerMultiTask, get_num_phones
+from ..train.preemption import exit_code_if_preempted, install_preemption_handler
 from ..utils import bookkeeping as bk
 
 
@@ -58,6 +59,7 @@ def main(argv=None) -> int:
     )
     trainer.build("train", dim, num_speakers=num_speakers, num_phones=num_phones)
     trainer.build("valid", dim)
+    install_preemption_handler(trainer)
 
     start_epoch = 0
     if args.cont:
@@ -81,6 +83,9 @@ def main(argv=None) -> int:
             learning_rate = lr_schedule[epoch]
         bk.append_lr(lr_path, epoch, learning_rate)
         trainer.train(args.train_dir, args.train_ali_dir, args.train_spklist, learning_rate)
+        rc = exit_code_if_preempted(trainer)
+        if rc is not None:
+            return rc
         spk_loss, phn_loss, embeddings, labels = trainer.valid(
             args.valid_dir, args.valid_ali_dir, args.valid_spklist, output_embeddings=True
         )

@@ -488,6 +488,8 @@ class TrainerMultiTask(Trainer):
                     writer.scalars(gstep, jax.device_get(metrics))
                 if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
+                if self._should_stop():
+                    break
         finally:
             loader.stop()
             if writer:

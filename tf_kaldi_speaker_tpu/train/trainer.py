@@ -228,6 +228,7 @@ class Trainer:
         self._predict_fns: Dict[str, Any] = {}
         self._device_pool = None
         self._trace_active = False
+        self._stop_requested = False
         self.is_built = False
 
     # ------------------------------------------------------------------
@@ -642,6 +643,41 @@ class Trainer:
         self._predict_jit = jax.jit(predict_fn)
 
     # ------------------------------------------------------------------
+    # Preemption-graceful stop
+    # ------------------------------------------------------------------
+    def request_stop(self) -> None:
+        """Ask the training loop to stop at the next dispatch-group
+        boundary. The epoch then saves a checkpoint and returns normally,
+        so ``--cont`` resumes mid-epoch (beyond reference: the original is
+        restart-based only, SURVEY.md §5 'Failure detection ... None
+        in-process'). Safe to call from a signal handler (it only flips a
+        flag; all work happens on the training thread)."""
+        self._stop_requested = True
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop_requested
+
+    def _should_stop(self) -> bool:
+        """Per-group stop check. Single-process: a plain flag read (zero
+        cost on the hot path). Multi-host: the flag is OR-reduced across
+        processes so every host leaves the collective-dispatch loop at the
+        SAME group boundary even if SIGTERM lands on a subset of hosts or
+        at skewed times (a lone host breaking early would deadlock the
+        others in the next collective)."""
+        if jax.process_count() == 1:
+            return self._stop_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if self._stop_requested else 0)
+        )
+        if bool(np.any(flags)):
+            self._stop_requested = True
+            return True
+        return False
+
+    # ------------------------------------------------------------------
     # Checkpoints
     # ------------------------------------------------------------------
     def save(self, step: int) -> None:
@@ -945,6 +981,8 @@ class Trainer:
                     cfg, writer, metrics, K, local_group, t0,
                     show, summary_steps, save_every, profile_steps, step0,
                 )
+                if self._should_stop():
+                    break
         finally:
             loader.stop()
             if self._trace_active:
@@ -1079,6 +1117,8 @@ class Trainer:
                     cfg, writer, metrics, K, local_group, t0,
                     show, summary_steps, save_every, profile_steps, step0,
                 )
+                if self._should_stop():
+                    break
         finally:
             if self._trace_active:
                 jax.profiler.stop_trace()

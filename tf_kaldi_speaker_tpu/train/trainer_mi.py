@@ -339,6 +339,8 @@ class TrainerMultiInput(Trainer):
                              (local_step + 1) / (time.time() - t0))
                 if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
+                if self._should_stop():
+                    break
         finally:
             loader.stop()
         self.save(int(self.state.step))
