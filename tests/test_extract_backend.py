@@ -407,3 +407,56 @@ def test_exact_long_guards(tmp_path):
     ex = Extractor(str(tmp_path / "m"), min_chunk_size=10, chunk_size=100)
     with pytest.raises(ValueError, match="too short"):
         ex.embed_long_exact(np.zeros((10, 20), np.float32))
+
+
+def test_extractor_bf16_host_cast_bit_identical(tmp_path):
+    """bf16 models ship features as HOST-cast bfloat16 (2 B/element over
+    the host->device link); embeddings must be bit-identical to shipping
+    f32 and casting on device (both casts are round-to-nearest-even)."""
+    import json
+
+    import jax
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    cfg = dict(TINY_CONFIG, compute_dtype="bfloat16")
+    params = ParamsPlain(**cfg)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, "softmax", 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    ex = Extractor(str(tmp_path / "m"), min_chunk_size=10, batch_size=8)
+    import ml_dtypes
+
+    assert ex._feed_dtype == ml_dtypes.bfloat16
+    rng = np.random.RandomState(3)
+    utts = {"u%d" % i: rng.randn(50 + 7 * i, 20).astype(np.float32) for i in range(8)}
+    got = dict(ex.embed_stream(iter(utts.items())))
+
+    # Reference: the pre-change semantics — pad to the same bucket, ship
+    # float32, let the jitted forward cast on device.
+    bucket = ex._bucket_for(max(f.shape[0] for f in utts.values()))
+    B = ex.batch_size
+    feats = np.zeros((B, bucket, 20), np.float32)
+    mask = np.zeros((B, bucket), np.float32)
+    keys = list(utts)
+    for i, k in enumerate(keys):
+        f = utts[k]
+        feats[i, : f.shape[0]] = f
+        mask[i, : f.shape[0]] = 1.0
+    want = np.asarray(
+        ex._fwd(ex.variables, jax.device_put(feats, ex._bsh),
+                jax.device_put(mask, ex._bsh))
+    )
+    for i, k in enumerate(keys):
+        bk = ex._bucket_for(utts[k].shape[0])
+        if bk != bucket:
+            continue  # different bucket length -> different (valid) program
+        np.testing.assert_array_equal(got[k], want[i])

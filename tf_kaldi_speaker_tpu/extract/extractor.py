@@ -98,6 +98,13 @@ class Extractor:
         )
 
         bf16 = self.params.dict.get("compute_dtype", "float32") == "bfloat16"
+        # bf16 models: cast features on the HOST and ship 2 bytes/element
+        # instead of 4 — the host→device link is the extraction bottleneck
+        # (the device cast this replaces is the same round-to-nearest-even,
+        # so embeddings are bit-identical).
+        import ml_dtypes
+
+        self._feed_dtype = ml_dtypes.bfloat16 if bf16 else np.float32
 
         def fwd(variables, feats, mask):
             if bf16:
@@ -120,6 +127,8 @@ class Extractor:
 
         n = self.mesh.shape[DATA_AXIS]
         b = feats.shape[0]
+        if feats.dtype != self._feed_dtype:  # long-chunk path passes f32
+            feats = feats.astype(self._feed_dtype)
         if b % n:  # e.g. the batch-of-1 long-utterance chunk path
             pad = n - b % n
             feats = np.concatenate(
@@ -156,7 +165,7 @@ class Extractor:
             if not items:
                 return
             b = len(items)
-            feats = np.zeros((self.batch_size, bucket, self.dim), np.float32)
+            feats = np.zeros((self.batch_size, bucket, self.dim), self._feed_dtype)
             mask = np.zeros((self.batch_size, bucket), np.float32)
             for i, (_, f) in enumerate(items):
                 feats[i, : f.shape[0]] = f
