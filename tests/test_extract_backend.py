@@ -460,3 +460,44 @@ def test_extractor_bf16_host_cast_bit_identical(tmp_path):
         if bk != bucket:
             continue  # different bucket length -> different (valid) program
         np.testing.assert_array_equal(got[k], want[i])
+
+
+def test_on_the_fly_pipe_order_matches_reference():
+    """--cmvn --vad must reproduce the reference feature pipe
+    (run_extract_embeddings.sh:47): CMVN over ALL frames first, then
+    voiced-frame selection with VAD computed from the RAW features."""
+    from tf_kaldi_speaker_tpu.cli.extract import apply_cmvn_vad
+    from tf_kaldi_speaker_tpu.ops.cmvn import sliding_cmvn
+    from tf_kaldi_speaker_tpu.ops.vad import (
+        compute_vad_energy,
+        select_voiced_frames,
+    )
+
+    rng = np.random.RandomState(0)
+    T, D = 400, 20
+    feats = rng.randn(T, D).astype(np.float32)
+    # Loud first half, silent second half: dropping the silent frames
+    # before CMVN would shift every window mean.
+    feats[: T // 2, 0] += 12.0
+    feats[T // 2 :, 0] -= 12.0
+
+    got = apply_cmvn_vad(feats, cmvn=True, vad=True, cmn_window=100)
+    vad = compute_vad_energy(feats)  # on RAW features (vad.scp semantics)
+    want = select_voiced_frames(sliding_cmvn(feats, window=100), vad)
+    assert 0 < want.shape[0] < T
+    np.testing.assert_array_equal(got, want)
+
+    # The swapped order (select, then CMVN on the survivors) is genuinely
+    # different on this input — the test has discriminative power.
+    swapped = sliding_cmvn(select_voiced_frames(feats, vad), window=100)
+    assert not np.allclose(swapped, want)
+
+    # Single-op modes pass through the other stage untouched.
+    np.testing.assert_array_equal(
+        apply_cmvn_vad(feats, cmvn=True, vad=False, cmn_window=100),
+        sliding_cmvn(feats, window=100),
+    )
+    np.testing.assert_array_equal(
+        apply_cmvn_vad(feats, cmvn=False, vad=True),
+        select_voiced_frames(feats, vad),
+    )

@@ -24,6 +24,23 @@ from ..ops.cmvn import sliding_cmvn
 from ..ops.vad import compute_vad_energy, select_voiced_frames
 
 
+def apply_cmvn_vad(feature, cmvn: bool, vad: bool, cmn_window: int = 300):
+    """On-the-fly feature pipe in the reference's order
+    (run_extract_embeddings.sh:47): sliding CMVN over ALL frames, then
+    select-voiced-frames with VAD decisions computed from the RAW features
+    (vad.scp is made from unnormalized MFCCs at data-prep time). Selecting
+    first would change the sliding-window CMVN statistics.
+
+    Returns the processed features ([0, D] if VAD removes everything)."""
+    raw = feature
+    if cmvn:
+        feature = sliding_cmvn(feature, window=cmn_window)
+    if vad:
+        decisions = compute_vad_energy(raw)
+        feature = select_voiced_frames(feature, decisions)
+    return feature
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser()
@@ -57,14 +74,12 @@ def main(argv=None) -> int:
 
     def stream():
         for key, feature in read_mat_rspec(args.rspecifier):
-            if args.vad:
-                vad = compute_vad_energy(feature)
-                feature = select_voiced_frames(feature, vad)
-                if feature.shape[0] == 0:
-                    logging.info("Key %s: no voiced frames, skip.", key)
-                    continue
-            if args.cmvn:
-                feature = sliding_cmvn(feature, window=args.cmn_window)
+            feature = apply_cmvn_vad(
+                feature, args.cmvn, args.vad, cmn_window=args.cmn_window
+            )
+            if feature.shape[0] == 0:
+                logging.info("Key %s: no voiced frames, skip.", key)
+                continue
             yield key, feature
 
     def embedding_stream():
