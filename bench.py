@@ -240,6 +240,57 @@ def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
     return n_utts / dt, total_frames / dt
 
 
+def bench_extract_device_pipe(cfg, dim, num_speakers, n_utts=256, windows=3):
+    """Decode-on-device extraction throughput: raw CM codes shipped
+    (1 B/element); dequantize + sliding CMVN + energy VAD + voiced-frame
+    compaction + forward fused on device (extract/device_pipe.py). The
+    timed pass includes the host-side ark read, like a real cli.extract
+    --device-pipe run."""
+    import os
+
+    from tf_kaldi_speaker_tpu.extract.device_pipe import DevicePipeExtractor
+    from tf_kaldi_speaker_tpu.kio.ark import ArkScpWriter, read_codes_scp
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    root = "/tmp/tfks_bench_dpipe"
+    nnet = os.path.join(root, "nnet")
+    os.makedirs(nnet, exist_ok=True)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("%d\n" % dim)
+    trainer = Trainer(ParamsPlain(**cfg), nnet, dim=dim,
+                      num_speakers=num_speakers)
+    trainer.build("train", dim, cfg["loss_func"], num_speakers)
+    trainer.save(0)
+
+    scp = os.path.join(root, "f.scp")
+    rng = np.random.RandomState(0)
+    w = ArkScpWriter("ark,scp:%s,%s" % (os.path.join(root, "f.ark"), scp),
+                     kind="mat")
+    for i in range(n_utts):
+        T = int(rng.randint(400, 801))
+        feats = rng.randn(T, dim).astype(np.float32)
+        feats[:, 0] = 20.0 + 0.1 * rng.randn(T)  # VAD-stable log-energy
+        w.write("utt%05d" % i, feats, compress=True)
+    w.close()
+
+    ex = DevicePipeExtractor(root, cmvn=True, vad=True, batch_size=128)
+
+    def one_pass():
+        n = sum(1 for _ in ex.embed_codes_stream(read_codes_scp(scp)))
+        assert n == n_utts, (n, n_utts)
+
+    one_pass()  # warmup/compile
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        one_pass()
+        rates.append(time.perf_counter() - t0)
+    return n_utts / sorted(rates)[len(rates) // 2]
+
+
 def main(e2e_headline: bool = False) -> None:
     from __graft_entry__ import FLAGSHIP
     from tf_kaldi_speaker_tpu.train.trainer import Trainer
@@ -323,12 +374,14 @@ def main(e2e_headline: bool = False) -> None:
     e2e_rate, e2e_spread = bench_e2e_pool(cfg, dim, num_speakers)
     stream_rate = bench_e2e_stream(cfg, dim, num_speakers)
     emb_rate, frame_rate = bench_extract(cfg, dim, num_speakers)
+    dpipe_rate = bench_extract_device_pipe(cfg, dim, num_speakers)
     extra = {
         "e2e_window_spread": [round(r, 0) for r in e2e_spread],
         "e2e_stream_chunks_per_sec_per_chip": round(stream_rate, 2),
         "extract_embeddings_per_sec": round(emb_rate, 2),
         # frames/sec ÷ 100 frames/sec-of-audio = ×realtime
         "extract_x_realtime": round(frame_rate / 100.0, 1),
+        "extract_device_pipe_embeddings_per_sec": round(dpipe_rate, 2),
     }
     if e2e_headline:
         out = {

@@ -53,3 +53,12 @@ def test_bench_extract_smoke():
         TINY, DIM, NUM_SPEAKERS, n_utts=8, windows=1)
     assert np.isfinite(emb_rate) and emb_rate > 0
     assert frame_rate > emb_rate  # every utterance has >1 frame
+
+
+@pytest.mark.slow
+def test_bench_extract_device_pipe_smoke():
+    import bench
+
+    rate = bench.bench_extract_device_pipe(
+        TINY, DIM, NUM_SPEAKERS, n_utts=8, windows=1)
+    assert np.isfinite(rate) and rate > 0

@@ -501,3 +501,48 @@ def test_on_the_fly_pipe_order_matches_reference():
         apply_cmvn_vad(feats, cmvn=False, vad=True),
         select_voiced_frames(feats, vad),
     )
+
+
+def test_sliding_cmvn_jax_masked_matches_numpy_per_row():
+    import jax.numpy as jnp
+
+    from tf_kaldi_speaker_tpu.ops.cmvn import sliding_cmvn, sliding_cmvn_jax_masked
+
+    rng = np.random.RandomState(0)
+    lengths = np.array([5, 37, 64, 0], np.int32)  # incl. < window and a pad row
+    T, D = 64, 6
+    feats = np.zeros((4, T, D), np.float32)
+    for i, n in enumerate(lengths):
+        feats[i, :n] = rng.randn(n, D)
+    out = np.asarray(sliding_cmvn_jax_masked(jnp.asarray(feats), jnp.asarray(lengths), window=20))
+    assert np.isfinite(out).all()
+    for i, n in enumerate(lengths):
+        if n == 0:
+            continue
+        want = sliding_cmvn(feats[i, :n], window=20)
+        np.testing.assert_allclose(out[i, :n], want, rtol=2e-5, atol=2e-5)
+
+
+def test_vad_energy_jax_matches_numpy_per_row():
+    import jax.numpy as jnp
+
+    from tf_kaldi_speaker_tpu.ops.vad import compute_vad_energy, compute_vad_energy_jax
+
+    rng = np.random.RandomState(1)
+    lengths = np.array([12, 50, 0], np.int32)
+    T, D = 50, 4
+    feats = np.zeros((3, T, D), np.float32)
+    for i, n in enumerate(lengths):
+        f = rng.randn(n, D).astype(np.float32)
+        f[:, 0] = np.where(rng.rand(n) > 0.4, 15.0, -15.0)  # far from cutoff
+        feats[i, :n] = f
+    for ctx, prop in ((0, 0.6), (2, 0.6), (5, 0.4)):
+        got = np.asarray(compute_vad_energy_jax(
+            jnp.asarray(feats), jnp.asarray(lengths),
+            frames_context=ctx, proportion_threshold=prop))
+        for i, n in enumerate(lengths):
+            want = compute_vad_energy(
+                feats[i, :n], frames_context=ctx, proportion_threshold=prop
+            ) > 0.5 if n else np.zeros(0, bool)
+            np.testing.assert_array_equal(got[i, :n], want)
+            assert not got[i, n:].any()

@@ -41,6 +41,62 @@ def apply_cmvn_vad(feature, cmvn: bool, vad: bool, cmn_window: int = 300):
     return feature
 
 
+def _main_device_pipe(args) -> int:
+    """--device-pipe: raw CM codes in, everything else fused on device
+    (extract/device_pipe.py). Utterances > chunk_size fall back to the
+    host pipe + 50%-overlap (or --exact-long) long path."""
+    from ..extract.device_pipe import DevicePipeExtractor
+    from ..kio.ark import decode_cm_codes, read_codes_scp
+
+    kind, _, path = args.rspecifier.partition(":")
+    if kind != "scp" or not path:
+        raise SystemExit(
+            "--device-pipe requires an 'scp:...' rspecifier of compressed "
+            "arks (feature pipes must use the host path)")
+    extractor = DevicePipeExtractor(
+        args.model_dir,
+        cmvn=args.cmvn,
+        vad=args.vad,
+        cmn_window=args.cmn_window,
+        node=args.node or None,
+        batch_size=args.batch_size,
+        chunk_size=args.chunk_size,
+        min_chunk_size=args.min_chunk_size,
+        normalize=args.normalize,
+    )
+    longs = []
+
+    def short_stream():
+        for key, codes, headers in read_codes_scp(path):
+            if codes.shape[0] > args.chunk_size:
+                longs.append((key, codes, headers))  # host fallback below
+            else:
+                yield key, codes, headers
+
+    writer = ArkScpWriter(args.wspecifier, kind="vec")
+    count = 0
+    for key, embedding in extractor.embed_codes_stream(short_stream()):
+        writer.write(key, embedding.astype("float32"))
+        count += 1
+    for key, codes, headers in longs:
+        feature = apply_cmvn_vad(
+            decode_cm_codes(codes, headers), args.cmvn, args.vad,
+            cmn_window=args.cmn_window,
+        )
+        if feature.shape[0] < args.min_chunk_size:
+            logging.info("Key %s length too short after pipe, skip.", key)
+            continue
+        if args.exact_long and feature.shape[0] > args.chunk_size:
+            embedding = extractor.embed_long_exact(feature)
+        else:
+            embedding = extractor.embed_utterance(feature)
+        writer.write(key, embedding.astype("float32"))
+        count += 1
+    writer.close()
+    logging.info("Extracted %d embeddings.", count)
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser()
@@ -58,10 +114,19 @@ def main(argv=None) -> int:
              "pooled-stats accumulation (default: reference-parity "
              "50%%-overlap chunk averaging)",
     )
+    parser.add_argument(
+        "--device-pipe", action="store_true",
+        help="decode-on-device input path: ship raw CM codes (1 B/element) "
+             "and run dequantize + CMVN + VAD + voiced-frame compaction "
+             "fused on device (requires 'scp:' of compressed arks, no pipes)",
+    )
     parser.add_argument("model_dir")
     parser.add_argument("rspecifier")
     parser.add_argument("wspecifier")
     args = parser.parse_args(argv)
+
+    if args.device_pipe:
+        return _main_device_pipe(args)
 
     extractor = Extractor(
         args.model_dir,

@@ -122,7 +122,10 @@ class Extractor:
         )
 
     # ------------------------------------------------------------------
-    def _embed_batch(self, feats: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    def _embed_batch_async(self, feats: np.ndarray, mask: np.ndarray):
+        """Dispatch one batch; returns the (unmaterialized) device result.
+        JAX dispatch is async, so callers can assemble/dispatch the next
+        batch before forcing this one with np.asarray."""
         from ..parallel.mesh import DATA_AXIS
 
         n = self.mesh.shape[DATA_AXIS]
@@ -137,12 +140,15 @@ class Extractor:
             mask = np.concatenate(
                 [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)], 0
             )
-        out = self._fwd(
+        return self._fwd(
             self.variables,
             jax.device_put(feats, self._bsh),
             jax.device_put(mask, self._bsh),
         )
-        return np.asarray(out)[:b]
+
+    def _embed_batch(self, feats: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        b = feats.shape[0]
+        return np.asarray(self._embed_batch_async(feats, mask))[:b]
 
     def _bucket_for(self, length: int) -> int:
         for b in self.buckets:
@@ -157,20 +163,28 @@ class Extractor:
 
         Ordering note: results are emitted as buckets fill, i.e. not in input
         order; callers that need order should collect into a dict.
-        """
-        pending: Dict[int, List[Tuple[str, np.ndarray]]] = {}
 
-        def flush(bucket: int):
+        Batches are pipelined one deep: a dispatched batch's result is only
+        materialized after the NEXT batch has been assembled and dispatched
+        (JAX dispatch is async), so host assembly + H2D transfer overlap the
+        in-flight device compute and result sync."""
+        pending: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+        in_flight: List[tuple] = []  # [(items, emb_device)]
+
+        def dispatch(bucket: int):
             items = pending.pop(bucket, [])
             if not items:
                 return
-            b = len(items)
             feats = np.zeros((self.batch_size, bucket, self.dim), self._feed_dtype)
             mask = np.zeros((self.batch_size, bucket), np.float32)
             for i, (_, f) in enumerate(items):
                 feats[i, : f.shape[0]] = f
                 mask[i, : f.shape[0]] = 1.0
-            emb = self._embed_batch(feats, mask)
+            in_flight.append((items, self._embed_batch_async(feats, mask)))
+
+        def drain(entry):
+            items, out = entry
+            emb = np.asarray(out)[: len(items)]
             if self.normalize:
                 # the reference applies a FINAL L2 norm to both paths
                 # (extract.py:92-93), not just inside the chunk average
@@ -190,9 +204,13 @@ class Extractor:
             bucket = self._bucket_for(T)
             pending.setdefault(bucket, []).append((key, feature))
             if len(pending[bucket]) == self.batch_size:
-                yield from flush(bucket)
+                dispatch(bucket)
+                while len(in_flight) > 1:
+                    yield from drain(in_flight.pop(0))
         for bucket in sorted(pending):
-            yield from flush(bucket)
+            dispatch(bucket)
+        for entry in in_flight:
+            yield from drain(entry)
 
     def _embed_long(self, key: str, feature: np.ndarray) -> np.ndarray:
         """50%-overlap chunking + length-weighted average (extract.py:69-93)."""

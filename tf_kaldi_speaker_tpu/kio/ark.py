@@ -161,6 +161,39 @@ def _read_compressed_codes(fd, fmt: str, start: int | None = None,
     return np.ascontiguousarray(data.T), np.ascontiguousarray(p.T.astype(np.float32))
 
 
+def decode_cm_codes(codes: np.ndarray, headers: np.ndarray) -> np.ndarray:
+    """Host dequantization of raw codes as returned by the codes readers:
+    (codes [T, D] uint8, headers [4, D] float32) -> float32 [T, D]."""
+    return _decode_cm_data(np.ascontiguousarray(codes.T), headers.T)
+
+
+def read_codes_scp(file_or_fd):
+    """Iterate (key, codes [T, D] uint8, headers [4, D] float32) over a
+    Kaldi scp of COMPRESSED ('CM ') matrices — the host side of the
+    decode-on-device extraction pipe (1 byte/element shipped instead of 4).
+    Raises UnknownMatrixHeader on uncompressed/CM2/CM3 entries."""
+    fd = open_or_fd(file_or_fd)
+    fds: dict = {}
+    try:
+        for line in fd:
+            key, rxfile = line.decode().strip().split(" ", 1)
+            filename, offset = rxfile.rsplit(":", 1)
+            afd = fds.get(filename)
+            if afd is None:
+                afd = fds[filename] = open(filename, "rb")
+            afd.seek(int(offset))
+            if afd.read(2) != b"\0B":
+                raise BadInputFormat("scp entry %s is not binary Kaldi data" % key)
+            fmt = afd.read(3).decode()
+            codes, headers = _read_compressed_codes(afd, fmt)
+            yield key, codes, headers
+    finally:
+        for afd in fds.values():
+            afd.close()
+        if fd is not file_or_fd:
+            fd.close()
+
+
 def compress_matrix(mat: np.ndarray) -> bytes:
     """Encode a float matrix into Kaldi 'CM ' bytes (excluding the \\0B flag).
 

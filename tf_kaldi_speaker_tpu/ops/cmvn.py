@@ -84,3 +84,39 @@ def sliding_cmvn_jax(feats, window: int = 300, center: bool = True):
     counts = (end - start).astype(feats.dtype)[None, :, None]
     mean = (jnp.take(csum, end, axis=1) - jnp.take(csum, start, axis=1)) / counts
     return feats - mean
+
+
+def sliding_cmvn_jax_masked(feats, lengths, window: int = 300, center: bool = True):
+    """jnp sliding CMVN over a padded batch [B, T, D] with per-row valid
+    lengths [B] (mean subtraction only), jit-safe.
+
+    Row b is normalized exactly like :func:`sliding_cmvn` on its first
+    ``lengths[b]`` frames (window edges shift inward against lengths[b],
+    not T). Frames at t >= lengths[b] MUST be zero on input (so the cumsum
+    is unaffected); their output is garbage and must stay masked
+    downstream. Used by the decode-on-device extraction pipe."""
+    b, T, d = feats.shape
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    n = lengths.astype(jnp.int32)[:, None]  # [B, 1]
+    if center:
+        start = t - window // 2
+    else:
+        start = t - window + 1
+    start = jnp.broadcast_to(start, (b, T))
+    end = start + window
+    shift_left = jnp.maximum(-start, 0)
+    start = start + shift_left
+    end = end + shift_left
+    shift_right = jnp.maximum(end - n, 0)
+    start = jnp.maximum(start - shift_right, 0)
+    end = end - shift_right
+    # Padding rows (n == 0) and frames t >= n produce degenerate windows;
+    # clamp so the division is finite (the result is masked out anyway).
+    end = jnp.clip(end, 0, jnp.maximum(n, 1))
+    counts = jnp.maximum(end - start, 1).astype(feats.dtype)
+    csum = jnp.concatenate(
+        [jnp.zeros((b, 1, d), feats.dtype), jnp.cumsum(feats, axis=1)], axis=1
+    )
+    hi = jnp.take_along_axis(csum, end[:, :, None], axis=1)
+    lo = jnp.take_along_axis(csum, start[:, :, None], axis=1)
+    return feats - (hi - lo) / counts[:, :, None]

@@ -45,3 +45,48 @@ def select_voiced_frames(feats: np.ndarray, vad: np.ndarray) -> np.ndarray:
     vad = np.asarray(vad)
     assert feats.shape[0] == vad.shape[0], "features/vad length mismatch"
     return feats[vad > 0.5]
+
+
+def compute_vad_energy_jax(
+    feats,
+    lengths,
+    energy_threshold: float = 5.5,
+    energy_mean_scale: float = 0.5,
+    frames_context: int = 0,
+    proportion_threshold: float = 0.6,
+):
+    """jnp energy VAD over a padded batch [B, T, D] with per-row valid
+    lengths [B]; returns bool decisions [B, T] (False beyond lengths).
+
+    Same math as :func:`compute_vad_energy` per row (cutoff from the
+    mean log-energy of the VALID frames only). Padding frames must be
+    zero on input. Used by the decode-on-device extraction pipe."""
+    import jax.numpy as jnp
+
+    e = feats[:, :, 0]  # [B, T] log-energy (MFCC C0)
+    b, T = e.shape
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    n = lengths.astype(jnp.int32)[:, None]
+    valid = t < n
+    cutoff = jnp.float32(energy_threshold)
+    if energy_mean_scale != 0.0:
+        mean_e = jnp.sum(jnp.where(valid, e, 0.0), axis=1) / jnp.maximum(
+            n[:, 0], 1
+        ).astype(e.dtype)
+        cutoff = cutoff + energy_mean_scale * mean_e[:, None]
+    pass_mask = (e > cutoff) & valid
+    if frames_context <= 0:
+        return pass_mask
+    csum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.float32),
+         jnp.cumsum(pass_mask.astype(jnp.float32), axis=1)], axis=1
+    )
+    lo = jnp.maximum(t - frames_context, 0)
+    hi = jnp.minimum(t + frames_context + 1, jnp.maximum(n, 1))
+    lo = jnp.broadcast_to(lo, (b, T))
+    hi = jnp.maximum(jnp.broadcast_to(hi, (b, T)), lo + 1)
+    frac = (
+        jnp.take_along_axis(csum, hi, axis=1)
+        - jnp.take_along_axis(csum, lo, axis=1)
+    ) / (hi - lo).astype(jnp.float32)
+    return (frac >= proportion_threshold) & valid
