@@ -60,6 +60,50 @@ def test_request_stop_breaks_at_group_boundary(tmp_path):
     assert not trainer.stop_requested
 
 
+def test_unacknowledged_local_flag_does_not_exit(tmp_path):
+    """A SIGTERM that lands AFTER the loop's last stop poll (e.g. during
+    the epoch-end save) sets only the raw local flag. exit_code_if_preempted
+    must NOT exit on that — on a pod, a lone host exiting while the others
+    proceed into the next phase's collectives would deadlock them. The next
+    phase's first poll acknowledges it on every host together."""
+    from tf_kaldi_speaker_tpu.train.preemption import exit_code_if_preempted
+
+    trainer = Trainer(
+        ParamsPlain(**CFG), str(tmp_path / "m/nnet"), dim=20, num_speakers=8
+    )
+    trainer.build("train", 20, CFG["loss_func"], 8)
+    trainer._stop_requested = True  # flag only, never collectively polled
+    assert exit_code_if_preempted(trainer) is None
+    # The next boundary poll acknowledges it (single process: immediately).
+    assert trainer._should_stop()
+    assert exit_code_if_preempted(trainer) == EXIT_PREEMPTED
+
+
+def test_stop_during_valid_breaks_early(tmp_path):
+    """SIGTERM landing mid-validation must not burn the grace window
+    finishing the pass: valid() polls at batch boundaries and returns."""
+    from tf_kaldi_speaker_tpu.train.preemption import exit_code_if_preempted
+
+    d = make_fake_data_dir(
+        str(tmp_path / "valid"), num_speakers=8, utts_per_speaker=4,
+        dim=20, min_len=80, max_len=120,
+    )
+    trainer = Trainer(
+        ParamsPlain(**dict(CFG, stop_poll_groups=1)),
+        str(tmp_path / "m/nnet"), dim=20, num_speakers=8,
+    )
+    trainer.build("train", 20, CFG["loss_func"], 8)
+    trainer.build("valid", 20, CFG["loss_func"], 8)
+    trainer.request_stop()
+    loss, emb, labels = trainer.valid(
+        d["data"], d["spklist"], output_embeddings=True
+    )
+    # Both passes broke at their first boundary: nothing streamed.
+    assert emb.shape[0] == 0 and labels.shape[0] == 0
+    assert loss != loss  # NaN mean over zero batches
+    assert exit_code_if_preempted(trainer) == EXIT_PREEMPTED
+
+
 @pytest.mark.slow
 def test_cli_sigterm_checkpoints_and_resumes(tmp_path):
     d = make_fake_data_dir(

@@ -108,6 +108,10 @@ def main(argv=None) -> int:
             args.valid_dir, args.valid_spklist,
             batch_type=params.dict.get("batch_type", "softmax"), output_embeddings=True,
         )
+        rc = exit_code_if_preempted(trainer)
+        if rc is not None:
+            # partial valid pass — don't record it (see cli/train.py)
+            return rc
         eer = compute_cos_pairwise_eer(embeddings, labels) if len(labels) else 1.0
         logging.info("epoch %d: valid loss %f eer %.4f lr %g", epoch, valid_loss, eer, learning_rate)
         bk.append_valid_loss(valid_path, epoch, valid_loss, eer)

@@ -92,6 +92,12 @@ def main(argv=None) -> int:
             args.valid_dir, args.valid_spklist,
             batch_type=batch_type, output_embeddings=True,
         )
+        rc = exit_code_if_preempted(trainer)
+        if rc is not None:
+            # SIGTERM landed during validation: the pass is partial, so do
+            # not record it (a truncated loss would poison LR halving on
+            # resume); the epoch checkpoint was already saved by train().
+            return rc
         eer = compute_cos_pairwise_eer(embeddings, labels) if len(labels) else 1.0
         logging.info("epoch %d: valid loss %f eer %.4f lr %g", epoch, valid_loss, eer, learning_rate)
         bk.append_valid_loss(valid_path, epoch, valid_loss, eer)

@@ -89,6 +89,10 @@ def main(argv=None) -> int:
         spk_loss, phn_loss, embeddings, labels = trainer.valid(
             args.valid_dir, args.valid_ali_dir, args.valid_spklist, output_embeddings=True
         )
+        rc = exit_code_if_preempted(trainer)
+        if rc is not None:
+            # partial valid pass — don't record it (see cli/train.py)
+            return rc
         eer = (
             compute_cos_pairwise_eer(embeddings, labels)
             if labels is not None and len(labels)

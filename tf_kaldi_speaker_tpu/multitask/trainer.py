@@ -488,7 +488,7 @@ class TrainerMultiTask(Trainer):
                     writer.scalars(gstep, jax.device_get(metrics))
                 if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
-                if self._should_stop():
+                if self._should_stop(local_group, self._stop_poll_every):
                     break
         finally:
             loader.stop()
@@ -564,6 +564,10 @@ class TrainerMultiTask(Trainer):
 
         try:
             while it < max_iter:
+                # Preemption mid-valid: same boundary polling as
+                # Trainer.valid (symmetric tick across hosts).
+                if self._should_stop(it, self._stop_poll_every):
+                    break
                 feats, vad, ali, length, labels, resample, valid_pos = loader.fetch()
                 b = labels.shape[0]
                 f, s, a, ln, idx, w = self._shard_mt(feats, vad, ali, length, labels, resample)

@@ -46,8 +46,14 @@ def install_preemption_handler(trainer) -> None:
 
 def exit_code_if_preempted(trainer) -> int | None:
     """Returns EXIT_PREEMPTED (and logs the resume hint) when the epoch was
-    cut short by request_stop(); None for a normal epoch end."""
-    if not trainer.stop_requested:
+    cut short by request_stop(); None for a normal epoch end.
+
+    Keys on ``stop_acknowledged`` (the collectively-agreed stop), not the
+    raw local flag: on a multi-host pod a SIGTERM that lands on one host
+    AFTER the loop's last collective poll must not make that host exit 75
+    while the others continue into the next phase's collectives — the next
+    phase's first poll will acknowledge it on every host together."""
+    if not trainer.stop_acknowledged:
         return None
     step = int(trainer.state.step) if trainer.state is not None else 0
     log.info(

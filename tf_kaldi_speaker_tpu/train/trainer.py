@@ -229,6 +229,11 @@ class Trainer:
         self._device_pool = None
         self._trace_active = False
         self._stop_requested = False
+        self._stop_acknowledged = False
+        # Multi-host: groups between collective stop polls (see
+        # _should_stop; 1 = poll every group). ~4 keeps the async dispatch
+        # pipeline overlapped while bounding the stop latency to K*4 steps.
+        self._stop_poll_every = int(params.dict.get("stop_poll_groups", 4))
         self.is_built = False
 
     # ------------------------------------------------------------------
@@ -658,15 +663,44 @@ class Trainer:
     def stop_requested(self) -> bool:
         return self._stop_requested
 
-    def _should_stop(self) -> bool:
-        """Per-group stop check. Single-process: a plain flag read (zero
-        cost on the hot path). Multi-host: the flag is OR-reduced across
-        processes so every host leaves the collective-dispatch loop at the
-        SAME group boundary even if SIGTERM lands on a subset of hosts or
-        at skewed times (a lone host breaking early would deadlock the
-        others in the next collective)."""
+    @property
+    def stop_acknowledged(self) -> bool:
+        """True once a stop request has been AGREED ON by every host (the
+        collective poll in _should_stop returned True). The preemption exit
+        path keys on this, not on the raw local flag: a SIGTERM that lands
+        on a subset of hosts after the loop's last collective check must
+        not make those hosts exit while the rest proceed into the next
+        phase's collectives (a lone host leaving early deadlocks the
+        others). Single-process, the two flags coincide at the next poll."""
+        return self._stop_acknowledged
+
+    def _should_stop(self, tick: int = 0, every: int = 1) -> bool:
+        """Stop check at a dispatch/batch boundary. Single-process: a plain
+        flag read (zero cost on the hot path). Multi-host: the flag is
+        OR-reduced across processes so every host leaves the collective
+        loop at the SAME boundary even if SIGTERM lands on a subset of
+        hosts or at skewed times.
+
+        ``tick``/``every``: the collective poll runs only when
+        ``tick % every == every - 1`` — a cross-host allgather forces the
+        host to sync with the in-flight device program, so polling every
+        group would serialize the one-deep dispatch pipeline. All hosts
+        iterate the loop in lockstep, so a fixed cadence keyed on the loop
+        counter stays symmetric. The local-flag fast path is always
+        checked."""
+        if self._stop_acknowledged:
+            if self._stop_requested:
+                return True
+            # The request flag was cleared to resume training after a stop
+            # (mid-epoch --cont semantics); drop the stale acknowledgement.
+            # Multi-host safe: acknowledgement always sets the request flag
+            # on every host, so clearing is only observable if done on all.
+            self._stop_acknowledged = False
         if jax.process_count() == 1:
-            return self._stop_requested
+            self._stop_acknowledged = self._stop_requested
+            return self._stop_acknowledged
+        if (tick % every) != (every - 1):
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
@@ -674,6 +708,7 @@ class Trainer:
         )
         if bool(np.any(flags)):
             self._stop_requested = True
+            self._stop_acknowledged = True
             return True
         return False
 
@@ -981,7 +1016,7 @@ class Trainer:
                     cfg, writer, metrics, K, local_group, t0,
                     show, summary_steps, save_every, profile_steps, step0,
                 )
-                if self._should_stop():
+                if self._should_stop(local_group, self._stop_poll_every):
                     break
         finally:
             loader.stop()
@@ -1117,7 +1152,7 @@ class Trainer:
                     cfg, writer, metrics, K, local_group, t0,
                     show, summary_steps, save_every, profile_steps, step0,
                 )
-                if self._should_stop():
+                if self._should_stop(local_group, self._stop_poll_every):
                     break
         finally:
             if self._trace_active:
@@ -1266,7 +1301,15 @@ class Trainer:
             ).start()
             embs, labs = [], []
             try:
+                tick = 0
                 while True:
+                    # Preemption can land mid-valid; poll at batch
+                    # boundaries (collective cadence — all hosts stream the
+                    # same batches, so the tick counter is symmetric) so the
+                    # grace window is not burned finishing the dump.
+                    if self._should_stop(tick, self._stop_poll_every):
+                        break
+                    tick += 1
                     features, labels = seq.fetch()
                     b = features.shape[0]
                     (padded,), _ = self._pad_rows(features)
@@ -1334,7 +1377,9 @@ class Trainer:
         ndev = self.mesh.shape[DATA_AXIS]
         total, count = 0.0, 0
         try:
-            for _ in range(max_iter):
+            for it in range(max_iter):
+                if self._should_stop(it, self._stop_poll_every):
+                    break
                 features, labels = loader.fetch()
                 b = features.shape[0]
                 if structural and b % ndev:

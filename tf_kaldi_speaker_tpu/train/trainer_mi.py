@@ -339,7 +339,7 @@ class TrainerMultiInput(Trainer):
                              (local_step + 1) / (time.time() - t0))
                 if save_every and gstep // save_every > (gstep - K) // save_every:
                     self.save(gstep)
-                if self._should_stop():
+                if self._should_stop(local_group, self._stop_poll_every):
                     break
         finally:
             loader.stop()
@@ -387,7 +387,13 @@ class TrainerMultiInput(Trainer):
             ).start()
             embs, labs = [], []
             try:
+                tick = 0
                 while True:
+                    # Preemption mid-valid: same boundary polling as
+                    # Trainer.valid (symmetric tick across hosts).
+                    if self._should_stop(tick, self._stop_poll_every):
+                        break
+                    tick += 1
                     features, labels = seq.fetch()
                     b = labels.shape[0]
                     main, aux, l, w = self._shard_multi(features, labels)
@@ -428,7 +434,9 @@ class TrainerMultiInput(Trainer):
             ).start()
         total, count = 0.0, 0
         try:
-            for _ in range(max_iter):
+            for it in range(max_iter):
+                if self._should_stop(it, self._stop_poll_every):
+                    break
                 features, labels = loader.fetch()
                 b = labels.shape[0]
                 main, aux, l, w = self._shard_multi(features, labels)
