@@ -296,3 +296,92 @@ def test_two_process_pool_training(tmp_path):
     assert r0["param_fingerprint"] == r1["param_fingerprint"]
     assert r0["valid_loss"] == r1["valid_loss"]
     assert np.isfinite(r0["valid_loss"])
+
+
+PREEMPT_WORKER = r"""
+import json, os, sys
+pid, nproc, port, work = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize("localhost:%s" % port, num_processes=nproc, process_id=pid)
+
+import numpy as np
+from tf_kaldi_speaker_tpu.train.trainer import Trainer
+from tf_kaldi_speaker_tpu.utils.params import Params
+
+params = Params(os.path.join(work, "pre.json"))
+t = Trainer(params, os.path.join(work, "prexp%d" % pid, "nnet"), dim=20, num_speakers=8)
+t.build("train", 20, params.dict["loss_func"], 8)
+# Preemption lands on ONE host only (what a real SIGTERM on one VM of a
+# pod looks like): the collective poll must make BOTH hosts leave the
+# loop at the SAME dispatch-group boundary.
+if pid == 1:
+    t.request_stop()
+t.train(os.path.join(work, "train"), os.path.join(work, "train", "spklist"), 0.02)
+out = {
+    "pid": pid,
+    "step": int(t.state.step),
+    "acknowledged": bool(t.stop_acknowledged),
+    "param_fingerprint": float(
+        sum(float(np.sum(np.asarray(x))) for x in jax.tree.leaves(t.state.params))
+    ),
+}
+with open(os.path.join(work, "preout%d.json" % pid), "w") as f:
+    json.dump(out, f)
+print("preempt worker", pid, "ok", flush=True)
+"""
+
+
+def test_two_process_preemption_agreement(tmp_path):
+    """Stop requested on ONE process only: the OR-allgather in
+    Trainer._should_stop must make both hosts leave training at the SAME
+    group boundary (a lone host exiting early would deadlock the other in
+    the next collective), acknowledge the stop on both, and keep the SPMD
+    parameter invariant."""
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    work = str(tmp_path)
+    make_fake_data_dir(os.path.join(work, "train"), num_speakers=8,
+                       utts_per_speaker=4, dim=20, min_len=100, max_len=160)
+    cfg = dict(
+        seed=0, network_type="tdnn", pooling_type="statistics_pooling",
+        embedding_node="tdnn6_dense", loss_func="softmax", optimizer="sgd",
+        weight_l2_regularizer=1e-3, batchnorm_momentum=0.99,
+        tdnn_layer_size=16, num_nodes_pooling_layer=32, num_nodes_last_layer=16,
+        num_steps_per_epoch=8, steps_per_dispatch=2, stop_poll_groups=1,
+        save_checkpoints_steps=8,
+        show_training_progress=1, valid_max_iterations=2,
+        num_parallel_datasets=1, max_queue_size=4,
+        num_speakers_per_batch=8, num_segments_per_speaker=1,
+        min_segment_len=60, max_segment_len=100, batch_type="softmax",
+    )
+    with open(os.path.join(work, "pre.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(work, "pre_worker.py"), "w") as f:
+        f.write(PREEMPT_WORKER)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(work, "pre_worker.py"),
+             str(i), "2", str(port), work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, "preempt worker failed:\n" + o[-4000:]
+
+    r0 = json.load(open(os.path.join(work, "preout0.json")))
+    r1 = json.load(open(os.path.join(work, "preout1.json")))
+    # Both stopped after the FIRST dispatch group (K=2 of 8 steps), even
+    # though only pid 1 was preempted.
+    assert r0["step"] == r1["step"] == 2, (r0, r1)
+    assert r0["acknowledged"] and r1["acknowledged"]
+    assert r0["param_fingerprint"] == r1["param_fingerprint"]
