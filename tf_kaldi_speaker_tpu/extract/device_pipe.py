@@ -121,9 +121,10 @@ class DevicePipeExtractor(Extractor):
             items = pending.pop(bucket, [])
             if not items:
                 return
-            codes = np.zeros((self.batch_size, bucket, self.dim), np.uint8)
-            headers = np.zeros((self.batch_size, 4, self.dim), np.float32)
-            lengths = np.zeros((self.batch_size,), np.int32)
+            rows = self._rows_for(len(items))
+            codes = np.zeros((rows, bucket, self.dim), np.uint8)
+            headers = np.zeros((rows, 4, self.dim), np.float32)
+            lengths = np.zeros((rows,), np.int32)
             for i, (_, c, h) in enumerate(items):
                 codes[i, : c.shape[0]] = c
                 headers[i] = h

@@ -156,6 +156,23 @@ class Extractor:
                 return b
         return self.buckets[-1]
 
+    def _rows_for(self, b: int) -> int:
+        """Row count to allocate for a b-item dispatch: the smallest
+        ``n_data * 2^k`` >= b, capped at batch_size. Streaming batches are
+        always full; only each bucket's final flush is partial, and the
+        host->device link is the extraction bottleneck — shipping
+        batch_size rows for a handful of stragglers doubles the bytes of
+        the tail. Power-of-two quantization bounds the number of compiled
+        shapes to log2(batch_size/n_data) per bucket, and only shapes
+        actually hit are compiled (persistent jax cache holds them across
+        runs)."""
+        from ..parallel.mesh import DATA_AXIS
+
+        r = self.mesh.shape[DATA_AXIS]
+        while r < b and r < self.batch_size:
+            r *= 2
+        return min(r, self.batch_size)
+
     def embed_stream(
         self, stream: Iterable[Tuple[str, np.ndarray]]
     ) -> Iterator[Tuple[str, np.ndarray]]:
@@ -175,8 +192,9 @@ class Extractor:
             items = pending.pop(bucket, [])
             if not items:
                 return
-            feats = np.zeros((self.batch_size, bucket, self.dim), self._feed_dtype)
-            mask = np.zeros((self.batch_size, bucket), np.float32)
+            rows = self._rows_for(len(items))
+            feats = np.zeros((rows, bucket, self.dim), self._feed_dtype)
+            mask = np.zeros((rows, bucket), np.float32)
             for i, (_, f) in enumerate(items):
                 feats[i, : f.shape[0]] = f
                 mask[i, : f.shape[0]] = 1.0
