@@ -546,3 +546,35 @@ def test_vad_energy_jax_matches_numpy_per_row():
             ) > 0.5 if n else np.zeros(0, bool)
             np.testing.assert_array_equal(got[i, :n], want)
             assert not got[i, n:].any()
+
+
+def test_rows_for_power_of_two_quantization(tmp_path):
+    """Flush dispatches allocate the smallest n_data*2^k rows that fit the
+    items (capped at batch_size) so partial buckets don't ship a full
+    batch of padding over the host->device link."""
+    import json
+
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.parallel.mesh import DATA_AXIS
+    from tf_kaldi_speaker_tpu.train.trainer import Trainer
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    params = ParamsPlain(**TINY_CONFIG)
+    nnet = str(tmp_path / "m" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, "softmax", 8)
+    t.save(0)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(TINY_CONFIG, f)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("20\n")
+
+    ex = Extractor(str(tmp_path / "m"), batch_size=128)
+    n = ex.mesh.shape[DATA_AXIS]
+    assert ex._rows_for(1) == n
+    assert ex._rows_for(n) == n
+    assert ex._rows_for(n + 1) == 2 * n
+    assert ex._rows_for(ex.batch_size - 1) == ex.batch_size
+    assert ex._rows_for(ex.batch_size) == ex.batch_size
+    # never above batch_size even for oversized requests
+    assert ex._rows_for(10 * ex.batch_size) == ex.batch_size

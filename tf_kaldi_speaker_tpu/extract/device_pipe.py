@@ -139,8 +139,9 @@ class DevicePipeExtractor(Extractor):
 
         def drain(entry):
             items, (emb_dev, n_dev) = entry
-            emb = np.asarray(emb_dev)
-            n_out = np.asarray(n_dev)
+            # One fetch for both outputs: through a high-RTT link two
+            # np.asarray calls cost two round trips.
+            emb, n_out = jax.device_get((emb_dev, n_dev))
             for i, (key, _, _) in enumerate(items):
                 if n_out[i] < self.min_chunk_size:
                     log.info(
