@@ -38,6 +38,58 @@ import numpy as np
 
 BASELINE_CHUNKS_PER_SEC = 142.0
 
+# Per-chip bf16 peak (dense matmul FLOP/s). device_kind strings as reported
+# by jax; the judged axis is single-chip MFU vs this peak.
+BF16_PEAK_FLOPS = {
+    "TPU v2": 46e12,
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def chip_bf16_peak():
+    """(device_kind, peak bf16 FLOP/s or None if unknown)."""
+    kind = jax.devices()[0].device_kind
+    peak = BF16_PEAK_FLOPS.get(kind)
+    if peak is None:  # prefix match, e.g. "TPU v5 lite" variants
+        for k, v in BF16_PEAK_FLOPS.items():
+            if kind.startswith(k):
+                peak = v
+    return kind, peak
+
+
+def compiled_flops(jitted, *args):
+    """XLA's own FLOP count for one execution of a jitted fn (HLO cost
+    analysis: matmul counted as 2*M*N*K). Returns None if the backend
+    doesn't expose cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: one dict per device
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def measure_h2d_bandwidth(mb: int = 32, reps: int = 3) -> float:
+    """Best-of-reps host->device bandwidth (bytes/sec) through whatever
+    link this host has (PCIe locally; the dev tunnel here). Used to turn
+    the streaming path's bytes/step into a predicted rate ceiling."""
+    buf = np.zeros(mb << 20, np.uint8)
+    jax.block_until_ready(jax.device_put(buf[: 1 << 20]))  # warm the path
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        best = min(best, time.perf_counter() - t0)
+    return buf.nbytes / best
+
 
 def _bench_egs(dim):
     import os
@@ -187,7 +239,20 @@ def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
             dt = min(dt, time.perf_counter() - t0)
     finally:
         loader.stop()
-    return batch * K * groups / dt / len(jax.devices())
+    rate = batch * K * groups / dt / len(jax.devices())
+
+    # Link-bound ceiling: the streaming path ships, per chunk, L*dim raw CM
+    # code bytes + a [4, dim] f32 header + an int32 label. At the measured
+    # H2D bandwidth that byte volume predicts a max chunk rate — when the
+    # measured rate sits at this bound, the link (not the code) is the
+    # limiter.
+    bw = measure_h2d_bandwidth()
+    blens = bucket_lengths(int(cfg["min_segment_len"]),
+                           int(cfg["max_segment_len"]), 8)
+    mean_len = sum(blens) / len(blens)
+    bytes_per_chunk = mean_len * dim + 4 * dim * 4 + 4
+    link_bound = bw / bytes_per_chunk / len(jax.devices())
+    return rate, link_bound, bw
 
 
 def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
@@ -237,7 +302,18 @@ def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
         one_pass()
         rates.append(time.perf_counter() - t0)
     dt = sorted(rates)[len(rates) // 2]
-    return n_utts / dt, total_frames / dt
+
+    # Useful-FLOPs per frame of the extraction forward: XLA's count for one
+    # fully-packed batch divided by its frame count (padding rows excluded
+    # from "useful" by construction — the measured frame rate counts real
+    # frames only, so rate * flops_per_frame / peak is an honest MFU).
+    rows, L = extractor.batch_size, 512
+    flops = compiled_flops(
+        extractor._fwd, extractor.variables,
+        jnp.zeros((rows, L, dim), extractor._feed_dtype),
+        jnp.ones((rows, L), jnp.float32))
+    flops_per_frame = None if flops is None else flops / (rows * L)
+    return n_utts / dt, total_frames / dt, flops_per_frame
 
 
 def bench_extract_device_pipe(cfg, dim, num_speakers, n_utts=256, windows=3):
@@ -371,16 +447,35 @@ def main(e2e_headline: bool = False) -> None:
 
     n_chips = len(jax.devices())
     chunks_per_sec_per_chip = batch / dt / n_chips
+
+    # FLOPs/MFU of the train step (XLA's HLO cost analysis on the exact
+    # program dt was measured on) vs the detected chip's bf16 peak.
+    flops_per_step = compiled_flops(trainer._train_step, state, f, l, lr)
+    kind, peak = chip_bf16_peak()
+    mfu = (None if flops_per_step is None or peak is None
+           else flops_per_step / dt / (peak * n_chips))
+
     e2e_rate, e2e_spread = bench_e2e_pool(cfg, dim, num_speakers)
-    stream_rate = bench_e2e_stream(cfg, dim, num_speakers)
-    emb_rate, frame_rate = bench_extract(cfg, dim, num_speakers)
+    stream_rate, stream_bound, h2d_bw = bench_e2e_stream(
+        cfg, dim, num_speakers)
+    emb_rate, frame_rate, fwd_flops_per_frame = bench_extract(
+        cfg, dim, num_speakers)
+    extract_mfu = (None if fwd_flops_per_frame is None or peak is None
+                   else frame_rate * fwd_flops_per_frame / (peak * n_chips))
     dpipe_rate = bench_extract_device_pipe(cfg, dim, num_speakers)
     extra = {
+        "flops_per_step": None if flops_per_step is None
+        else round(flops_per_step),
+        "mfu": None if mfu is None else round(mfu, 4),
+        "chip": kind,
         "e2e_window_spread": [round(r, 0) for r in e2e_spread],
         "e2e_stream_chunks_per_sec_per_chip": round(stream_rate, 2),
+        "stream_link_bound_chunks_per_sec_per_chip": round(stream_bound, 2),
+        "h2d_MBps": round(h2d_bw / 1e6, 2),
         "extract_embeddings_per_sec": round(emb_rate, 2),
         # frames/sec ÷ 100 frames/sec-of-audio = ×realtime
         "extract_x_realtime": round(frame_rate / 100.0, 1),
+        "extract_mfu": None if extract_mfu is None else round(extract_mfu, 4),
         "extract_device_pipe_embeddings_per_sec": round(dpipe_rate, 2),
     }
     if e2e_headline:

@@ -41,18 +41,24 @@ def test_bench_e2e_pool_smoke():
 def test_bench_e2e_stream_smoke():
     import bench
 
-    rate = bench.bench_e2e_stream(TINY, DIM, NUM_SPEAKERS, groups=2)
+    rate, link_bound, h2d_bw = bench.bench_e2e_stream(
+        TINY, DIM, NUM_SPEAKERS, groups=2)
     assert np.isfinite(rate) and rate > 0
+    assert np.isfinite(link_bound) and link_bound > 0
+    assert h2d_bw > 0
 
 
 @pytest.mark.slow
 def test_bench_extract_smoke():
     import bench
 
-    emb_rate, frame_rate = bench.bench_extract(
+    emb_rate, frame_rate, flops_per_frame = bench.bench_extract(
         TINY, DIM, NUM_SPEAKERS, n_utts=8, windows=1)
     assert np.isfinite(emb_rate) and emb_rate > 0
     assert frame_rate > emb_rate  # every utterance has >1 frame
+    # CPU backend exposes cost analysis too; one fwd frame of even the
+    # tiny model costs >1 kFLOP
+    assert flops_per_frame is None or flops_per_frame > 1e3
 
 
 @pytest.mark.slow

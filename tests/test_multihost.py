@@ -380,8 +380,13 @@ def test_two_process_preemption_agreement(tmp_path):
 
     r0 = json.load(open(os.path.join(work, "preout0.json")))
     r1 = json.load(open(os.path.join(work, "preout1.json")))
-    # Both stopped after the FIRST dispatch group (K=2 of 8 steps), even
-    # though only pid 1 was preempted.
-    assert r0["step"] == r1["step"] == 2, (r0, r1)
+    # Both stopped at the SAME group boundary, even though only pid 1 was
+    # preempted — the semantic contract is agreement + an early stop at a
+    # dispatch-group multiple, not a specific group index (that would
+    # couple this test to stop-poll placement; with stop_poll_groups=1 and
+    # steps_per_dispatch=2 the current placement yields step == 2).
+    assert r0["step"] == r1["step"], (r0, r1)
+    K = 2  # steps_per_dispatch in PREEMPT_WORKER's config
+    assert 0 < r0["step"] < 8 and r0["step"] % K == 0, (r0, r1)
     assert r0["acknowledged"] and r1["acknowledged"]
     assert r0["param_fingerprint"] == r1["param_fingerprint"]

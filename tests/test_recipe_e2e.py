@@ -8,7 +8,9 @@ Runs the actual recipes/voxceleb/v1/run.sh through bash with a tiny config.
 """
 
 import json
+import math
 import os
+import re
 import subprocess
 
 import numpy as np
@@ -198,7 +200,26 @@ def test_sre_recipe(tmp_path):
     assert "calibration: llr =" in proc.stdout, tail
     cal = open(os.path.join(exp, "scores_sre16_cal.txt")).read().splitlines()
     assert len(cal) == 4 * 8, tail
-    assert "actDCF" in proc.stdout, tail
+    # Cllr/minCllr finite and ordered: minCllr is the post-PAV optimum, so
+    # both the raw-as-llr and the calibrated Cllr must be >= it.
+    m = re.search(
+        r"eval Cllr raw-as-llr: ([\d.]+)\s+minCllr: ([\d.]+)\s+"
+        r"Cllr calibrated: ([\d.]+)", proc.stdout)
+    assert m, tail
+    cllr_raw, min_cllr, cllr_cal = map(float, m.groups())
+    assert all(math.isfinite(v) for v in (cllr_raw, min_cllr, cllr_cal)), tail
+    assert cllr_raw >= min_cllr - 1e-6 and cllr_cal >= min_cllr - 1e-6, (
+        cllr_raw, min_cllr, cllr_cal)
+    # actDCF at the Bayes threshold is likewise lower-bounded by minDCF,
+    # at every requested operating point.
+    dcfs = re.findall(
+        r"p_target=\S+ c_miss=\S+ c_fa=\S+: minDCF ([\d.]+)\s+"
+        r"actDCF ([\d.]+)", proc.stdout)
+    assert len(dcfs) == 2, tail  # --operating-point 0.01 and 0.001
+    for min_dcf, act_dcf in dcfs:
+        min_dcf, act_dcf = float(min_dcf), float(act_dcf)
+        assert math.isfinite(act_dcf) and act_dcf >= min_dcf - 1e-6, (
+            min_dcf, act_dcf)
 
 
 def test_voxceleb_recipe_all_stages(tmp_path):

@@ -252,8 +252,13 @@ class Extractor:
             idxs = by_bucket[bucket]
             for i0 in range(0, len(idxs), self.batch_size):
                 sel = idxs[i0 : i0 + self.batch_size]
-                feats = np.zeros((len(sel), bucket, self.dim), np.float32)
-                mask = np.zeros((len(sel), bucket), np.float32)
+                # Same power-of-two shape quantization as the stream-flush
+                # path: without it each distinct chunk count compiles its
+                # own XLA program (padding rows are masked, no numeric
+                # effect).
+                rows = self._rows_for(len(sel))
+                feats = np.zeros((rows, bucket, self.dim), np.float32)
+                mask = np.zeros((rows, bucket), np.float32)
                 for j, idx in enumerate(sel):
                     c = chunks[idx]
                     feats[j, : c.shape[0]] = c
