@@ -255,21 +255,14 @@ def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
     return rate, link_bound, bw
 
 
-def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
-    """Embedding-extraction throughput (BASELINE.md primary metric
-    "extract embeddings/sec"): the flagship model through the real
-    cli/extract path — Extractor.embed_stream with length-bucketed masked
-    device batches (extract/extractor.py). Synthetic utterances drawn
-    uniform [400, 800] frames (post-VAD VoxCeleb-ish lengths, spanning 4
-    length buckets). Returns (embeddings/sec, frames/sec) median over
-    ``windows`` timed passes."""
+def _extract_model_dir(cfg, dim, num_speakers, root):
+    """Write a trained-model dir for the extraction benches (shared)."""
     import os
 
-    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
     from tf_kaldi_speaker_tpu.train.trainer import Trainer
     from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
 
-    nnet = "/tmp/tfks_bench_extract/nnet"
+    nnet = os.path.join(root, "nnet")
     os.makedirs(nnet, exist_ok=True)
     with open(os.path.join(nnet, "config.json"), "w") as f:
         json.dump(cfg, f)
@@ -279,7 +272,50 @@ def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
                       num_speakers=num_speakers)
     trainer.build("train", dim, cfg["loss_func"], num_speakers)
     trainer.save(0)
+    return nnet
 
+
+def _extract_corpus(root, dim, n_utts):
+    """Compressed ark of synthetic utterances, uniform [400, 800] frames
+    (post-VAD VoxCeleb-ish lengths, spanning 4 length buckets), with a
+    VAD-stable log-energy column. Returns the scp path (cached)."""
+    import os
+
+    from tf_kaldi_speaker_tpu.kio.ark import ArkScpWriter
+
+    root = os.path.join(root, "corpus_%d_%d" % (dim, n_utts))
+    os.makedirs(root, exist_ok=True)
+    scp = os.path.join(root, "f.scp")
+    marker = os.path.join(root, ".done")
+    if os.path.exists(marker) and os.path.exists(scp):
+        return scp
+    rng = np.random.RandomState(0)
+    w = ArkScpWriter("ark,scp:%s,%s" % (os.path.join(root, "f.ark"), scp),
+                     kind="mat")
+    for i in range(n_utts):
+        T = int(rng.randint(400, 801))
+        feats = rng.randn(T, dim).astype(np.float32)
+        feats[:, 0] = 20.0 + 0.1 * rng.randn(T)  # VAD-stable log-energy
+        w.write("utt%05d" % i, feats, compress=True)
+    w.close()
+    open(marker, "w").close()
+    return scp
+
+
+def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
+    """Embedding-extraction FORWARD throughput (BASELINE.md primary metric
+    "extract embeddings/sec"): the flagship model through
+    Extractor.embed_stream with length-bucketed masked device batches
+    (extract/extractor.py), fed pre-featurized in-memory floats. This is
+    the device-compute + link ceiling with input prep excluded — NOT
+    directly comparable to the ``*_pipe`` numbers, which include the ark
+    read and CMVN/VAD featurization a real run performs (the like-for-like
+    pair is host_pipe vs device_pipe). Returns (embeddings/sec,
+    frames/sec, fwd FLOPs/frame) median over ``windows`` timed passes."""
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+
+    nnet = _extract_model_dir(cfg, dim, num_speakers,
+                              "/tmp/tfks_bench_extract")
     extractor = Extractor(nnet, batch_size=128)
     rng = np.random.RandomState(0)
     utts = [
@@ -316,41 +352,53 @@ def bench_extract(cfg, dim, num_speakers, n_utts=256, windows=3):
     return n_utts / dt, total_frames / dt, flops_per_frame
 
 
+def bench_extract_host_pipe(cfg, dim, num_speakers, n_utts=256, windows=3):
+    """The real `cli.extract --cmvn --vad` HOST path on the same on-disk
+    compressed ark the device-pipe bench reads: host ark decode + host
+    sliding CMVN + host energy VAD + batched device forward. This is the
+    like-for-like baseline the device pipe replaces (the reference's
+    apply-cmvn-sliding | select-voiced-frames | extract.py pipe,
+    run_extract_embeddings.sh:47)."""
+    from tf_kaldi_speaker_tpu.cli.extract import apply_cmvn_vad
+    from tf_kaldi_speaker_tpu.extract.extractor import Extractor
+    from tf_kaldi_speaker_tpu.kio import read_mat_scp
+
+    root = "/tmp/tfks_bench_dpipe"
+    nnet = _extract_model_dir(cfg, dim, num_speakers, root)
+    scp = _extract_corpus(root, dim, n_utts)
+    ex = Extractor(nnet, batch_size=128)
+
+    def one_pass():
+        def stream():
+            for key, m in read_mat_scp(scp):
+                f = apply_cmvn_vad(m, True, True)
+                if f.shape[0]:
+                    yield key, f
+        n = sum(1 for _ in ex.embed_stream(stream()))
+        assert n == n_utts, (n, n_utts)
+
+    one_pass()  # warmup/compile
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        one_pass()
+        rates.append(time.perf_counter() - t0)
+    return n_utts / sorted(rates)[len(rates) // 2]
+
+
 def bench_extract_device_pipe(cfg, dim, num_speakers, n_utts=256, windows=3):
     """Decode-on-device extraction throughput: raw CM codes shipped
     (1 B/element); dequantize + sliding CMVN + energy VAD + voiced-frame
     compaction + forward fused on device (extract/device_pipe.py). The
     timed pass includes the host-side ark read, like a real cli.extract
-    --device-pipe run."""
-    import os
-
+    --device-pipe run — compare with bench_extract_host_pipe, which does
+    the identical job from the identical ark on the host."""
     from tf_kaldi_speaker_tpu.extract.device_pipe import DevicePipeExtractor
-    from tf_kaldi_speaker_tpu.kio.ark import ArkScpWriter, read_codes_scp
-    from tf_kaldi_speaker_tpu.train.trainer import Trainer
-    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+    from tf_kaldi_speaker_tpu.kio.ark import read_codes_scp
 
     root = "/tmp/tfks_bench_dpipe"
-    nnet = os.path.join(root, "nnet")
-    os.makedirs(nnet, exist_ok=True)
-    with open(os.path.join(nnet, "config.json"), "w") as f:
-        json.dump(cfg, f)
-    with open(os.path.join(nnet, "feature_dim"), "w") as f:
-        f.write("%d\n" % dim)
-    trainer = Trainer(ParamsPlain(**cfg), nnet, dim=dim,
-                      num_speakers=num_speakers)
-    trainer.build("train", dim, cfg["loss_func"], num_speakers)
-    trainer.save(0)
-
-    scp = os.path.join(root, "f.scp")
-    rng = np.random.RandomState(0)
-    w = ArkScpWriter("ark,scp:%s,%s" % (os.path.join(root, "f.ark"), scp),
-                     kind="mat")
-    for i in range(n_utts):
-        T = int(rng.randint(400, 801))
-        feats = rng.randn(T, dim).astype(np.float32)
-        feats[:, 0] = 20.0 + 0.1 * rng.randn(T)  # VAD-stable log-energy
-        w.write("utt%05d" % i, feats, compress=True)
-    w.close()
+    _extract_model_dir(cfg, dim, num_speakers, root)
+    scp = _extract_corpus(root, dim, n_utts)
 
     ex = DevicePipeExtractor(root, cmvn=True, vad=True, batch_size=128)
 
@@ -462,6 +510,7 @@ def main(e2e_headline: bool = False) -> None:
         cfg, dim, num_speakers)
     extract_mfu = (None if fwd_flops_per_frame is None or peak is None
                    else frame_rate * fwd_flops_per_frame / (peak * n_chips))
+    hpipe_rate = bench_extract_host_pipe(cfg, dim, num_speakers)
     dpipe_rate = bench_extract_device_pipe(cfg, dim, num_speakers)
     extra = {
         "flops_per_step": None if flops_per_step is None
@@ -472,10 +521,14 @@ def main(e2e_headline: bool = False) -> None:
         "e2e_stream_chunks_per_sec_per_chip": round(stream_rate, 2),
         "stream_link_bound_chunks_per_sec_per_chip": round(stream_bound, 2),
         "h2d_MBps": round(h2d_bw / 1e6, 2),
+        # forward-only rate (pre-featurized in-memory input; the device
+        # ceiling). The like-for-like featurizing pair is host_pipe vs
+        # device_pipe below: identical on-disk ark, identical CMVN+VAD job.
         "extract_embeddings_per_sec": round(emb_rate, 2),
         # frames/sec ÷ 100 frames/sec-of-audio = ×realtime
         "extract_x_realtime": round(frame_rate / 100.0, 1),
         "extract_mfu": None if extract_mfu is None else round(extract_mfu, 4),
+        "extract_host_pipe_embeddings_per_sec": round(hpipe_rate, 2),
         "extract_device_pipe_embeddings_per_sec": round(dpipe_rate, 2),
     }
     if e2e_headline:

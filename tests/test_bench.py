@@ -68,3 +68,13 @@ def test_bench_extract_device_pipe_smoke():
     rate = bench.bench_extract_device_pipe(
         TINY, DIM, NUM_SPEAKERS, n_utts=8, windows=1)
     assert np.isfinite(rate) and rate > 0
+
+
+@pytest.mark.slow
+def test_bench_extract_host_pipe_smoke():
+    import bench
+
+    # Same on-disk corpus as the device-pipe bench (the like-for-like pair).
+    rate = bench.bench_extract_host_pipe(
+        TINY, DIM, NUM_SPEAKERS, n_utts=8, windows=1)
+    assert np.isfinite(rate) and rate > 0
