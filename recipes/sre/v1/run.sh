@@ -56,9 +56,8 @@ if [ $stage -le 2 ]; then
       --aug-wav-scp "$musan_root/speech/wav.scp" \
       "$data_root/swbd_sre/wav.scp" "$data_root/swbd_sre/utt2spk" \
       "$data_root/swbd_sre_babble"
-    mkdir -p "$data_root/swbd_sre_aug"
-    cat "$data_root"/swbd_sre_{reverb,noise,music,babble}/wav.scp > "$data_root/swbd_sre_aug/wav.scp"
-    cat "$data_root"/swbd_sre_{reverb,noise,music,babble}/utt2spk > "$data_root/swbd_sre_aug/utt2spk"
+    $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/swbd_sre_aug" \
+      "$data_root"/swbd_sre_{reverb,noise,music,babble}
     $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
       --sample-rate 8000 --num-ceps 23 --num-mel-bins 23 \
       --low-freq 20 --high-freq 3700 \

@@ -45,12 +45,9 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
     echo "    (published EERs require this stage; point musan_root/rirs_root"
     echo "     at MUSAN and RIRS_NOISES wav.scp dirs and rerun --stage 2)"
   else
-    # combined clean train wav list
-    mkdir -p "$data_root/train_wavs"
-    cat "$data_root/voxceleb1_dev/wav.scp" "$data_root/voxceleb2/wav.scp" \
-      > "$data_root/train_wavs/wav.scp"
-    cat "$data_root/voxceleb1_dev/utt2spk" "$data_root/voxceleb2/utt2spk" \
-      > "$data_root/train_wavs/utt2spk"
+    # combined clean train wav list (reference run.sh:53 combine_data)
+    $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/train_wavs" \
+      "$data_root/voxceleb1_dev" "$data_root/voxceleb2"
     # reference parameters: reverb = RIRs, no additive noise (run.sh:75-92);
     # noise fg SNRs 15:10:5:0; music bg 15:10:8:5; babble 20:17:15:13 with
     # 3-7 speech sources (run.sh:108-113)
@@ -75,9 +72,8 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
       "$data_root/train_babble"
     # MFCC + VAD for the augmented copies (reference computes MFCC only and
     # reuses the clean vad.scp; our VAD is recomputed — equivalent energy VAD)
-    mkdir -p "$data_root/train_aug"
-    cat "$data_root"/train_{reverb,noise,music,babble}/wav.scp > "$data_root/train_aug/wav.scp"
-    cat "$data_root"/train_{reverb,noise,music,babble}/utt2spk > "$data_root/train_aug/utt2spk"
+    $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/train_aug" \
+      "$data_root"/train_{reverb,noise,music,babble}
     $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
       --num-ceps 30 --num-mel-bins 30 --low-freq 20 --high-freq 7600 \
       "$data_root/train_aug/wav.scp" "$data_root/train_aug/mfcc"

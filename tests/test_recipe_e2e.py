@@ -42,14 +42,18 @@ def _tone(freq, dur, rate=16000, amp=6000.0, seed=0):
     return (amp * np.sin(2 * np.pi * freq * t) + rng.randn(len(t)) * 300.0)
 
 
-def _make_wav_dir(root, name, speakers, utts_per_spk, dur=1.2, seed=0, rate=16000):
+def _make_wav_dir(root, name, speakers, utts_per_spk, dur=1.2, seed=0,
+                  rate=16000, spk_base=0):
+    """spk_base keeps speaker/utterance ids DISJOINT across partitions —
+    real corpora have globally unique ids, and tfks-combine-data (like
+    utils/combine_data.sh) aborts on duplicate utterance ids."""
     from tf_kaldi_speaker_tpu.kio.wav import write_wav
 
     d = os.path.join(root, name)
     os.makedirs(os.path.join(d, "wavs"), exist_ok=True)
     scp, u2s = [], []
     k = 0
-    for s in range(speakers):
+    for s in range(spk_base, spk_base + speakers):
         for u in range(utts_per_spk):
             utt = "spk%02d-utt%02d" % (s, u)
             path = os.path.join(d, "wavs", utt + ".wav")
@@ -227,8 +231,9 @@ def test_voxceleb_recipe_all_stages(tmp_path):
     exp = str(tmp_path / "exp")
     # tiny corpora: dev 6 spk x 10 utts, vox2 4 spk x 10, test 4 spk x 3
     _make_wav_dir(data, "voxceleb1_dev", 6, 10, seed=0)
-    _make_wav_dir(data, "voxceleb2", 4, 10, seed=500)
-    test_dir = _make_wav_dir(data, "voxceleb1_test", 4, 3, seed=900)
+    _make_wav_dir(data, "voxceleb2", 4, 10, seed=500, spk_base=6)
+    test_dir = _make_wav_dir(data, "voxceleb1_test", 4, 3, seed=900,
+                             spk_base=10)
     # trials: same-speaker target / cross-speaker nontarget
     utts = [l.split()[0] for l in open(os.path.join(test_dir, "wav.scp"))]
     with open(os.path.join(test_dir, "trials"), "w") as f:

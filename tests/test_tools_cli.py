@@ -269,3 +269,63 @@ def test_fix_data_dir_with_segments(tmp_path):
     assert wavs == ["reco1", "reco2"]
     segs = [l.split()[0] for l in open(os.path.join(d, "segments"))]
     assert segs == ["u1", "u2"]
+
+
+def test_combine_data(tmp_path):
+    """Native utils/combine_data.sh: concat per-utt tables across sources
+    (sorted, spk2utt regenerated, speakers may repeat across sources),
+    skip present-in-some files with a warning, --extra-files honored."""
+    import os
+
+    from tf_kaldi_speaker_tpu.cli.combine_data import combine_data
+
+    a, b, dest = (str(tmp_path / n) for n in ("a", "b", "dest"))
+    os.makedirs(a)
+    os.makedirs(b)
+    # spkA appears in BOTH sources (utterance lists must merge).
+    with open(os.path.join(a, "utt2spk"), "w") as f:
+        f.write("a2 spkA\na1 spkA\n")
+    with open(os.path.join(a, "wav.scp"), "w") as f:
+        f.write("a2 wav2\na1 wav1\n")
+    with open(os.path.join(a, "utt2num_frames"), "w") as f:
+        f.write("a1 100\na2 200\n")
+    with open(os.path.join(b, "utt2spk"), "w") as f:
+        f.write("b1 spkB\nb2 spkA\n")
+    with open(os.path.join(b, "wav.scp"), "w") as f:
+        f.write("b1 wav3\nb2 wav4\n")
+    # text only in b -> must be skipped, not half-combined
+    with open(os.path.join(b, "text"), "w") as f:
+        f.write("b1 hello\n")
+
+    written = combine_data(dest, [a, b], extra_files=["utt2num_frames"])
+    assert written["utt2spk"] == 4
+    assert "text" not in written
+    assert not os.path.exists(os.path.join(dest, "text"))
+    # utt2num_frames present in only one source: skipped even as an
+    # --extra-file (combine_data.sh requires it everywhere)
+    assert "utt2num_frames" not in written
+
+    u2s = [l.split() for l in open(os.path.join(dest, "utt2spk"))]
+    assert u2s == [["a1", "spkA"], ["a2", "spkA"], ["b1", "spkB"],
+                   ["b2", "spkA"]]
+    s2u = {l.split()[0]: l.split()[1:]
+           for l in open(os.path.join(dest, "spk2utt"))}
+    assert s2u == {"spkA": ["a1", "a2", "b2"], "spkB": ["b1"]}
+
+
+def test_combine_data_duplicate_utts_fail(tmp_path):
+    """Duplicate utterance ids across sources abort (reference behavior:
+    combined dirs must have unique utts)."""
+    import os
+
+    import pytest
+
+    from tf_kaldi_speaker_tpu.cli.combine_data import combine_data
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (a, b):
+        os.makedirs(d)
+        with open(os.path.join(d, "utt2spk"), "w") as f:
+            f.write("dup1 spkX\n")
+    with pytest.raises(SystemExit, match="duplicate"):
+        combine_data(str(tmp_path / "dest"), [a, b])
