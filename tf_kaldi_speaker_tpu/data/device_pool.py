@@ -16,10 +16,16 @@ speaker-resampling rule when no utterance exceeds the batch length
 a donated `dynamic_update_slice` ring because very large single host→device
 copies stall high-latency links.
 
-When the data set exceeds the pool budget, each `stage()` round holds a
-random resident subset of speakers (seeded, epoch-rotated) — block-shuffled
-sampling, the standard shard-rotation compromise; with the full corpus
-resident the distribution is exact.
+When the data set exceeds the pool budget, the speaker set is partitioned
+into ``rotation_rounds`` byte-balanced windows per cycle (seeded shuffle +
+least-loaded greedy); ``stage(round_id)`` holds window ``round_id % R`` of
+cycle ``round_id // R``, so R consecutive rounds cover EVERY speaker exactly
+once — the trainer rotates windows INSIDE each epoch at dispatch-group
+boundaries. (The earlier design held one independent random subset per
+epoch; the quality matrix measured that costing ~1.5-2.5% absolute EER on
+the hard benchmark — see docs/VALIDATION.md — because each epoch trained
+on a biased speaker subset.) With the full corpus resident the
+distribution is exact.
 """
 
 from __future__ import annotations
@@ -70,65 +76,134 @@ def _stage_rows(buf, host: np.ndarray, sharding):
     return buf
 
 
+def _spk_bytes(reader, dim, segs):
+    """Pool bytes one speaker's utterances occupy: codes (frames * dim *
+    1 B) + percentile headers (4 * dim float32 per utterance). The
+    frame-axis sublane padding (<8 rows) is noise."""
+    return (
+        sum(reader.utt2num_frames[s.split(" ")[0]] for s in segs) * dim
+        + len(segs) * 16 * dim
+    )
+
+
+def _effective_rounds(reader, spk2features, dim, budget_bytes,
+                      min_speakers=1):
+    """(R, total_bytes): rotation windows needed to cover the corpus under
+    the byte budget, capped so every window can still hold ``min_speakers``
+    (the sharded pool's shard count). R == 1 means no rotation — either the
+    corpus fits, or the speaker-count floor forces staging over budget."""
+    total = sum(
+        _spk_bytes(reader, dim, segs) for segs in spk2features.values()
+    )
+    if budget_bytes is None or total <= budget_bytes:
+        return 1, total
+    R = int(-(-total // max(1, budget_bytes)))
+    return max(1, min(R, len(spk2features) // max(1, min_speakers))), total
+
+
+def _plan_cycle(reader, spk2features, dim, R, seed, cycle, min_speakers):
+    """Partition ALL speakers into R byte-balanced windows for one rotation
+    cycle (seeded per-cycle shuffle + least-loaded greedy), so R consecutive
+    rounds cover every speaker exactly once. A post-pass moves speakers
+    from the fullest windows until each holds >= ``min_speakers``."""
+    order = list(spk2features.keys())
+    random.Random(seed + 104729 * cycle).shuffle(order)
+    bins: List[List[int]] = [[] for _ in range(R)]
+    load = [0] * R
+    for spk in order:
+        d = int(np.argmin(load))
+        bins[d].append(spk)
+        load[d] += _spk_bytes(reader, dim, spk2features[spk])
+    for b in bins:
+        while len(b) < min_speakers:
+            donor = max(
+                (x for x in bins if x is not b), key=len, default=None
+            )
+            if donor is None or len(donor) <= min_speakers:
+                raise ValueError(
+                    "cannot hold %d speakers in each of %d rotation "
+                    "windows with %d speakers total"
+                    % (min_speakers, R, len(order)))
+            b.append(donor.pop())
+    return bins
+
+
+def _spk_frames(reader, spk2features, spk):
+    return sum(
+        reader.utt2num_frames[s.split(" ")[0]] for s in spk2features[spk]
+    )
+
+
+def _plan_capacity(reader, spk2features, dim, R, seed, min_speakers=1,
+                   shards=1):
+    """Fixed staging capacity (cap_frames, cap_utts) across rotation
+    windows: the max over cycle 0's R windows plus one max-speaker
+    headroom (greedy least-loaded keeps every cycle's windows within one
+    speaker of balanced, so later cycles almost never exceed it). A fixed
+    capacity means the pool arrays keep ONE shape across windows, so the
+    scanned train step compiles once per bucket length instead of once
+    per (bucket, window) — restaging cost drops from a ~100 s recompile
+    to the window's H2D copy. ``shards`` > 1 sizes the PER-SHARD block of
+    ShardedDevicePool (mirrors its LPT speaker->shard balancing)."""
+    bins = _plan_cycle(reader, spk2features, dim, R, seed, 0, min_speakers)
+    frames_of = {s: _spk_frames(reader, spk2features, s)
+                 for s in spk2features}
+    max_f = max_n = 0
+    for b in bins:
+        if shards == 1:
+            f = sum(frames_of[s] for s in b)
+            n = sum(len(spk2features[s]) for s in b)
+        else:
+            load = [0] * shards
+            count = [0] * shards
+            for s in sorted(b, key=lambda s: -frames_of[s]):
+                d = int(np.argmin(load))
+                load[d] += frames_of[s]
+                count[d] += len(spk2features[s])
+            f, n = max(load), max(count)
+        max_f, max_n = max(max_f, f), max(max_n, n)
+    head_f = max(frames_of.values())
+    head_n = max(len(v) for v in spk2features.values())
+    return -(-(max_f + head_f) // 8) * 8, max_n + head_n
+
+
 def _select_resident_items(reader, spk2features, dim, budget_bytes, seed,
                            round_id, min_speakers=1):
     """(speaker, segment) resident list for one residency round, plus a
     full_resident flag. Shared by DevicePool and ShardedDevicePool: when
-    the corpus exceeds the budget, whole speakers are rotated in by a
-    round-seeded shuffle. ``min_speakers`` (the sharded pool's shard count)
-    is always honored — if the budget-fill admits fewer, the smallest
-    remaining speakers are added over budget rather than crashing a later
-    rotation round. The accounting covers code AND header bytes (the
-    frame-axis sublane padding, <8 rows, is noise)."""
-
-    def spk_bytes(segs):
-        # codes: frames * dim * 1 B; headers: 4 * dim float32 per utterance
-        return (
-            sum(reader.utt2num_frames[s.split(" ")[0]] for s in segs) * dim
-            + len(segs) * 16 * dim
-        )
-
-    items = [
-        (spk, seg) for spk, segs in spk2features.items() for seg in segs
-    ]
-    total = sum(spk_bytes(segs) for segs in spk2features.values())
-    if budget_bytes is None or total <= budget_bytes:
-        return items, True
-    speakers = list(spk2features.keys())
-    random.Random(seed + 104729 * round_id).shuffle(speakers)
-    chosen: List[Tuple[int, str]] = []
-    chosen_spk = set()
-    used = 0
-    for spk in speakers:
-        segs = spk2features[spk]
-        b = spk_bytes(segs)
-        if used + b > budget_bytes and chosen:
-            continue
-        chosen.extend((spk, s) for s in segs)
-        chosen_spk.add(spk)
-        used += b
-        if used >= budget_bytes:
-            break
-    if len(chosen_spk) < min_speakers:
-        # Admit the smallest remaining speakers until the floor is met.
-        rest = sorted(
-            (s for s in speakers if s not in chosen_spk),
-            key=lambda s: spk_bytes(spk2features[s]),
-        )
-        for spk in rest[: min_speakers - len(chosen_spk)]:
-            chosen.extend((spk, s) for s in spk2features[spk])
-            chosen_spk.add(spk)
-            used += spk_bytes(spk2features[spk])
-        log.warning(
-            "device pool: budget admits %d speakers but %d are required; "
-            "staging %.0f MB (over budget %.0f MB)",
-            len(chosen_spk), min_speakers, used / 1e6, budget_bytes / 1e6,
-        )
+    the corpus exceeds the budget, ``round_id`` selects window
+    ``round_id % R`` of the cycle-``round_id // R`` partition, so R
+    consecutive rounds cover every speaker exactly once (see
+    :func:`_plan_cycle`). If the ``min_speakers`` floor (the sharded
+    pool's shard count) caps R at 1, the whole corpus is staged over
+    budget rather than crashing a later rotation round."""
+    R, total = _effective_rounds(
+        reader, spk2features, dim, budget_bytes, min_speakers)
+    if R == 1:
+        if budget_bytes is not None and total > budget_bytes:
+            log.warning(
+                "device pool: %d-speaker floor forces staging the whole "
+                "%.0f MB corpus over the %.0f MB budget",
+                min_speakers, total / 1e6, budget_bytes / 1e6,
+            )
+        return [
+            (spk, seg) for spk, segs in spk2features.items() for seg in segs
+        ], True
+    cycle, window = divmod(round_id, R)
+    bins = _plan_cycle(
+        reader, spk2features, dim, R, seed, cycle, min_speakers)
+    chosen_spk = bins[window]
+    used = sum(
+        _spk_bytes(reader, dim, spk2features[s]) for s in chosen_spk)
     log.info(
-        "device pool: resident %d/%d speakers (%.0f MB of %.0f MB corpus)",
-        len(chosen_spk), len(speakers), used / 1e6, total / 1e6,
+        "device pool: resident %d/%d speakers (window %d/%d of cycle %d, "
+        "%.0f MB of %.0f MB corpus)",
+        len(chosen_spk), len(spk2features), window, R, cycle,
+        used / 1e6, total / 1e6,
     )
-    return chosen, False
+    return [
+        (spk, seg) for spk in chosen_spk for seg in spk2features[spk]
+    ], False
 
 
 def _resolve_speaker(rng, spk2utts, utt_len_of, spk, batch_speakers, i,
@@ -209,6 +284,18 @@ class DevicePool:
         self.num_total_speakers = len(spk2index)
         self.reader = FeatureReader(data_dir)
         self.dim = self.reader.dim
+        # Windows per rotation cycle (1 = the whole corpus fits): the
+        # trainer stages window (epoch*R + w) at dispatch-group boundaries
+        # so each epoch covers every speaker. Rotation windows all stage
+        # into the SAME fixed-capacity buffers so the compiled step is
+        # reused across windows (see _plan_capacity).
+        self.rotation_rounds, _ = _effective_rounds(
+            self.reader, spk2features, self.dim, budget_bytes)
+        self._cap_f = self._cap_n = 0
+        if self.rotation_rounds > 1:
+            self._cap_f, self._cap_n = _plan_capacity(
+                self.reader, spk2features, self.dim, self.rotation_rounds,
+                seed)
 
         # Device arrays (set by stage()):
         self.frames = None      # [F, D] uint8 codes
@@ -253,6 +340,22 @@ class DevicePool:
         offsets[1:] = np.cumsum(lens, dtype=np.int64)[:-1]
         # Pad the frame axis to the sublane tile so XLA keeps the layout.
         f_pad = -(-total_frames // 8) * 8
+        # Rotation windows share ONE device-array shape (the planned
+        # capacity) so the jitted train step compiles once per bucket
+        # length, not once per window. Grow-only if a later cycle's
+        # partition exceeds the plan (one extra compile, then stable).
+        if self.rotation_rounds > 1:
+            if f_pad > self._cap_f or n > self._cap_n:
+                log.warning(
+                    "rotation window (%d frames, %d utts) exceeds planned "
+                    "capacity (%d, %d); growing (one-time recompile)",
+                    f_pad, n, self._cap_f, self._cap_n,
+                )
+                self._cap_f = max(self._cap_f, f_pad)
+                self._cap_n = max(self._cap_n, n)
+            cap_f, cap_n = self._cap_f, self._cap_n
+        else:
+            cap_f, cap_n = f_pad, n
 
         host_frames = np.zeros((f_pad, self.dim), np.uint8)
         host_headers = np.zeros((n, 4, self.dim), np.float32)
@@ -270,11 +373,11 @@ class DevicePool:
         # pool is sized near free HBM and holding both would OOM.
         self.frames = self.headers = None
         self.frames = _stage_rows(
-            _device_zeros((f_pad, self.dim), jnp.uint8, self.sharding),
+            _device_zeros((cap_f, self.dim), jnp.uint8, self.sharding),
             host_frames, self.sharding,
         )
         self.headers = _stage_rows(
-            _device_zeros((n, 4, self.dim), jnp.float32, self.sharding),
+            _device_zeros((cap_n, 4, self.dim), jnp.float32, self.sharding),
             host_headers, self.sharding,
         )
         self.utt_offset = offsets
@@ -401,6 +504,16 @@ class ShardedDevicePool:
         self.num_total_speakers = len(spk2index)
         self.reader = FeatureReader(data_dir)
         self.dim = self.reader.dim
+        self.rotation_rounds, _ = _effective_rounds(
+            self.reader, spk2features, self.dim, budget_bytes,
+            min_speakers=self.num_shards)
+        # Planned PER-SHARD capacity shared by all rotation windows so the
+        # shard_map'd train step keeps one compiled shape (see DevicePool).
+        self._cap_f = self._cap_n = 0
+        if self.rotation_rounds > 1:
+            self._cap_f, self._cap_n = _plan_capacity(
+                self.reader, spk2features, self.dim, self.rotation_rounds,
+                seed, min_speakers=self.num_shards, shards=self.num_shards)
 
         self.frames = None     # [S*cap_f, D] uint8, sharded on axis 0
         self.headers = None    # [S*cap_n, 4, D] f32, sharded on axis 0
@@ -449,15 +562,27 @@ class ShardedDevicePool:
             shard_of[spk] = d
             load[d] += spk_frames[spk]
         cap_f = -(-max(load) // 8) * 8
-        if cap_f >= 2**31:
-            raise ValueError(
-                "per-shard pool of %d frames exceeds the int32 index "
-                "space; set a pool budget" % cap_f)
         per_shard_utts = [
             sum(len(spk_items[s]) for s in spk_items if shard_of[s] == d)
             for d in range(S)
         ]
         cap_n = max(per_shard_utts)
+        # Rotation windows share the planned capacity (grow-only) so the
+        # compiled step's pool-array shapes are stable across windows.
+        if self.rotation_rounds > 1:
+            if cap_f > self._cap_f or cap_n > self._cap_n:
+                log.warning(
+                    "rotation window (%d frames, %d utts per shard) exceeds "
+                    "planned capacity (%d, %d); growing (one-time recompile)",
+                    cap_f, cap_n, self._cap_f, self._cap_n,
+                )
+                self._cap_f = max(self._cap_f, cap_f)
+                self._cap_n = max(self._cap_n, cap_n)
+            cap_f, cap_n = self._cap_f, self._cap_n
+        if cap_f >= 2**31:
+            raise ValueError(
+                "per-shard pool of %d frames exceeds the int32 index "
+                "space; set a pool budget" % cap_f)
 
         # Read + fill ONLY this process's shard block; the index tables
         # are keyed by GLOBAL shard id but populated locally.

@@ -1038,7 +1038,12 @@ class Trainer:
         KB per dispatch — and the scanned K-step program gathers +
         dequantizes the chunks on-device, so the loader-fed rate equals
         the device-step rate. When the corpus exceeds ``pool_budget_mb``,
-        each epoch holds an epoch-rotated resident speaker subset."""
+        the resident speaker subset rotates INSIDE the epoch at
+        dispatch-group boundaries through a coverage partition: the epoch's
+        R windows hold every speaker exactly once (data/device_pool.py).
+        Epoch-level subset rotation — each epoch training on one biased
+        subset — measured ~1.5-2.5% absolute EER worse on the hard
+        benchmark (docs/VALIDATION.md quality matrix)."""
         import random as _random
 
         from ..data import bucket_lengths
@@ -1082,7 +1087,8 @@ class Trainer:
         if self._device_pool is None or self._device_pool.data_dir != data_dir:
             if self._device_pool is not None:
                 self._device_pool.close()
-            budget = int(cfg.get("pool_budget_mb", 12000)) << 20
+            # float MB allowed (sub-MB budgets matter for tiny test corpora)
+            budget = int(float(cfg.get("pool_budget_mb", 12000)) * (1 << 20))
             if sharded:
                 from ..data.device_pool import ShardedDevicePool
 
@@ -1096,8 +1102,20 @@ class Trainer:
                     sharding=self.rep, seed=int(cfg.get("seed", 0)),
                 )
         pool = self._device_pool
-        epoch_round = step0 // max(1, num_steps)
-        pool.stage(epoch_round)
+        # Rotation schedule: R windows per epoch (1 = fully resident), the
+        # w-th active for epoch steps [w*num_steps/R, (w+1)*num_steps/R).
+        # Window boundaries align to absolute epoch position, so a mid-epoch
+        # --cont resumes inside the correct window. All hosts share
+        # num_steps/step0/seed, so they stage the same windows at the same
+        # group boundaries (collective shape contract unaffected).
+        R = getattr(pool, "rotation_rounds", 1)
+        epoch = step0 // max(1, num_steps)
+
+        def _window(step_in_epoch: int) -> int:
+            return min(R - 1, R * step_in_epoch // num_steps)
+
+        cur_window = _window(step0 % num_steps)
+        pool.stage(epoch * R + cur_window)
         # Host-disjoint sampling streams; the LENGTH stream is shared so
         # every host dispatches the same program shape (collective shape
         # contract, same as the streaming loaders).
@@ -1121,6 +1139,10 @@ class Trainer:
         t0 = time.time()
         try:
             for local_group in range(steps_left // K):
+                w = _window(step0 % num_steps + local_group * K)
+                if w != cur_window:
+                    cur_window = w
+                    pool.stage(epoch * R + w)
                 L = length_rng.choice(buckets)
                 starts, utts, labels = pool.sample_group(
                     rng, K, num_speakers, num_segments, L
