@@ -161,6 +161,45 @@ def test_trainer_pool_rotates_within_epoch(pool_env):
     assert np.isfinite(t.valid(d["data"], d["spklist"])[0])
 
 
+def test_pool_rotation_mid_epoch_resume_correct_window(pool_env, monkeypatch):
+    """--cont from a mid-epoch checkpoint resumes in the rotation window
+    matching the resumed step (window boundaries align to absolute epoch
+    position), so the remainder of the epoch visits exactly the not-yet-
+    trained windows — never restarting coverage at window 0."""
+    from tf_kaldi_speaker_tpu.data import device_pool as dp_mod
+
+    root, d = pool_env
+    cfg = dict(
+        TINY, device_pool=True, pool_sharded=False, steps_per_dispatch=1,
+        num_steps_per_epoch=8, pool_budget_mb=0.05,
+        save_checkpoints_steps=5, min_segment_len=64, max_segment_len=96,
+    )
+    params = ParamsPlain(**cfg)
+    nnet = str(root / "mresume" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, params.loss_func, 8)
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert int(t.state.step) == 8  # full epoch; crossing checkpoint at 5
+    R = t._device_pool.rotation_rounds
+    assert R >= 2
+    t._device_pool.close()
+
+    t2 = Trainer(params, nnet, dim=20, num_speakers=8)
+    t2.build("train", 20, params.loss_func, 8)
+    assert t2.load(5) == 5  # simulate a crash after the step-5 checkpoint
+    staged = []
+    orig = dp_mod.DevicePool.stage
+    monkeypatch.setattr(
+        dp_mod.DevicePool, "stage",
+        lambda self, r=0: (staged.append(r), orig(self, r))[1])
+    t2.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert int(t2.state.step) == 8
+    # epoch 0, so round ids == window ids; windows for steps 5..7 only.
+    want = sorted({min(R - 1, R * s // 8) for s in range(5, 8)})
+    assert staged == want, (staged, want, R)
+    assert staged[0] > 0  # resumed mid-epoch, NOT back at window 0
+
+
 def test_pool_rotation_keeps_one_device_shape(pool_env):
     """All rotation windows stage into the SAME fixed-capacity device
     arrays (planned from cycle 0 + one-speaker headroom), so the jitted
