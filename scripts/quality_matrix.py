@@ -50,6 +50,10 @@ PATHS = {
     "pool": dict(device_decode=False, device_pool=True),
     "pool_rot": dict(device_decode=False, device_pool=True,
                      pool_budget_mb=8),  # ~1/3 of the ~26 MB corpus
+    # 3 coverage cycles per epoch: 3x shorter window dwell (finer corpus
+    # interleaving) for 3x the staging H2D bytes.
+    "pool_rot_c3": dict(device_decode=False, device_pool=True,
+                        pool_budget_mb=8, pool_rotation_cycles=3),
 }
 
 LOSSES = {

@@ -161,6 +161,39 @@ def test_trainer_pool_rotates_within_epoch(pool_env):
     assert np.isfinite(t.valid(d["data"], d["spklist"])[0])
 
 
+def test_trainer_pool_rotation_cycles(pool_env, monkeypatch):
+    """pool_rotation_cycles=C runs C coverage cycles per epoch: every
+    window of every cycle is staged exactly once, in order, so the corpus
+    is interleaved C times per epoch with 1/C the window dwell."""
+    from tf_kaldi_speaker_tpu.data import device_pool as dp_mod
+
+    root, d = pool_env
+    cfg = dict(
+        TINY, device_pool=True, pool_sharded=False, steps_per_dispatch=1,
+        num_steps_per_epoch=8, pool_budget_mb=0.07, pool_rotation_cycles=2,
+        save_checkpoints_steps=8, min_segment_len=64, max_segment_len=96,
+    )
+    params = ParamsPlain(**cfg)
+    nnet = str(root / "mcyc" / "nnet")
+    t = Trainer(params, nnet, dim=20, num_speakers=8)
+    t.build("train", 20, params.loss_func, 8)
+    staged = []
+    orig = dp_mod.DevicePool.stage
+    monkeypatch.setattr(
+        dp_mod.DevicePool, "stage",
+        lambda self, r=0: (staged.append(r), orig(self, r))[1])
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    R = t._device_pool.rotation_rounds
+    assert R >= 2 and 2 * R <= 8
+    # 2 cycles x R windows, staged in order: rounds 0 .. 2R-1.
+    assert staged == list(range(2 * R)), (staged, R)
+    assert int(t.state.step) == 8
+    # next epoch continues with cycles 2 and 3
+    staged.clear()
+    t.train(d["data"], d["spklist"], learning_rate=0.05)
+    assert staged == list(range(2 * R, 4 * R)), (staged, R)
+
+
 def test_pool_rotation_mid_epoch_resume_correct_window(pool_env, monkeypatch):
     """--cont from a mid-epoch checkpoint resumes in the rotation window
     matching the resumed step (window boundaries align to absolute epoch

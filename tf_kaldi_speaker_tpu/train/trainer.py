@@ -1102,20 +1102,30 @@ class Trainer:
                     sharding=self.rep, seed=int(cfg.get("seed", 0)),
                 )
         pool = self._device_pool
-        # Rotation schedule: R windows per epoch (1 = fully resident), the
-        # w-th active for epoch steps [w*num_steps/R, (w+1)*num_steps/R).
-        # Window boundaries align to absolute epoch position, so a mid-epoch
-        # --cont resumes inside the correct window. All hosts share
-        # num_steps/step0/seed, so they stage the same windows at the same
-        # group boundaries (collective shape contract unaffected).
+        # Rotation schedule: C coverage cycles of R windows per epoch
+        # (R == 1: fully resident, no rotation). Each slot is active for
+        # num_steps/(C*R) consecutive steps; every cycle re-partitions the
+        # speakers (seeded), so raising ``pool_rotation_cycles`` shortens
+        # the window dwell — finer corpus interleaving at the cost of C×
+        # corpus bytes of H2D staging per epoch (one-cycle dwell measured
+        # ~+1% absolute EER vs full-resident on the hard benchmark; see
+        # docs/VALIDATION.md quality matrix). Slot boundaries align to
+        # absolute epoch position, so a mid-epoch --cont resumes inside
+        # the correct window. All hosts share num_steps/step0/seed/C, so
+        # they stage the same windows at the same group boundaries
+        # (collective shape contract unaffected).
         R = getattr(pool, "rotation_rounds", 1)
+        C = max(1, int(cfg.get("pool_rotation_cycles", 1))) if R > 1 else 1
+        # More slots than epoch steps would skip windows (= skip speakers):
+        # clamp so every window of every cycle gets at least one step.
+        C = min(C, max(1, num_steps // max(1, R)))
         epoch = step0 // max(1, num_steps)
 
         def _window(step_in_epoch: int) -> int:
-            return min(R - 1, R * step_in_epoch // num_steps)
+            return min(C * R - 1, C * R * step_in_epoch // num_steps)
 
         cur_window = _window(step0 % num_steps)
-        pool.stage(epoch * R + cur_window)
+        pool.stage(epoch * C * R + cur_window)
         # Host-disjoint sampling streams; the LENGTH stream is shared so
         # every host dispatches the same program shape (collective shape
         # contract, same as the streaming loaders).
@@ -1142,7 +1152,7 @@ class Trainer:
                 w = _window(step0 % num_steps + local_group * K)
                 if w != cur_window:
                     cur_window = w
-                    pool.stage(epoch * R + w)
+                    pool.stage(epoch * C * R + w)
                 L = length_rng.choice(buckets)
                 starts, utts, labels = pool.sample_group(
                     rng, K, num_speakers, num_segments, L
