@@ -6,12 +6,14 @@ batched extractor, score held-out speakers with cosine + PLDA. Writes
 docs/VALIDATION.md. Run: python scripts/synthetic_validation.py
 
 --hard mode (quality benchmark with discriminative power): OVERLAPPING
-clusters — per-utterance channel offsets (chan_scale=1.1) put the oracle
-cosine EER at ~8-12%, so a subtly-wrong loss/BN shows up as a worse EER
+clusters — 600 crowded speakers in a 12-dim space with per-utterance
+channel offsets (chan_scale=HARD_CHAN) put the oracle frame-mean cosine
+EER at ~16.6%, so a subtly-wrong loss/BN shows up as a worse EER
 instead of everything collapsing to 0%. Trains softmax, AM-softmax m=0.2,
-and AM-softmax+MHE(0.01) with identical seeds/schedules and asserts the
+and AM-softmax+MHE(0.01) with identical seeds/schedules and checks the
 RESULTS.md ordering (softmax worst, margin losses better) on held-out
-speakers; appends the table to docs/VALIDATION.md.
+speakers; appends the table to docs/VALIDATION.md. Multi-seed spreads
+for the same arms live in scripts/quality_matrix.py.
 """
 
 import json
