@@ -91,7 +91,8 @@ def test_pool_budget_rotation(pool_env):
     reader = FeatureReader(d["data"])
     total = sum(reader.utt2num_frames.values()) * reader.dim
     reader.close()
-    pool = DevicePool(d["data"], d["spklist"], budget_bytes=total // 2)
+    pool = DevicePool(d["data"], d["spklist"], budget_bytes=total // 2,
+                      rotation_unit="speakers")
     pool.stage(0)
     assert not pool.full_resident
     res0 = set(pool.spk2utts.keys())
@@ -112,7 +113,8 @@ def test_pool_rotation_covers_all_speakers_each_cycle(pool_env):
     reader = FeatureReader(d["data"])
     total = sum(reader.utt2num_frames.values()) * reader.dim
     reader.close()
-    pool = DevicePool(d["data"], d["spklist"], budget_bytes=total // 3)
+    pool = DevicePool(d["data"], d["spklist"], budget_bytes=total // 3,
+                      rotation_unit="speakers")
     R = pool.rotation_rounds
     assert R >= 2
     all_spk = set(pool.spk2features.keys())
@@ -130,6 +132,83 @@ def test_pool_rotation_covers_all_speakers_each_cycle(pool_env):
         parts2.append(frozenset(pool.spk2utts.keys()))
         seen2 |= parts2[-1]
     assert seen2 == all_spk
+    pool.close()
+
+
+def test_pool_utts_rotation_speaker_distribution_and_coverage(pool_env):
+    """Utterance-unit rotation (the default): EVERY window holds EVERY
+    speaker (the per-step speaker sampling distribution equals full
+    residency), one cycle's windows cover every utterance at least once —
+    exactly once for speakers with >= R utterances — and each window fits
+    the byte budget."""
+    root, d = pool_env
+    reader = FeatureReader(d["data"])
+    dim = reader.dim
+    budget = sum(reader.utt2num_frames.values()) * dim // 3
+    pool = DevicePool(d["data"], d["spklist"], budget_bytes=budget)
+    assert pool.rotation_unit == "utts"
+    R = pool.rotation_rounds
+    assert R >= 2
+    all_spk = set(pool.spk2features.keys())
+    all_segs = {
+        (spk, seg)
+        for spk, segs in pool.spk2features.items() for seg in segs
+    }
+    for cycle in range(2):
+        seen = set()
+        counts = {}
+        for w in range(R):
+            pool.stage(cycle * R + w)
+            assert set(pool.spk2utts.keys()) == all_spk, (
+                "every speaker must stay resident in every utterance window"
+            )
+            # window fits the budget (codes + headers)
+            used = int(np.sum(pool.utt_len)) * dim + len(pool.utt_seg) * 16 * dim
+            assert used <= budget, (used, budget)
+            for i, seg in enumerate(pool.utt_seg):
+                item = (int(pool.utt_label[i]), seg)
+                seen.add(item)
+                counts[item] = counts.get(item, 0) + 1
+        assert seen == all_segs, "one cycle must cover every utterance"
+        for spk, segs in pool.spk2features.items():
+            if len(segs) >= R:
+                for seg in segs:
+                    assert counts[(spk, seg)] == 1, (
+                        "speakers with >= R utts must be covered exactly once"
+                    )
+    reader.close()
+    pool.close()
+
+
+def test_sharded_pool_utts_rotation(pool_env):
+    """Sharded pool with utterance-unit rotation: every window stages all
+    speakers across the shards, shapes stay fixed, and sampling works."""
+    from jax.sharding import Mesh
+
+    from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
+    from tf_kaldi_speaker_tpu.parallel.mesh import DATA_AXIS
+
+    root, d = pool_env
+    mesh = Mesh(np.array(jax.devices()[:2]), (DATA_AXIS,))
+    reader = FeatureReader(d["data"])
+    total = sum(reader.utt2num_frames.values()) * reader.dim
+    reader.close()
+    pool = ShardedDevicePool(
+        d["data"], d["spklist"], mesh, budget_bytes=total // 3)
+    assert pool.rotation_unit == "utts"
+    R = pool.rotation_rounds
+    assert R >= 2
+    all_spk = set(pool.spk2features.keys())
+    shapes = set()
+    rng = random.Random(7)
+    for w in range(R + 1):  # into the second cycle
+        pool.stage(w)
+        shapes.add((pool.frames.shape, pool.headers.shape))
+        resident = {spk for sp2u in pool.shard_spk2utts for spk in sp2u}
+        assert resident == all_spk
+        starts, utts, labels = pool.sample_group(rng, 2, 4, 2, 64)
+        assert starts.shape == (2, 8)
+    assert len(shapes) == 1
     pool.close()
 
 
@@ -284,7 +363,8 @@ def test_sharded_pool_budget_honors_min_speakers(pool_env):
     total = sum(reader.utt2num_frames.values()) * reader.dim
     reader.close()
     pool = ShardedDevicePool(
-        d["data"], d["spklist"], mesh, budget_bytes=max(1, total // 6))
+        d["data"], d["spklist"], mesh, budget_bytes=max(1, total // 6),
+        rotation_unit="speakers")
     for round_id in range(3):
         pool.stage(round_id)
         resident = {

@@ -16,16 +16,29 @@ speaker-resampling rule when no utterance exceeds the batch length
 a donated `dynamic_update_slice` ring because very large single host→device
 copies stall high-latency links.
 
-When the data set exceeds the pool budget, the speaker set is partitioned
-into ``rotation_rounds`` byte-balanced windows per cycle (seeded shuffle +
-least-loaded greedy); ``stage(round_id)`` holds window ``round_id % R`` of
-cycle ``round_id // R``, so R consecutive rounds cover EVERY speaker exactly
-once — the trainer rotates windows INSIDE each epoch at dispatch-group
-boundaries. (The earlier design held one independent random subset per
-epoch; the quality matrix measured that costing ~1.5-2.5% absolute EER on
-the hard benchmark — see docs/VALIDATION.md — because each epoch trained
-on a biased speaker subset.) With the full corpus resident the
-distribution is exact.
+When the data set exceeds the pool budget, residency rotates through
+``rotation_rounds`` windows per coverage cycle; ``stage(round_id)`` holds
+window ``round_id % R`` of cycle ``round_id // R``, and the trainer rotates
+windows INSIDE each epoch at dispatch-group boundaries. Two window units:
+
+- ``rotation_unit="utts"`` (default): each window holds a slice of EVERY
+  speaker's utterance list (seeded per-cycle deal), so the per-step
+  speaker sampling distribution is IDENTICAL to full residency — rotation
+  only restricts which recordings of a speaker are currently resident.
+  Speakers with fewer than R utterances stay visible in every window by
+  repeating utterances across windows (coverage is "at least once" per
+  cycle for those; exactly once for everyone else). Measured at parity
+  with the full-resident pool on the hard benchmark (docs/VALIDATION.md).
+- ``rotation_unit="speakers"``: byte-balanced partition of the SPEAKER
+  set (seeded shuffle + least-loaded greedy); R consecutive rounds cover
+  every speaker exactly once. Restricting each step's softmax negatives
+  to 1/R of the speakers measured ~0.5-0.9% absolute EER worse on the
+  hard benchmark; kept for corpora whose per-speaker utterance lists are
+  too small to slice. (A still-earlier design held one independent random
+  subset per epoch; the quality matrix measured that costing ~1.5-2.5%
+  absolute EER because each epoch trained on a biased speaker subset.)
+
+With the full corpus resident the distribution is exact.
 """
 
 from __future__ import annotations
@@ -84,6 +97,135 @@ def _spk_bytes(reader, dim, segs):
         sum(reader.utt2num_frames[s.split(" ")[0]] for s in segs) * dim
         + len(segs) * 16 * dim
     )
+
+
+def _seg_frames(reader, seg):
+    return reader.utt2num_frames[seg.split(" ")[0]]
+
+
+def _seg_bytes(reader, dim, seg):
+    return _seg_frames(reader, seg) * dim + 16 * dim
+
+
+def _plan_cycle_utts(spk2features, R, seed, cycle):
+    """Partition UTTERANCES into R windows with every speaker present in
+    every window: each speaker's (seeded, per-cycle) shuffled utterance
+    list is dealt round-robin across the windows from a random offset, so
+    a cycle's R windows cover each speaker's utterances exactly once when
+    the speaker has >= R of them. Speakers with fewer repeat utterances
+    across windows (at-least-once coverage) so they never drop out of the
+    per-step sampling distribution. Returns R lists of (spk, seg)."""
+    wins: List[List[Tuple[int, str]]] = [[] for _ in range(R)]
+    for spk in sorted(spk2features):
+        segs = list(spk2features[spk])
+        rng = random.Random(seed + 104729 * cycle + 7919 * (spk + 1))
+        rng.shuffle(segs)
+        off = rng.randrange(R)
+        n = len(segs)
+        if n >= R:
+            for i, seg in enumerate(segs):
+                wins[(off + i) % R].append((spk, seg))
+        else:
+            for w in range(R):
+                wins[w].append((spk, segs[(off + w) % n]))
+    return wins
+
+
+def _plan_rotation_utts(reader, spk2features, dim, budget_bytes, seed):
+    """(R, total_bytes) for utterance-unit rotation: start from the byte
+    quotient and raise R until cycle 0's largest window fits the budget.
+    Few-utterance speakers put a floor under the window size (each window
+    must hold >= 1 utterance of every speaker); if the budget sits below
+    that floor, stage over budget with a warning rather than crash."""
+    total = sum(
+        _spk_bytes(reader, dim, segs) for segs in spk2features.values()
+    )
+    if budget_bytes is None or total <= budget_bytes:
+        return 1, total
+    R = int(-(-total // max(1, budget_bytes)))
+    cap = 4 * R + 8
+    while True:
+        wins = _plan_cycle_utts(spk2features, R, seed, 0)
+        worst = max(
+            sum(_seg_bytes(reader, dim, seg) for _, seg in w) for w in wins
+        )
+        if worst <= budget_bytes:
+            return R, total
+        if R >= cap:
+            log.warning(
+                "utterance-rotation windows cannot fit the %.1f MB budget "
+                "even at R=%d (one-utterance-per-speaker floor is %.1f MB); "
+                "staging over budget",
+                budget_bytes / 1e6, R, worst / 1e6,
+            )
+            return R, total
+        R += 1
+
+
+def _plan_capacity_utts(reader, spk2features, dim, R, seed, shards=1):
+    """Fixed staging capacity (cap_frames, cap_utts) for utterance-unit
+    rotation windows, from the first three cycles' partitions plus one
+    max-utterance of headroom (the round-robin deal keeps windows within
+    a few utterances of balanced across cycles; rare exceedance falls
+    back to the grow-only recompile path). ``shards`` > 1 mirrors
+    ShardedDevicePool's per-window LPT speaker->shard balancing."""
+    max_f = max_n = 0
+    for cycle in range(3):
+        for win in _plan_cycle_utts(spk2features, R, seed, cycle):
+            if shards == 1:
+                f = sum(_seg_frames(reader, seg) for _, seg in win)
+                n = len(win)
+            else:
+                spk_w: Dict[int, List[str]] = {}
+                for spk, seg in win:
+                    spk_w.setdefault(spk, []).append(seg)
+                frames_of = {
+                    s: sum(_seg_frames(reader, g) for g in segs)
+                    for s, segs in spk_w.items()
+                }
+                load = [0] * shards
+                count = [0] * shards
+                for s in sorted(spk_w, key=lambda s: -frames_of[s]):
+                    d = int(np.argmin(load))
+                    load[d] += frames_of[s]
+                    count[d] += len(spk_w[s])
+                f, n = max(load), max(count)
+            max_f, max_n = max(max_f, f), max(max_n, n)
+    head_f = max(
+        _seg_frames(reader, s)
+        for segs in spk2features.values()
+        for s in segs
+    )
+    return -(-(max_f + head_f) // 8) * 8, max_n + 2
+
+
+def _select_resident_items_utts(reader, spk2features, dim, budget_bytes,
+                                seed, round_id, R):
+    """Utterance-unit residency for one round: window ``round_id % R`` of
+    cycle ``round_id // R``'s utterance deal (see :func:`_plan_cycle_utts`).
+    R is the pool's precomputed rotation_rounds (avoids re-running the
+    budget-fit search every stage)."""
+    if R == 1:
+        total = sum(
+            _spk_bytes(reader, dim, segs) for segs in spk2features.values()
+        )
+        if budget_bytes is not None and total > budget_bytes:
+            log.warning(
+                "device pool: staging the whole %.0f MB corpus over the "
+                "%.0f MB budget", total / 1e6, budget_bytes / 1e6,
+            )
+        return [
+            (spk, seg) for spk, segs in spk2features.items() for seg in segs
+        ], True
+    cycle, window = divmod(round_id, R)
+    win = _plan_cycle_utts(spk2features, R, seed, cycle)[window]
+    used = sum(_seg_bytes(reader, dim, seg) for _, seg in win)
+    log.info(
+        "device pool: resident %d utts of all %d speakers (utterance "
+        "window %d/%d of cycle %d, %.0f MB)",
+        len(win), len(spk2features), window, R, cycle, used / 1e6,
+    )
+    return list(win), False
 
 
 def _effective_rounds(reader, spk2features, dim, budget_bytes,
@@ -259,11 +401,14 @@ class DevicePool:
     Args:
         data_dir: Kaldi data dir with compressed ('CM ') feature arks.
         spklist: speaker→index file (same contract as the samplers).
-        budget_bytes: cap on the frames-buffer size; utterances of a random
-            speaker subset are staged when the corpus exceeds it.
+        budget_bytes: cap on the frames-buffer size; residency rotates
+            through coverage windows when the corpus exceeds it.
         sharding: placement for the pool arrays (replicated NamedSharding
             for data-parallel meshes).
         seed: base seed for residency selection and sampling.
+        rotation_unit: "utts" (default — windows slice every speaker's
+            utterance list, keeping the speaker distribution exact) or
+            "speakers" (windows partition the speaker set; see module doc).
     """
 
     def __init__(
@@ -273,12 +418,16 @@ class DevicePool:
         budget_bytes: Optional[int] = None,
         sharding=None,
         seed: int = 0,
+        rotation_unit: str = "utts",
     ):
+        if rotation_unit not in ("utts", "speakers"):
+            raise ValueError("rotation_unit must be 'utts' or 'speakers'")
         self.data_dir = data_dir
         self.spklist = spklist
         self.budget_bytes = budget_bytes
         self.sharding = sharding
         self.seed = seed
+        self.rotation_unit = rotation_unit
         spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
         self.spk2features = spk2features
         self.num_total_speakers = len(spk2index)
@@ -289,13 +438,22 @@ class DevicePool:
         # so each epoch covers every speaker. Rotation windows all stage
         # into the SAME fixed-capacity buffers so the compiled step is
         # reused across windows (see _plan_capacity).
-        self.rotation_rounds, _ = _effective_rounds(
-            self.reader, spk2features, self.dim, budget_bytes)
+        if rotation_unit == "utts":
+            self.rotation_rounds, _ = _plan_rotation_utts(
+                self.reader, spk2features, self.dim, budget_bytes, seed)
+        else:
+            self.rotation_rounds, _ = _effective_rounds(
+                self.reader, spk2features, self.dim, budget_bytes)
         self._cap_f = self._cap_n = 0
         if self.rotation_rounds > 1:
-            self._cap_f, self._cap_n = _plan_capacity(
-                self.reader, spk2features, self.dim, self.rotation_rounds,
-                seed)
+            if rotation_unit == "utts":
+                self._cap_f, self._cap_n = _plan_capacity_utts(
+                    self.reader, spk2features, self.dim,
+                    self.rotation_rounds, seed)
+            else:
+                self._cap_f, self._cap_n = _plan_capacity(
+                    self.reader, spk2features, self.dim,
+                    self.rotation_rounds, seed)
 
         # Device arrays (set by stage()):
         self.frames = None      # [F, D] uint8 codes
@@ -311,10 +469,16 @@ class DevicePool:
     # ------------------------------------------------------------------
     def _select_resident(self, round_id: int) -> List[Tuple[int, str]]:
         """(speaker, segment) list for this residency round."""
-        items, full = _select_resident_items(
-            self.reader, self.spk2features, self.dim, self.budget_bytes,
-            self.seed, round_id,
-        )
+        if self.rotation_unit == "utts":
+            items, full = _select_resident_items_utts(
+                self.reader, self.spk2features, self.dim, self.budget_bytes,
+                self.seed, round_id, self.rotation_rounds,
+            )
+        else:
+            items, full = _select_resident_items(
+                self.reader, self.spk2features, self.dim, self.budget_bytes,
+                self.seed, round_id,
+            )
         if full:
             self.full_resident = True
         return items
@@ -480,9 +644,13 @@ class ShardedDevicePool:
         axis: str = "data",
         budget_bytes: Optional[int] = None,
         seed: int = 0,
+        rotation_unit: str = "utts",
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if rotation_unit not in ("utts", "speakers"):
+            raise ValueError("rotation_unit must be 'utts' or 'speakers'")
+        self.rotation_unit = rotation_unit
         self.data_dir = data_dir
         self.mesh = mesh
         self.axis = axis
@@ -504,16 +672,29 @@ class ShardedDevicePool:
         self.num_total_speakers = len(spk2index)
         self.reader = FeatureReader(data_dir)
         self.dim = self.reader.dim
-        self.rotation_rounds, _ = _effective_rounds(
-            self.reader, spk2features, self.dim, budget_bytes,
-            min_speakers=self.num_shards)
+        if rotation_unit == "utts":
+            # Every utterance window holds ALL speakers, so the per-shard
+            # speaker floor is satisfied whenever the corpus itself has
+            # enough speakers (stage() checks that).
+            self.rotation_rounds, _ = _plan_rotation_utts(
+                self.reader, spk2features, self.dim, budget_bytes, seed)
+        else:
+            self.rotation_rounds, _ = _effective_rounds(
+                self.reader, spk2features, self.dim, budget_bytes,
+                min_speakers=self.num_shards)
         # Planned PER-SHARD capacity shared by all rotation windows so the
         # shard_map'd train step keeps one compiled shape (see DevicePool).
         self._cap_f = self._cap_n = 0
         if self.rotation_rounds > 1:
-            self._cap_f, self._cap_n = _plan_capacity(
-                self.reader, spk2features, self.dim, self.rotation_rounds,
-                seed, min_speakers=self.num_shards, shards=self.num_shards)
+            if rotation_unit == "utts":
+                self._cap_f, self._cap_n = _plan_capacity_utts(
+                    self.reader, spk2features, self.dim,
+                    self.rotation_rounds, seed, shards=self.num_shards)
+            else:
+                self._cap_f, self._cap_n = _plan_capacity(
+                    self.reader, spk2features, self.dim,
+                    self.rotation_rounds, seed,
+                    min_speakers=self.num_shards, shards=self.num_shards)
 
         self.frames = None     # [S*cap_f, D] uint8, sharded on axis 0
         self.headers = None    # [S*cap_n, 4, D] f32, sharded on axis 0
@@ -528,10 +709,16 @@ class ShardedDevicePool:
         self.full_resident = False
 
     def _select_resident(self, round_id: int):
-        items, full = _select_resident_items(
-            self.reader, self.spk2features, self.dim, self.budget_bytes,
-            self.seed, round_id, min_speakers=self.num_shards,
-        )
+        if self.rotation_unit == "utts":
+            items, full = _select_resident_items_utts(
+                self.reader, self.spk2features, self.dim, self.budget_bytes,
+                self.seed, round_id, self.rotation_rounds,
+            )
+        else:
+            items, full = _select_resident_items(
+                self.reader, self.spk2features, self.dim, self.budget_bytes,
+                self.seed, round_id, min_speakers=self.num_shards,
+            )
         if full:
             self.full_resident = True
         return items

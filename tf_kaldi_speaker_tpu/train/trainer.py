@@ -1038,12 +1038,12 @@ class Trainer:
         KB per dispatch — and the scanned K-step program gathers +
         dequantizes the chunks on-device, so the loader-fed rate equals
         the device-step rate. When the corpus exceeds ``pool_budget_mb``,
-        the resident speaker subset rotates INSIDE the epoch at
-        dispatch-group boundaries through a coverage partition: the epoch's
-        R windows hold every speaker exactly once (data/device_pool.py).
-        Epoch-level subset rotation — each epoch training on one biased
-        subset — measured ~1.5-2.5% absolute EER worse on the hard
-        benchmark (docs/VALIDATION.md quality matrix)."""
+        residency rotates INSIDE the epoch at dispatch-group boundaries
+        through a coverage partition whose unit is ``pool_rotation_unit``:
+        "utts" (default) slices every speaker's utterance list so each
+        window keeps the full speaker distribution; "speakers" partitions
+        the speaker set (measured ~0.5-0.9% absolute EER worse — see
+        data/device_pool.py and the docs/VALIDATION.md quality matrix)."""
         import random as _random
 
         from ..data import bucket_lengths
@@ -1089,17 +1089,24 @@ class Trainer:
                 self._device_pool.close()
             # float MB allowed (sub-MB budgets matter for tiny test corpora)
             budget = int(float(cfg.get("pool_budget_mb", 12000)) * (1 << 20))
+            # "utts" keeps every speaker resident in every rotation window
+            # (speaker distribution identical to full residency, measured
+            # at parity on the hard benchmark); "speakers" partitions the
+            # speaker set instead (docs/VALIDATION.md quality matrix).
+            unit = str(cfg.get("pool_rotation_unit", "utts"))
             if sharded:
                 from ..data.device_pool import ShardedDevicePool
 
                 self._device_pool = ShardedDevicePool(
                     data_dir, spklist, self.mesh, axis=DATA_AXIS,
                     budget_bytes=budget, seed=int(cfg.get("seed", 0)),
+                    rotation_unit=unit,
                 )
             else:
                 self._device_pool = DevicePool(
                     data_dir, spklist, budget_bytes=budget,
                     sharding=self.rep, seed=int(cfg.get("seed", 0)),
+                    rotation_unit=unit,
                 )
         pool = self._device_pool
         # Rotation schedule: C coverage cycles of R windows per epoch
