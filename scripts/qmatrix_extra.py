@@ -2,6 +2,9 @@
 
   --c3        the pool_rot_c3 arm (3 coverage cycles/epoch) that was added
               after the main matrix run
+  --utts      the pool_rot_utts arm (utterance-unit rotation windows, the
+              trainer default since round 4: every window keeps all
+              speakers resident) under the same forced 8 MB budget
   --losses3k  softmax vs am-softmax at the 3x1000-step schedule, multi-seed
               (the 6x500 regime measured the ordering as a wash; this tests
               whether the schedule, not the margin, explains it)
@@ -29,6 +32,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", required=True)
     p.add_argument("--c3", action="store_true")
+    p.add_argument("--utts", action="store_true")
     p.add_argument("--losses3k", action="store_true")
     p.add_argument("--seeds", type=int, default=3)
     args = p.parse_args()
@@ -37,10 +41,18 @@ def main():
 
     if args.c3:
         over = dict(device_decode=False, device_pool=True,
-                    pool_budget_mb=8, pool_rotation_cycles=3)
+                    pool_budget_mb=8, pool_rotation_unit="speakers",
+                    pool_rotation_cycles=3)
         eers = [train_and_eer(args.root, train_d, test_d, "path_pool_rot_c3",
                               s, over) for s in seeds]
         print("pool_rot_c3: %s | %s" % (
+            fmt_mean_sd(eers), " ".join("%.2f" % (e * 100) for e in eers)))
+
+    if args.utts:
+        over = dict(device_decode=False, device_pool=True, pool_budget_mb=8)
+        eers = [train_and_eer(args.root, train_d, test_d,
+                              "path_pool_rot_utts", s, over) for s in seeds]
+        print("pool_rot_utts: %s | %s" % (
             fmt_mean_sd(eers), " ".join("%.2f" % (e * 100) for e in eers)))
 
     if args.losses3k:

@@ -48,12 +48,20 @@ EPOCH_LRS = [0.04, 0.04, 0.02, 0.02, 0.01, 0.01]  # 6x500 == 3x1000 halving
 PATHS = {
     "stream": dict(device_decode=True),
     "pool": dict(device_decode=False, device_pool=True),
+    # Budget-forced rotation, utterance-unit windows (the trainer default:
+    # every window keeps ALL speakers resident; rotation only restricts
+    # which recordings are currently staged).
+    "pool_rot_utts": dict(device_decode=False, device_pool=True,
+                          pool_budget_mb=8),  # ~1/3 of the ~26 MB corpus
+    # Legacy speaker-partition windows (pinned explicitly now that the
+    # trainer default is "utts"): each window holds 1/R of the speakers.
     "pool_rot": dict(device_decode=False, device_pool=True,
-                     pool_budget_mb=8),  # ~1/3 of the ~26 MB corpus
+                     pool_budget_mb=8, pool_rotation_unit="speakers"),
     # 3 coverage cycles per epoch: 3x shorter window dwell (finer corpus
     # interleaving) for 3x the staging H2D bytes.
     "pool_rot_c3": dict(device_decode=False, device_pool=True,
-                        pool_budget_mb=8, pool_rotation_cycles=3),
+                        pool_budget_mb=8, pool_rotation_unit="speakers",
+                        pool_rotation_cycles=3),
 }
 
 LOSSES = {
