@@ -24,7 +24,30 @@ config=${config:-recipes/voxceleb/v1/nnet_conf/tdnn_amsoftmax_m0.20_linear_bn_1e
 finetune_config=${finetune_config:-recipes/voxceleb/v1/nnet_conf/tdnn_amsoftmax_m0.20_linear_bn_1e-2_mhe0.01.json}
 model=${model:-$exp/xvector_amsoftmax}
 finetune_model=${finetune_model:-${model}_mhe0.01}
+# stage 0 (optional): point these at distributed corpus trees to build the
+# data dirs natively (reference run.sh:45-53 via local/make_voxceleb{1,2}.pl)
+voxceleb1_root=${voxceleb1_root:-}
+voxceleb2_root=${voxceleb2_root:-}
+voxceleb1_trials=${voxceleb1_trials:-$voxceleb1_root/veri_test.txt}
 py="python -m"
+
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ] && [ -n "$voxceleb1_root" ]; then
+  echo "=== stage 0: corpus trees -> Kaldi data dirs (reference run.sh:45-53)"
+  # voxceleb1_{train,test} + the official trials list
+  $py tf_kaldi_speaker_tpu.cli.make_voxceleb voxceleb1 \
+    "$voxceleb1_root" "$data_root" --trials "$voxceleb1_trials"
+  rm -rf "$data_root/voxceleb1_dev"
+  mv "$data_root/voxceleb1_train" "$data_root/voxceleb1_dev"
+  if [ -n "$voxceleb2_root" ]; then
+    # train on ALL of VoxCeleb2 (dev + test), like the reference
+    $py tf_kaldi_speaker_tpu.cli.make_voxceleb voxceleb2 \
+      "$voxceleb2_root" "$data_root" --part dev
+    $py tf_kaldi_speaker_tpu.cli.make_voxceleb voxceleb2 \
+      "$voxceleb2_root" "$data_root" --part test
+    $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/voxceleb2" \
+      "$data_root/voxceleb2_dev" "$data_root/voxceleb2_test"
+  fi
+fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "=== stage 1: MFCC (30-dim, 16 kHz) + energy VAD"
