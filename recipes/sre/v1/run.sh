@@ -19,6 +19,30 @@ config=${config:-recipes/sre/v1/nnet_conf/tdnn_amsoftmax_m0.15.json}
 model=${model:-$exp/xvector_sre}
 py="python -m"
 
+if [ $stage -le 0 ] && [ -d "$data_root/sre2004" ]; then
+  # Mirrors the reference's executed stage 0 (run.sh:68-100): combine the
+  # pre-prepared LDC corpus dirs, validate, fix. (The reference's own
+  # make_* LDC assembly is commented out upstream and symlinked from an
+  # installed Kaldi tree; bring per-corpus dirs shaped as in
+  # docs/MIGRATION.md and this stage takes over from there.)
+  echo "=== stage 0: combine SRE04-08 + SWBD corpus dirs"
+  $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/sre" \
+    "$data_root/sre2004" "$data_root/sre2005_train" "$data_root/sre2005_test" \
+    "$data_root/sre2006_train" "$data_root/sre2006_test" "$data_root/sre08"
+  $py tf_kaldi_speaker_tpu.cli.validate_data_dir --no-text --no-feats \
+    "$data_root/sre"
+  $py tf_kaldi_speaker_tpu.cli.fix_data_dir "$data_root/sre"
+  $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/swbd" \
+    "$data_root"/swbd2_phase{1,2,3}_train \
+    "$data_root"/swbd_cellular{1,2}_train
+  $py tf_kaldi_speaker_tpu.cli.validate_data_dir --no-text --no-feats \
+    "$data_root/swbd"
+  $py tf_kaldi_speaker_tpu.cli.fix_data_dir "$data_root/swbd"
+  # training pool = SWBD + SRE (reference run.sh:120 combine at stage 1)
+  $py tf_kaldi_speaker_tpu.cli.combine_data "$data_root/swbd_sre" \
+    "$data_root/swbd" "$data_root/sre"
+fi
+
 if [ $stage -le 1 ]; then
   echo "=== stage 1: 23-dim 8 kHz MFCC + VAD"
   for name in swbd_sre sre16_major sre10_enroll sre10_test sre16_enroll sre16_test; do
