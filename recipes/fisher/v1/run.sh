@@ -11,6 +11,7 @@
 set -euo pipefail
 
 stage=${stage:-0}
+stop_stage=${stop_stage:-99}
 data_root=${data_root:-data}
 exp=${exp:-exp_fisher_v1}
 config=${config:-recipes/fisher/v1/nnet_conf/tdnn_amsoftmax_m0.20_linear_bn_1e-2.json}
@@ -34,7 +35,7 @@ py="python -m"
 #   config=recipes/fisher/v1/nnet_conf/<name>.json model=$exp/xvector_<name> \
 #     stage=3 stop_stage=3 bash run.sh
 
-if [ $stage -le 1 ]; then
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "=== stage 1: 8 kHz MFCC + VAD"
   # Include a separate plda_data set in the prep loop so stage 4's
   # extraction finds its features.
@@ -53,7 +54,7 @@ if [ $stage -le 1 ]; then
   done
 fi
 
-if [ $stage -le 2 ]; then
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   echo "=== stage 2: egs prep + filter (min 150 frames, >=5 utts/spk) + split"
   $py tf_kaldi_speaker_tpu.cli.prepare_feats \
     "$data_root/train_background/mfcc" "$data_root/train_background/egs"
@@ -63,7 +64,7 @@ if [ $stage -le 2 ]; then
     "$data_root/train_background/egs" "$data_root/split"
 fi
 
-if [ $stage -le 3 ]; then
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "=== stage 3: train ($config)"
   $py tf_kaldi_speaker_tpu.cli.train --config "$config" \
     "$data_root/split/train" "$data_root/split/train/spklist" \
@@ -71,7 +72,7 @@ if [ $stage -le 3 ]; then
     "$model"
 fi
 
-if [ $stage -le 4 ]; then
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   echo "=== stage 4: extract embeddings (background for PLDA, enroll, test)"
   $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint "$checkpoint" "$model"
   node_flag=""
@@ -83,7 +84,7 @@ if [ $stage -le 4 ]; then
   done
 fi
 
-if [ $stage -le 5 ]; then
+if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
   echo "=== stage 5: PLDA scoring (LDA dim $lda_dim; reference run.sh:230-252)"
   $py tf_kaldi_speaker_tpu.cli.score --backend plda \
     --enroll-scp "$exp/xvectors_enroll.scp" \
@@ -96,7 +97,7 @@ if [ $stage -le 5 ]; then
     --scores "$exp/scores_plda.txt"
 fi
 
-if [ $stage -le 6 ]; then
+if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   echo "=== stage 6: cosine scoring with speaker-mean enrollment (run.sh:286-293)"
   $py tf_kaldi_speaker_tpu.cli.score --backend cosine \
     --enroll-scp "$exp/xvectors_enroll.scp" \
@@ -106,7 +107,7 @@ if [ $stage -le 6 ]; then
     --scores "$exp/scores_cosine.txt"
 fi
 
-if [ $stage -le 7 ]; then
+if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
   echo "=== stage 7: LDA + cosine scoring (run.sh:265-273 test_lda_cos)"
   $py tf_kaldi_speaker_tpu.cli.score --backend cosine --lda-dim "$lda_dim" \
     --enroll-scp "$exp/xvectors_enroll.scp" \

@@ -12,6 +12,7 @@
 set -euo pipefail
 
 stage=${stage:-0}
+stop_stage=${stop_stage:-99}
 data_root=${data_root:-data}
 ali_dir=${ali_dir:-$data_root/fisher_ali}
 # a raw Kaldi GMM alignment dir (final.mdl + ali.*.gz); when set, stage 2
@@ -22,7 +23,7 @@ config=${config:-recipes/fisher/v3_multitask/nnet_conf/mt_softmax.json}
 model=${model:-$exp/mt_xvector}
 py="python -m"
 
-if [ $stage -le 1 ]; then
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "=== stage 1: 8 kHz MFCC + VAD"
   $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
     --sample-rate 8000 --num-ceps 23 --num-mel-bins 23 \
@@ -33,7 +34,7 @@ if [ $stage -le 1 ]; then
     "$data_root/fisher/mfcc/feats.scp" "$data_root/fisher/mfcc"
 fi
 
-if [ $stage -le 2 ]; then
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   echo "=== stage 2: CMVN egs KEEPING silence (alignment stays frame-aligned)"
   if [ -n "$kaldi_ali_src" ]; then
     echo "    converting Kaldi transition-id alignments -> pdf ids (native ali-to-pdf)"
@@ -56,7 +57,7 @@ if [ $stage -le 2 ]; then
   done
 fi
 
-if [ $stage -le 3 ]; then
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "=== stage 3: multitask training (speaker + senone heads)"
   $py tf_kaldi_speaker_tpu.cli.train_mt --config "$config" \
     "$data_root/split/train" "$ali_dir" "$data_root/split/train/spklist" \
@@ -64,7 +65,7 @@ if [ $stage -le 3 ]; then
     "$model"
 fi
 
-if [ $stage -le 4 ]; then
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   echo "=== stage 4: speaker + phone embedding extraction"
   $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint -1 "$model"
   $py tf_kaldi_speaker_tpu.cli.extract_mt \
@@ -74,7 +75,7 @@ if [ $stage -le 4 ]; then
     "$model" "scp:$data_root/split/valid/feats.scp" "ark:$exp/phone_post.ark"
 fi
 
-if [ $stage -le 5 ]; then
+if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
   echo "=== stage 5: log-likelihoods for ASR decoding (latgen input)"
   # prior.vec: normalized senone counts from the alignments
   python - "$ali_dir" "$exp/prior.vec" <<'EOF'
@@ -96,7 +97,7 @@ EOF
   echo "feed $exp/loglike.ark to latgen-faster-mapped for decoding"
 fi
 
-if [ $stage -le 6 ]; then
+if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   echo "=== stage 6: full decode driver (checkpoint pin + loglike + latgen when present)"
   bash recipes/fisher/v3_multitask/run_decode.sh \
     "$model" "$ali_dir" "${graph_dir:--}" "$data_root/split/valid"

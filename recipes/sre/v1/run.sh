@@ -10,6 +10,7 @@
 set -euo pipefail
 
 stage=${stage:-0}
+stop_stage=${stop_stage:-99}
 data_root=${data_root:-data}
 exp=${exp:-exp_sre}
 musan_root=${musan_root:-$data_root/musan}
@@ -19,7 +20,7 @@ config=${config:-recipes/sre/v1/nnet_conf/tdnn_amsoftmax_m0.15.json}
 model=${model:-$exp/xvector_sre}
 py="python -m"
 
-if [ $stage -le 0 ] && [ -d "$data_root/sre2004" ]; then
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ] && [ -d "$data_root/sre2004" ]; then
   # Mirrors the reference's executed stage 0 (run.sh:68-100): combine the
   # pre-prepared LDC corpus dirs, validate, fix. (The reference's own
   # make_* LDC assembly is commented out upstream and symlinked from an
@@ -43,7 +44,7 @@ if [ $stage -le 0 ] && [ -d "$data_root/sre2004" ]; then
     "$data_root/swbd" "$data_root/sre"
 fi
 
-if [ $stage -le 1 ]; then
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "=== stage 1: 23-dim 8 kHz MFCC + VAD"
   for name in swbd_sre sre16_major sre10_enroll sre10_test sre16_enroll sre16_test; do
     $py tf_kaldi_speaker_tpu.cli.make_mfcc --compress \
@@ -56,7 +57,7 @@ if [ $stage -le 1 ]; then
   done
 fi
 
-if [ $stage -le 2 ]; then
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   echo "=== stage 2: MUSAN/RIRS augmentation (reference sre run.sh aug stages)"
   if [ ! -f "$musan_root/noise/wav.scp" ] || [ ! -f "$rirs_root/wav.scp" ]; then
     echo "    musan_root/rirs_root missing — SKIPPING augmentation"
@@ -92,7 +93,7 @@ if [ $stage -le 2 ]; then
   fi
 fi
 
-if [ $stage -le 3 ]; then
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "=== stage 3: egs prep + filtering + split"
   $py tf_kaldi_speaker_tpu.cli.prepare_feats \
     "$data_root/swbd_sre/mfcc" "$data_root/swbd_sre/egs"
@@ -114,7 +115,7 @@ if [ $stage -le 3 ]; then
     "$src" "$data_root/split"
 fi
 
-if [ $stage -le 4 ]; then
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   echo "=== stage 4: train"
   $py tf_kaldi_speaker_tpu.cli.train --config "$config" \
     "$data_root/split/train" "$data_root/split/train/spklist" \
@@ -122,7 +123,7 @@ if [ $stage -le 4 ]; then
     "$model"
 fi
 
-if [ $stage -le 5 ]; then
+if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
   echo "=== stage 5: extract embeddings"
   $py tf_kaldi_speaker_tpu.cli.make_checkpoint --checkpoint -1 "$model"
   for name in swbd_sre sre16_major sre10_enroll sre10_test sre16_enroll sre16_test; do
@@ -132,7 +133,7 @@ if [ $stage -le 5 ]; then
   done
 fi
 
-if [ $stage -le 6 ]; then
+if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   echo "=== stage 6: SRE10 PLDA scoring"
   $py tf_kaldi_speaker_tpu.cli.score --backend plda \
     --enroll-scp "$exp/xvectors_sre10_enroll.scp" \
@@ -144,7 +145,7 @@ if [ $stage -le 6 ]; then
     --lda-dim 150 --scores "$exp/scores_sre10.txt"
 fi
 
-if [ $stage -le 7 ]; then
+if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
   echo "=== stage 7: SRE16 PLDA scoring with domain adaptation"
   # Per-language splits (reference eval_plda_sre16.sh: pooled/tgl/yue):
   # pass every trials_<lang> file present next to the pooled list.
@@ -168,7 +169,7 @@ if [ $stage -le 7 ]; then
     --scores "$exp/scores_sre16.txt"
 fi
 
-if [ $stage -le 8 ]; then
+if [ $stage -le 8 ] && [ $stop_stage -ge 8 ]; then
   echo "=== stage 8: score calibration (beyond reference)"
   # Map raw PLDA scores to calibrated LLRs with linear logistic regression
   # trained on a labeled dev split, then report Cllr/minCllr and

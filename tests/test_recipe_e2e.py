@@ -316,3 +316,88 @@ def test_voxceleb_recipe_all_stages(tmp_path):
     assert os.path.getsize(os.path.join(exp, "scores_cosine.txt")) > 0, tail
     assert os.path.getsize(os.path.join(exp, "scores_plda.txt")) > 0, tail
     assert "eer" in proc.stdout.lower(), tail
+
+
+def _tiny_corpus_dir(root, name, spk, n_utts=3):
+    d = os.path.join(root, name)
+    os.makedirs(d)
+    utts = ["%s-u%d" % (spk, j) for j in range(n_utts)]
+    with open(os.path.join(d, "wav.scp"), "w") as f:
+        f.write("".join("%s /x/%s.wav\n" % (u, u) for u in utts))
+    with open(os.path.join(d, "utt2spk"), "w") as f:
+        f.write("".join("%s %s\n" % (u, spk) for u in utts))
+    with open(os.path.join(d, "spk2utt"), "w") as f:
+        f.write("%s %s\n" % (spk, " ".join(utts)))
+
+
+def test_sre_recipe_stage0_corpus_assembly(tmp_path):
+    """sre/v1 stage 0 mirrors the reference's executed corpus assembly
+    (run.sh:68-100 + the swbd_sre combine at :120): combine SRE04-08 ->
+    sre, SWBD2+cellular -> swbd, validate+fix each, combine the training
+    pool."""
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    corpora = [
+        "sre2004", "sre2005_train", "sre2005_test", "sre2006_train",
+        "sre2006_test", "sre08", "swbd2_phase1_train", "swbd2_phase2_train",
+        "swbd2_phase3_train", "swbd_cellular1_train", "swbd_cellular2_train",
+    ]
+    for i, name in enumerate(corpora):
+        _tiny_corpus_dir(data, name, "c%02dspk" % i)
+
+    env = dict(os.environ)
+    env.update(stage="0", stop_stage="0", data_root=data,
+               PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "recipes/sre/v1/run.sh")], env=env,
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-6000:]
+
+    from tf_kaldi_speaker_tpu.cli.validate_data_dir import validate_data_dir
+    assert validate_data_dir(os.path.join(data, "sre"))["utt2spk"] == 18
+    assert validate_data_dir(os.path.join(data, "swbd"))["utt2spk"] == 15
+    counts = validate_data_dir(os.path.join(data, "swbd_sre"))
+    assert counts["utt2spk"] == 33 and counts["spk2utt"] == 11
+
+
+def test_voxceleb_recipe_stage0_list_building(tmp_path):
+    """voxceleb/v1 stage 0 builds the data dirs from corpus trees
+    (reference run.sh:45-53 via local/make_voxceleb{1,2}.pl): vox1
+    train/test split by trial-list speakers + trials rewrite, vox2
+    dev+test combined into the voxceleb2 training partition."""
+    root = str(tmp_path)
+    for s in range(1, 5):
+        for c in ("00001", "00002"):
+            p = os.path.join(root, "vox1/wav/id%05d/vidA/%s.wav" % (s, c))
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "wb").write(b"\x00")
+    for part, s in (("dev", 101), ("dev", 102), ("test", 201)):
+        p = os.path.join(root, "vox2/%s/wav/id%05d/clipX/00001.wav" % (part, s))
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "wb").write(b"\x00")
+    with open(os.path.join(root, "vox1", "veri_test.txt"), "w") as f:
+        f.write("1 id00003/vidA/00001.wav id00003/vidA/00002.wav\n")
+        f.write("0 id00003/vidA/00001.wav id00004/vidA/00001.wav\n")
+
+    data = os.path.join(root, "data")
+    env = dict(os.environ)
+    env.update(stage="0", stop_stage="0", data_root=data,
+               voxceleb1_root=os.path.join(root, "vox1"),
+               voxceleb2_root=os.path.join(root, "vox2"),
+               PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "recipes/voxceleb/v1/run.sh")], env=env,
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-6000:]
+
+    from tf_kaldi_speaker_tpu.cli.validate_data_dir import validate_data_dir
+    # the partitions the later stages consume, all passing validation
+    assert validate_data_dir(os.path.join(data, "voxceleb1_dev"))["utt2spk"] == 4
+    assert validate_data_dir(os.path.join(data, "voxceleb1_test"))["utt2spk"] == 4
+    assert validate_data_dir(os.path.join(data, "voxceleb2"))["utt2spk"] == 3
+    trials = open(os.path.join(data, "voxceleb1_test", "trials")).read().splitlines()
+    assert len(trials) == 2 and trials[0].endswith("target")
