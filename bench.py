@@ -53,15 +53,23 @@ BF16_PEAK_FLOPS = {
 }
 
 
+def peak_for_kind(kind):
+    """Peak bf16 FLOP/s for a device_kind string, or None if unknown.
+    Exact match first, then LONGEST prefix: "TPU v5 lite pod" must take
+    the "TPU v5 lite" (v5e) peak, not the shorter "TPU v5" (v5p) one."""
+    peak = BF16_PEAK_FLOPS.get(kind)
+    if peak is None:
+        best = ""
+        for k, v in BF16_PEAK_FLOPS.items():
+            if kind.startswith(k) and len(k) > len(best):
+                best, peak = k, v
+    return peak
+
+
 def chip_bf16_peak():
     """(device_kind, peak bf16 FLOP/s or None if unknown)."""
     kind = jax.devices()[0].device_kind
-    peak = BF16_PEAK_FLOPS.get(kind)
-    if peak is None:  # prefix match, e.g. "TPU v5 lite" variants
-        for k, v in BF16_PEAK_FLOPS.items():
-            if kind.startswith(k):
-                peak = v
-    return kind, peak
+    return kind, peak_for_kind(kind)
 
 
 def compiled_flops(jitted, *args):
@@ -77,10 +85,13 @@ def compiled_flops(jitted, *args):
         return None
 
 
-def measure_h2d_bandwidth(mb: int = 32, reps: int = 3) -> float:
+def measure_h2d_bandwidth(mb: int = 8, reps: int = 3) -> float:
     """Best-of-reps host->device bandwidth (bytes/sec) through whatever
     link this host has (PCIe locally; the dev tunnel here). Used to turn
-    the streaming path's bytes/step into a predicted rate ceiling."""
+    the streaming path's bytes/step into a predicted rate ceiling, so the
+    probe size matches that path's actual transfer unit: one stacked
+    K-step group of raw CM codes (~8 MB at the flagship shape), not a
+    monolithic tens-of-MB put the pipeline never issues."""
     buf = np.zeros(mb << 20, np.uint8)
     jax.block_until_ready(jax.device_put(buf[: 1 << 20]))  # warm the path
     best = float("inf")

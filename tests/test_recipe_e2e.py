@@ -356,9 +356,9 @@ def test_sre_recipe_stage0_corpus_assembly(tmp_path):
     assert proc.returncode == 0, proc.stdout[-6000:]
 
     from tf_kaldi_speaker_tpu.cli.validate_data_dir import validate_data_dir
-    assert validate_data_dir(os.path.join(data, "sre"))["utt2spk"] == 18
-    assert validate_data_dir(os.path.join(data, "swbd"))["utt2spk"] == 15
-    counts = validate_data_dir(os.path.join(data, "swbd_sre"))
+    assert validate_data_dir(os.path.join(data, "sre"), no_text=True, no_feats=True)["utt2spk"] == 18
+    assert validate_data_dir(os.path.join(data, "swbd"), no_text=True, no_feats=True)["utt2spk"] == 15
+    counts = validate_data_dir(os.path.join(data, "swbd_sre"), no_text=True, no_feats=True)
     assert counts["utt2spk"] == 33 and counts["spk2utt"] == 11
 
 
@@ -396,8 +396,8 @@ def test_voxceleb_recipe_stage0_list_building(tmp_path):
 
     from tf_kaldi_speaker_tpu.cli.validate_data_dir import validate_data_dir
     # the partitions the later stages consume, all passing validation
-    assert validate_data_dir(os.path.join(data, "voxceleb1_dev"))["utt2spk"] == 4
-    assert validate_data_dir(os.path.join(data, "voxceleb1_test"))["utt2spk"] == 4
-    assert validate_data_dir(os.path.join(data, "voxceleb2"))["utt2spk"] == 3
+    assert validate_data_dir(os.path.join(data, "voxceleb1_dev"), no_text=True, no_feats=True)["utt2spk"] == 4
+    assert validate_data_dir(os.path.join(data, "voxceleb1_test"), no_text=True, no_feats=True)["utt2spk"] == 4
+    assert validate_data_dir(os.path.join(data, "voxceleb2"), no_text=True, no_feats=True)["utt2spk"] == 3
     trials = open(os.path.join(data, "voxceleb1_test", "trials")).read().splitlines()
     assert len(trials) == 2 and trials[0].endswith("target")

@@ -67,7 +67,17 @@ def combine_data(dest: str, srcs: Sequence[str],
             continue
         merged: Dict[str, str] = {}
         for s in srcs:
-            table = _read_table(os.path.join(s, fname))
+            path = os.path.join(s, fname)
+            table = _read_table(path)
+            # _read_table collapses repeated keys silently; a repeat WITHIN
+            # one source is just as much a non-unique utterance id as one
+            # across sources (the reference aborts on any of them).
+            with open(path) as fd:
+                n_rows = sum(1 for ln in fd if ln.strip())
+            if n_rows != len(table):
+                raise SystemExit(
+                    "combine_data: %s contains %d duplicate keys — "
+                    "utterance ids must be unique" % (path, n_rows - len(table)))
             dup = set(table) & set(merged)
             if dup:
                 raise SystemExit(

@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import shlex
 import sys
 from typing import Dict, List, Tuple
 
@@ -66,8 +67,11 @@ def _scan_tree(root: str) -> List[Tuple[str, str, str, str]]:
 def _wav_entry(path: str) -> str:
     if path.lower().endswith(".m4a"):
         # Same decode pipe Kaldi's make_voxceleb2.pl emits: stream the AAC
-        # through ffmpeg to 16-bit PCM on stdout.
-        return ("ffmpeg -v 8 -i %s -f wav -acodec pcm_s16le - |" % path)
+        # through ffmpeg to 16-bit PCM on stdout. The path is interpolated
+        # into a shell pipe, so quote it (spaces/metacharacters in the
+        # corpus mount point must not split or be interpreted).
+        return ("ffmpeg -v 8 -i %s -f wav -acodec pcm_s16le - |"
+                % shlex.quote(path))
     return path
 
 

@@ -69,9 +69,15 @@ def _check_sorted_unique(path: str, rows: List[Tuple[str, str]]) -> None:
                 % (path, a, b))
 
 
-def validate_data_dir(data: str, no_text: bool = True, no_feats: bool = True,
+def validate_data_dir(data: str, no_text: bool = False,
+                      no_feats: bool = False,
                       no_wav: bool = False) -> Dict[str, int]:
-    """Returns {table: row count} for the validated tables."""
+    """Returns {table: row count} for the validated tables.
+
+    Defaults match the CLI and Kaldi's ``utils/validate_data_dir.sh``:
+    ``text`` and ``feats.scp`` are REQUIRED unless explicitly waived, so
+    a library call validates exactly as strictly as the identical-looking
+    shell invocation."""
     u2s_path = os.path.join(data, "utt2spk")
     if not os.path.exists(u2s_path):
         raise ValidationError("%s: no utt2spk — not a data dir" % data)

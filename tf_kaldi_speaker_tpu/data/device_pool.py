@@ -107,14 +107,39 @@ def _seg_bytes(reader, dim, seg):
     return _seg_frames(reader, seg) * dim + 16 * dim
 
 
-def _plan_cycle_utts(spk2features, R, seed, cycle):
+def _lpt_assign(weight_of: Dict, shards: int):
+    """Deterministic least-loaded (LPT) assignment of keys to shards:
+    heaviest first, ties broken by key, each to the least-loaded shard.
+    Returns ({key: shard}, per-shard load). The capacity planners and
+    ``ShardedDevicePool.stage`` MUST all use this one function — the
+    fixed-shape/no-recompile guarantee depends on planned and staged
+    assignments staying in lockstep (same order, same tie-break)."""
+    load = [0] * shards
+    out = {}
+    for k in sorted(weight_of, key=lambda k: (-weight_of[k], k)):
+        d = int(np.argmin(load))
+        out[k] = d
+        load[d] += weight_of[k]
+    return out, load
+
+
+def _plan_cycle_utts(spk2features, R, seed, cycle, len_of=None,
+                     need_gt=None):
     """Partition UTTERANCES into R windows with every speaker present in
     every window: each speaker's (seeded, per-cycle) shuffled utterance
     list is dealt round-robin across the windows from a random offset, so
     a cycle's R windows cover each speaker's utterances exactly once when
     the speaker has >= R of them. Speakers with fewer repeat utterances
     across windows (at-least-once coverage) so they never drop out of the
-    per-step sampling distribution. Returns R lists of (spk, seg)."""
+    per-step sampling distribution. With ``need_gt`` (the longest chunk
+    length training will request) and ``len_of``, every window of every
+    speaker that HAS an utterance longer than ``need_gt`` keeps one
+    resident (the longest is duplicated into windows the deal left
+    without one) — so the reference's speaker-resampling rule fires in a
+    rotation window exactly when it would fire fully resident, and
+    ``sample_group`` can never hit the no-long-utterance error in a
+    window when the corpus itself has long utterances. Returns R lists
+    of (spk, seg)."""
     wins: List[List[Tuple[int, str]]] = [[] for _ in range(R)]
     for spk in sorted(spk2features):
         segs = list(spk2features[spk])
@@ -122,16 +147,27 @@ def _plan_cycle_utts(spk2features, R, seed, cycle):
         rng.shuffle(segs)
         off = rng.randrange(R)
         n = len(segs)
+        spk_wins: List[List[str]] = [[] for _ in range(R)]
         if n >= R:
             for i, seg in enumerate(segs):
-                wins[(off + i) % R].append((spk, seg))
+                spk_wins[(off + i) % R].append(seg)
         else:
             for w in range(R):
-                wins[w].append((spk, segs[(off + w) % n]))
+                spk_wins[w].append(segs[(off + w) % n])
+        if need_gt is not None and len_of is not None:
+            long = [s for s in segs if len_of(s) > need_gt]
+            if long:
+                longest = max(long, key=len_of)
+                for w in range(R):
+                    if not any(len_of(s) > need_gt for s in spk_wins[w]):
+                        spk_wins[w].append(longest)
+        for w in range(R):
+            wins[w].extend((spk, s) for s in spk_wins[w])
     return wins
 
 
-def _plan_rotation_utts(reader, spk2features, dim, budget_bytes, seed):
+def _plan_rotation_utts(reader, spk2features, dim, budget_bytes, seed,
+                        chunk_frames=None):
     """(R, total_bytes) for utterance-unit rotation: start from the byte
     quotient and raise R until cycle 0's largest window fits the budget.
     Few-utterance speakers put a floor under the window size (each window
@@ -145,7 +181,9 @@ def _plan_rotation_utts(reader, spk2features, dim, budget_bytes, seed):
     R = int(-(-total // max(1, budget_bytes)))
     cap = 4 * R + 8
     while True:
-        wins = _plan_cycle_utts(spk2features, R, seed, 0)
+        wins = _plan_cycle_utts(
+            spk2features, R, seed, 0,
+            len_of=lambda s: _seg_frames(reader, s), need_gt=chunk_frames)
         worst = max(
             sum(_seg_bytes(reader, dim, seg) for _, seg in w) for w in wins
         )
@@ -162,7 +200,8 @@ def _plan_rotation_utts(reader, spk2features, dim, budget_bytes, seed):
         R += 1
 
 
-def _plan_capacity_utts(reader, spk2features, dim, R, seed, shards=1):
+def _plan_capacity_utts(reader, spk2features, dim, R, seed, shards=1,
+                        chunk_frames=None):
     """Fixed staging capacity (cap_frames, cap_utts) for utterance-unit
     rotation windows, from the first three cycles' partitions plus one
     max-utterance of headroom (the round-robin deal keeps windows within
@@ -171,7 +210,10 @@ def _plan_capacity_utts(reader, spk2features, dim, R, seed, shards=1):
     ShardedDevicePool's per-window LPT speaker->shard balancing."""
     max_f = max_n = 0
     for cycle in range(3):
-        for win in _plan_cycle_utts(spk2features, R, seed, cycle):
+        for win in _plan_cycle_utts(
+                spk2features, R, seed, cycle,
+                len_of=lambda s: _seg_frames(reader, s),
+                need_gt=chunk_frames):
             if shards == 1:
                 f = sum(_seg_frames(reader, seg) for _, seg in win)
                 n = len(win)
@@ -183,11 +225,9 @@ def _plan_capacity_utts(reader, spk2features, dim, R, seed, shards=1):
                     s: sum(_seg_frames(reader, g) for g in segs)
                     for s, segs in spk_w.items()
                 }
-                load = [0] * shards
+                assign, load = _lpt_assign(frames_of, shards)
                 count = [0] * shards
-                for s in sorted(spk_w, key=lambda s: -frames_of[s]):
-                    d = int(np.argmin(load))
-                    load[d] += frames_of[s]
+                for s, d in assign.items():
                     count[d] += len(spk_w[s])
                 f, n = max(load), max(count)
             max_f, max_n = max(max_f, f), max(max_n, n)
@@ -200,7 +240,7 @@ def _plan_capacity_utts(reader, spk2features, dim, R, seed, shards=1):
 
 
 def _select_resident_items_utts(reader, spk2features, dim, budget_bytes,
-                                seed, round_id, R):
+                                seed, round_id, R, chunk_frames=None):
     """Utterance-unit residency for one round: window ``round_id % R`` of
     cycle ``round_id // R``'s utterance deal (see :func:`_plan_cycle_utts`).
     R is the pool's precomputed rotation_rounds (avoids re-running the
@@ -218,7 +258,10 @@ def _select_resident_items_utts(reader, spk2features, dim, budget_bytes,
             (spk, seg) for spk, segs in spk2features.items() for seg in segs
         ], True
     cycle, window = divmod(round_id, R)
-    win = _plan_cycle_utts(spk2features, R, seed, cycle)[window]
+    win = _plan_cycle_utts(
+        spk2features, R, seed, cycle,
+        len_of=lambda s: _seg_frames(reader, s), need_gt=chunk_frames,
+    )[window]
     used = sum(_seg_bytes(reader, dim, seg) for _, seg in win)
     log.info(
         "device pool: resident %d utts of all %d speakers (utterance "
@@ -228,19 +271,34 @@ def _select_resident_items_utts(reader, spk2features, dim, budget_bytes,
     return list(win), False
 
 
-def _effective_rounds(reader, spk2features, dim, budget_bytes,
+def _effective_rounds(reader, spk2features, dim, budget_bytes, seed=0,
                       min_speakers=1):
     """(R, total_bytes): rotation windows needed to cover the corpus under
     the byte budget, capped so every window can still hold ``min_speakers``
-    (the sharded pool's shard count). R == 1 means no rotation — either the
-    corpus fits, or the speaker-count floor forces staging over budget."""
+    (the sharded pool's shard count). Starts from the byte quotient and
+    raises R until cycle 0's largest window actually fits — the greedy
+    balancer leaves the max window above total/R, so the quotient alone
+    routinely plans windows over budget. R == 1 means no rotation; when
+    the speaker floor caps R below a fit, windows stage over budget (the
+    selection path warns)."""
     total = sum(
         _spk_bytes(reader, dim, segs) for segs in spk2features.values()
     )
     if budget_bytes is None or total <= budget_bytes:
         return 1, total
-    R = int(-(-total // max(1, budget_bytes)))
-    return max(1, min(R, len(spk2features) // max(1, min_speakers))), total
+    r_max = max(1, len(spk2features) // max(1, min_speakers))
+    R = min(r_max, int(-(-total // max(1, budget_bytes))))
+    while 1 < R < r_max:
+        bins = _plan_cycle(
+            reader, spk2features, dim, R, seed, 0, min_speakers)
+        worst = max(
+            sum(_spk_bytes(reader, dim, spk2features[s]) for s in b)
+            for b in bins
+        )
+        if worst <= budget_bytes:
+            break
+        R += 1
+    return R, total
 
 
 def _plan_cycle(reader, spk2features, dim, R, seed, cycle, min_speakers):
@@ -296,11 +354,10 @@ def _plan_capacity(reader, spk2features, dim, R, seed, min_speakers=1,
             f = sum(frames_of[s] for s in b)
             n = sum(len(spk2features[s]) for s in b)
         else:
-            load = [0] * shards
+            assign, load = _lpt_assign(
+                {s: frames_of[s] for s in b}, shards)
             count = [0] * shards
-            for s in sorted(b, key=lambda s: -frames_of[s]):
-                d = int(np.argmin(load))
-                load[d] += frames_of[s]
+            for s, d in assign.items():
                 count[d] += len(spk2features[s])
             f, n = max(load), max(count)
         max_f, max_n = max(max_f, f), max(max_n, n)
@@ -320,7 +377,8 @@ def _select_resident_items(reader, spk2features, dim, budget_bytes, seed,
     pool's shard count) caps R at 1, the whole corpus is staged over
     budget rather than crashing a later rotation round."""
     R, total = _effective_rounds(
-        reader, spk2features, dim, budget_bytes, min_speakers)
+        reader, spk2features, dim, budget_bytes, seed,
+        min_speakers=min_speakers)
     if R == 1:
         if budget_bytes is not None and total > budget_bytes:
             log.warning(
@@ -337,6 +395,13 @@ def _select_resident_items(reader, spk2features, dim, budget_bytes, seed,
     chosen_spk = bins[window]
     used = sum(
         _spk_bytes(reader, dim, spk2features[s]) for s in chosen_spk)
+    if budget_bytes is not None and used > budget_bytes:
+        log.warning(
+            "device pool: speaker window %d stages %.0f MB over the "
+            "%.0f MB budget (the %d-speaker floor caps rotation at R=%d; "
+            "raise the budget or use rotation_unit='utts')",
+            window, used / 1e6, budget_bytes / 1e6, min_speakers, R,
+        )
     log.info(
         "device pool: resident %d/%d speakers (window %d/%d of cycle %d, "
         "%.0f MB of %.0f MB corpus)",
@@ -409,6 +474,12 @@ class DevicePool:
         rotation_unit: "utts" (default — windows slice every speaker's
             utterance list, keeping the speaker distribution exact) or
             "speakers" (windows partition the speaker set; see module doc).
+        chunk_frames: the longest chunk length training will request
+            (max_segment_len). With utterance-unit rotation, every window
+            keeps one longer-than-this utterance resident per speaker that
+            has one, so the resampling rule fires in a window exactly when
+            it would fire fully resident (and sampling can never abort on
+            a window that happened to deal only short recordings).
     """
 
     def __init__(
@@ -419,6 +490,7 @@ class DevicePool:
         sharding=None,
         seed: int = 0,
         rotation_unit: str = "utts",
+        chunk_frames: Optional[int] = None,
     ):
         if rotation_unit not in ("utts", "speakers"):
             raise ValueError("rotation_unit must be 'utts' or 'speakers'")
@@ -428,6 +500,7 @@ class DevicePool:
         self.sharding = sharding
         self.seed = seed
         self.rotation_unit = rotation_unit
+        self.chunk_frames = chunk_frames
         spk2features, _, spk2index = get_speaker_info(data_dir, spklist)
         self.spk2features = spk2features
         self.num_total_speakers = len(spk2index)
@@ -440,16 +513,17 @@ class DevicePool:
         # reused across windows (see _plan_capacity).
         if rotation_unit == "utts":
             self.rotation_rounds, _ = _plan_rotation_utts(
-                self.reader, spk2features, self.dim, budget_bytes, seed)
+                self.reader, spk2features, self.dim, budget_bytes, seed,
+                chunk_frames=chunk_frames)
         else:
             self.rotation_rounds, _ = _effective_rounds(
-                self.reader, spk2features, self.dim, budget_bytes)
+                self.reader, spk2features, self.dim, budget_bytes, seed)
         self._cap_f = self._cap_n = 0
         if self.rotation_rounds > 1:
             if rotation_unit == "utts":
                 self._cap_f, self._cap_n = _plan_capacity_utts(
                     self.reader, spk2features, self.dim,
-                    self.rotation_rounds, seed)
+                    self.rotation_rounds, seed, chunk_frames=chunk_frames)
             else:
                 self._cap_f, self._cap_n = _plan_capacity(
                     self.reader, spk2features, self.dim,
@@ -473,6 +547,7 @@ class DevicePool:
             items, full = _select_resident_items_utts(
                 self.reader, self.spk2features, self.dim, self.budget_bytes,
                 self.seed, round_id, self.rotation_rounds,
+                chunk_frames=self.chunk_frames,
             )
         else:
             items, full = _select_resident_items(
@@ -645,12 +720,14 @@ class ShardedDevicePool:
         budget_bytes: Optional[int] = None,
         seed: int = 0,
         rotation_unit: str = "utts",
+        chunk_frames: Optional[int] = None,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if rotation_unit not in ("utts", "speakers"):
             raise ValueError("rotation_unit must be 'utts' or 'speakers'")
         self.rotation_unit = rotation_unit
+        self.chunk_frames = chunk_frames
         self.data_dir = data_dir
         self.mesh = mesh
         self.axis = axis
@@ -677,10 +754,11 @@ class ShardedDevicePool:
             # speaker floor is satisfied whenever the corpus itself has
             # enough speakers (stage() checks that).
             self.rotation_rounds, _ = _plan_rotation_utts(
-                self.reader, spk2features, self.dim, budget_bytes, seed)
+                self.reader, spk2features, self.dim, budget_bytes, seed,
+                chunk_frames=chunk_frames)
         else:
             self.rotation_rounds, _ = _effective_rounds(
-                self.reader, spk2features, self.dim, budget_bytes,
+                self.reader, spk2features, self.dim, budget_bytes, seed,
                 min_speakers=self.num_shards)
         # Planned PER-SHARD capacity shared by all rotation windows so the
         # shard_map'd train step keeps one compiled shape (see DevicePool).
@@ -689,7 +767,8 @@ class ShardedDevicePool:
             if rotation_unit == "utts":
                 self._cap_f, self._cap_n = _plan_capacity_utts(
                     self.reader, spk2features, self.dim,
-                    self.rotation_rounds, seed, shards=self.num_shards)
+                    self.rotation_rounds, seed, shards=self.num_shards,
+                    chunk_frames=chunk_frames)
             else:
                 self._cap_f, self._cap_n = _plan_capacity(
                     self.reader, spk2features, self.dim,
@@ -713,6 +792,7 @@ class ShardedDevicePool:
             items, full = _select_resident_items_utts(
                 self.reader, self.spk2features, self.dim, self.budget_bytes,
                 self.seed, round_id, self.rotation_rounds,
+                chunk_frames=self.chunk_frames,
             )
         else:
             items, full = _select_resident_items(
@@ -742,12 +822,7 @@ class ShardedDevicePool:
             raise ValueError(
                 "sharded pool needs >= %d resident speakers (got %d)"
                 % (S, len(spk_items)))
-        shard_of: Dict[int, int] = {}
-        load = [0] * S
-        for spk in sorted(spk_items, key=lambda s: -spk_frames[s]):
-            d = int(np.argmin(load))
-            shard_of[spk] = d
-            load[d] += spk_frames[spk]
+        shard_of, load = _lpt_assign(spk_frames, S)
         cap_f = -(-max(load) // 8) * 8
         per_shard_utts = [
             sum(len(spk_items[s]) for s in spk_items if shard_of[s] == d)

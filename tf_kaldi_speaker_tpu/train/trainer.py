@@ -1094,19 +1094,23 @@ class Trainer:
             # at parity on the hard benchmark); "speakers" partitions the
             # speaker set instead (docs/VALIDATION.md quality matrix).
             unit = str(cfg.get("pool_rotation_unit", "utts"))
+            # The longest bucket the sampler will draw: rotation windows
+            # must keep >= 1 longer-than-this utterance per speaker
+            # resident (the reference's resampling rule, see DevicePool).
+            chunk_frames = max(buckets)
             if sharded:
                 from ..data.device_pool import ShardedDevicePool
 
                 self._device_pool = ShardedDevicePool(
                     data_dir, spklist, self.mesh, axis=DATA_AXIS,
                     budget_bytes=budget, seed=int(cfg.get("seed", 0)),
-                    rotation_unit=unit,
+                    rotation_unit=unit, chunk_frames=chunk_frames,
                 )
             else:
                 self._device_pool = DevicePool(
                     data_dir, spklist, budget_bytes=budget,
                     sharding=self.rep, seed=int(cfg.get("seed", 0)),
-                    rotation_unit=unit,
+                    rotation_unit=unit, chunk_frames=chunk_frames,
                 )
         pool = self._device_pool
         # Rotation schedule: C coverage cycles of R windows per epoch
@@ -1170,9 +1174,9 @@ class Trainer:
                         starts, utts, labels
                     )
                     if weights_dev is None:
-                        w = np.zeros((starts.shape[1],), np.float32)
-                        w[:b] = 1.0
-                        weights_dev = jax.device_put(w, self.bsh)
+                        row_w = np.zeros((starts.shape[1],), np.float32)
+                        row_w[:b] = 1.0
+                        weights_dev = jax.device_put(row_w, self.bsh)
                 if sharded:
                     step = self._train_step_pool_multi_sharded(L)
                 else:
