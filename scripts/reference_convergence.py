@@ -100,6 +100,57 @@ LOSSES = {
         amsoftmax_lambda_gamma=0.01,
         amsoftmax_lambda_power=4,
     ),
+    # a-softmax m=4 (reference loss.py:51-169, Chebyshev phi + theta-branch
+    # correction).  lambda_min=10 is the reference's own voxceleb config
+    # (nnet_conf/tdnn_asoftmax_m4_linear_bn_1e-2.json): the margin is blended
+    # at most 1/11 into the logits — exactly the regime the reference ran.
+    "asoftmax_m4": dict(
+        loss_func="asoftmax",
+        last_layer_linear=True,
+        asoftmax_m=4,
+        asoftmax_lambda_min=10,
+        asoftmax_lambda_base=1000,
+        asoftmax_lambda_gamma=0.01,
+        asoftmax_lambda_power=4,
+    ),
+    # arc-softmax m=0.25 (reference loss.py:260-355, cos(theta+m) with the
+    # theta+m>pi fallback branch); margins/anneal from
+    # nnet_conf/tdnn_arcsoftmax_m0.25_linear_bn_1e-2.json, anneal re-timed
+    # for 1200 steps as above.
+    "arcsoftmax_m0.25": dict(
+        loss_func="additive_angular_margin_softmax",
+        last_layer_linear=True,
+        arcsoftmax_m=0.25,
+        arcsoftmax_lambda_min=0,
+        arcsoftmax_lambda_base=1000,
+        arcsoftmax_lambda_gamma=0.01,
+        arcsoftmax_lambda_power=4,
+    ),
+    # Attention pooling head-to-head (reference pooling.py:37-190): the
+    # exact att_* block of nnet_conf/tdnn_amsoftmax_m0.20_linear_bn_1e-2
+    # _tdnn4_att.json — tdnn4_relu key through dense_bn_relu + dense_tanh
+    # [1500,1500], tdnn5_relu value untouched, scaled dot-product.
+    "att_amsoftmax": dict(
+        loss_func="additive_margin_softmax",
+        last_layer_linear=True,
+        amsoftmax_m=0.2,
+        amsoftmax_lambda_min=0,
+        amsoftmax_lambda_base=1000,
+        amsoftmax_lambda_gamma=0.01,
+        amsoftmax_lambda_power=4,
+        pooling_type="self_attention",
+        att_key_input="tdnn4_relu",
+        att_key_num_nodes=[1500, 1500],
+        att_key_network_type=3,
+        att_value_input="tdnn5_relu",
+        att_value_num_nodes=[],
+        att_value_network_type=0,
+        att_apply_nonlinear=False,
+        att_use_scale=True,
+        att_num_heads=1,
+        att_split_key=False,
+        att_penalty_term=0,
+    ),
 }
 
 
@@ -176,7 +227,8 @@ def _test_eer(embed_fn, test_dir: str) -> float:
     return float(compute_cos_pairwise_eer(E - E.mean(0), labels))
 
 
-def run_ref(root: str, loss: str, steps_per_epoch: int, out: str) -> None:
+def run_ref(root: str, loss: str, steps_per_epoch: int, out: str,
+            rep: int = 0) -> None:
     import tf1_ref_shim
 
     tf1_ref_shim.install()
@@ -187,7 +239,7 @@ def run_ref(root: str, loss: str, steps_per_epoch: int, out: str) -> None:
 
     train_dir, valid_dir, test_dir, spklist = _paths(root)
     cfg = dict(BASE_CFG, num_steps_per_epoch=steps_per_epoch, **LOSSES[loss])
-    exp = os.path.join(root, "exp_ref_%s" % loss)
+    exp = os.path.join(root, "exp_ref_%s_r%d" % (loss, rep))
     os.makedirs(os.path.join(exp, "nnet"), exist_ok=True)
     conf = os.path.join(exp, "config.json")
     with open(conf, "w") as f:
@@ -214,16 +266,17 @@ def run_ref(root: str, loss: str, steps_per_epoch: int, out: str) -> None:
     trainer.build("predict", dim=DIM)
     eer = _test_eer(lambda feats: trainer.predict(feats), test_dir)
     trainer.close()
-    result = dict(arm="ref", loss=loss, seed=None,
+    result = dict(arm="ref", loss=loss, seed=None, rep=rep,
                   steps_per_epoch=steps_per_epoch, valid_loss=valid_losses,
                   eer=eer, wall_s=round(wall, 1))
-    print("[ref %s] final EER %.2f%%" % (loss, eer * 100), flush=True)
+    print("[ref %s r%d] final EER %.2f%%" % (loss, rep, eer * 100),
+          flush=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
 
 
 def run_tpu(root: str, loss: str, seed: int, steps_per_epoch: int,
-            out: str) -> None:
+            out: str, compute_dtype: str = "") -> None:
     from tf_kaldi_speaker_tpu.extract.extractor import Extractor
     from tf_kaldi_speaker_tpu.train.trainer import Trainer
     from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
@@ -231,7 +284,11 @@ def run_tpu(root: str, loss: str, seed: int, steps_per_epoch: int,
     train_dir, valid_dir, test_dir, spklist = _paths(root)
     cfg = dict(BASE_CFG, num_steps_per_epoch=steps_per_epoch, seed=seed,
                **LOSSES[loss])
-    exp = os.path.join(root, "exp_tpu_%s_s%d" % (loss, seed))
+    tag = ""
+    if compute_dtype:
+        cfg["compute_dtype"] = compute_dtype
+        tag = "_" + compute_dtype
+    exp = os.path.join(root, "exp_tpu_%s_s%d%s" % (loss, seed, tag))
     nnet = os.path.join(exp, "nnet")
     os.makedirs(nnet, exist_ok=True)
     with open(os.path.join(nnet, "config.json"), "w") as f:
@@ -256,9 +313,10 @@ def run_tpu(root: str, loss: str, seed: int, steps_per_epoch: int,
     ex = Extractor(exp, min_chunk_size=25, batch_size=32)
     eer = _test_eer(lambda feats: ex.embed_utterance(feats), test_dir)
     result = dict(arm="tpu", loss=loss, seed=seed,
+                  dtype=compute_dtype or "float32",
                   steps_per_epoch=steps_per_epoch, valid_loss=valid_losses,
                   eer=float(eer), wall_s=round(wall, 1))
-    print("[tpu %s s%d] final EER %.2f%%" % (loss, seed, eer * 100),
+    print("[tpu %s s%d%s] final EER %.2f%%" % (loss, seed, tag, eer * 100),
           flush=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
@@ -290,14 +348,23 @@ def report(root: str, write_doc: bool) -> int:
     ok = True
     for loss in LOSSES:
         ref = [r for r in results if r["arm"] == "ref" and r["loss"] == loss]
-        tpu = [r for r in results if r["arm"] == "tpu" and r["loss"] == loss]
-        for r in ref + sorted(tpu, key=lambda r: r["seed"]):
+        tpu_all = [r for r in results
+                   if r["arm"] == "tpu" and r["loss"] == loss]
+        tpu = [r for r in tpu_all if r.get("dtype", "float32") == "float32"]
+        bf16 = [r for r in tpu_all if r.get("dtype") == "bfloat16"]
+        ref.sort(key=lambda r: r.get("rep", 0))
+        for r in ref + sorted(tpu + bf16, key=lambda r: r["seed"]):
+            arm = r["arm"]
+            if r.get("dtype") == "bfloat16":
+                arm = "tpu-bf16"
             lines.append("| %s | %s | %s | %s | %.2f%% |" % (
-                r["arm"], loss,
+                arm, loss,
                 "-" if r["seed"] is None else r["seed"],
                 " ".join("%.3f" % v for v in r["valid_loss"]),
                 r["eer"] * 100))
-        if ref and len(tpu) >= 3:
+        if not ref and not bf16:
+            continue
+        if len(tpu) >= 3:
             eers = np.array([r["eer"] for r in tpu])
             mu, sd = eers.mean(), eers.std(ddof=1)
             band = 3 * max(sd, 0.005)  # floor: EER quantization on 400 utts
@@ -305,10 +372,22 @@ def report(root: str, write_doc: bool) -> int:
                 inside = abs(r["eer"] - mu) <= band
                 ok &= inside
                 lines.append(
-                    "| check | %s | | ref %.2f%% vs tpu %.2f%%±%.2f%% "
+                    "| check | %s | r%d | ref %.2f%% vs tpu %.2f%%±%.2f%% "
                     "(3σ band ±%.2f%%) | %s |" % (
-                        loss, r["eer"] * 100, mu * 100, sd * 100,
+                        loss, r.get("rep", 0), r["eer"] * 100, mu * 100,
+                        sd * 100, band * 100, "PASS" if inside else "FAIL"))
+            for r in bf16:
+                inside = abs(r["eer"] - mu) <= band
+                ok &= inside
+                lines.append(
+                    "| check | %s | bf16 s%d | bf16 %.2f%% vs f32 "
+                    "%.2f%%±%.2f%% (3σ band ±%.2f%%) | %s |" % (
+                        loss, r["seed"], r["eer"] * 100, mu * 100, sd * 100,
                         band * 100, "PASS" if inside else "FAIL"))
+        else:
+            ok = False
+            lines.append("| check | %s | | only %d f32 tpu seeds (<3): no "
+                         "band | FAIL |" % (loss, len(tpu)))
     lines.append("")
     text = "\n".join(lines)
     print(text)
@@ -326,6 +405,11 @@ def main() -> int:
     p.add_argument("--arm", choices=["ref", "tpu"])
     p.add_argument("--loss", choices=sorted(LOSSES))
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--rep", type=int, default=0,
+                   help="ref-arm repeat index (os.urandom loader seeds make "
+                        "repeats the only route to a two-sample test)")
+    p.add_argument("--compute-dtype", default="",
+                   help="tpu arm activation dtype override (e.g. bfloat16)")
     p.add_argument("--steps-per-epoch", type=int,
                    default=BASE_CFG["num_steps_per_epoch"])
     p.add_argument("--write-doc", action="store_true")
@@ -340,12 +424,16 @@ def main() -> int:
     assert args.arm and args.loss, "run mode needs --arm and --loss"
     os.makedirs(os.path.join(args.root, "results"), exist_ok=True)
     if args.arm == "ref":
-        out = os.path.join(args.root, "results", "ref_%s.json" % args.loss)
-        run_ref(args.root, args.loss, args.steps_per_epoch, out)
-    else:
         out = os.path.join(args.root, "results",
-                           "tpu_%s_s%d.json" % (args.loss, args.seed))
-        run_tpu(args.root, args.loss, args.seed, args.steps_per_epoch, out)
+                           "ref_%s_r%d.json" % (args.loss, args.rep))
+        run_ref(args.root, args.loss, args.steps_per_epoch, out,
+                rep=args.rep)
+    else:
+        tag = "_" + args.compute_dtype if args.compute_dtype else ""
+        out = os.path.join(args.root, "results",
+                           "tpu_%s_s%d%s.json" % (args.loss, args.seed, tag))
+        run_tpu(args.root, args.loss, args.seed, args.steps_per_epoch, out,
+                compute_dtype=args.compute_dtype)
     return 0
 
 

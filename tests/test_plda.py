@@ -252,3 +252,100 @@ def test_adaptation_shifts_mean_and_grows_covar():
     orig_scores, orig_targets = trial_scores(plda, test_x, test_labels, np.random.RandomState(8))
     eer_orig, _ = compute_eer(orig_scores, orig_targets)
     assert eer <= eer_orig + 0.05
+
+
+# ----------------------------------------------------------------------
+# Kaldi <Plda> object codec (src/ivector/plda.cc layout; the interop
+# surface of ivector-compute-plda / ivector-copy-plda, reference
+# egs/voxceleb/v1/run.sh:383-401).
+# ----------------------------------------------------------------------
+
+def _trained(seed=11):
+    rng = np.random.RandomState(seed)
+    x, labels = synth_data(rng, n_spk=12, per=6, dim=8)
+    return train_plda(x, labels, num_em_iters=4)
+
+
+def test_kaldi_binary_roundtrip_and_layout(tmp_path):
+    plda = _trained()
+    path = str(tmp_path / "plda")
+    plda.save(path, format="kaldi")
+
+    # Byte layout: \0B preamble, "<Plda> " token, then DV/DM/DV doubles
+    # with \4-marked int32 dims (Kaldi Vector/Matrix::Write binary mode).
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"\0B<Plda> DV \x04")
+    dim = np.frombuffer(raw[13:17], "<i4")[0]
+    assert dim == plda.dim
+    off = 17 + 8 * dim
+    assert raw[off:off + 4] == b"DM \x04"
+    rows = np.frombuffer(raw[off + 4:off + 8], "<i4")[0]
+    assert raw[off + 8:off + 9] == b"\x04"
+    cols = np.frombuffer(raw[off + 9:off + 13], "<i4")[0]
+    assert (rows, cols) == plda.transform.shape
+    off2 = off + 13 + 8 * rows * cols
+    assert raw[off2:off2 + 4] == b"DV \x04"
+    assert raw.endswith(b"</Plda> ")
+
+    loaded = Plda.load(path)
+    np.testing.assert_array_equal(loaded.mean, plda.mean)
+    np.testing.assert_array_equal(loaded.transform, plda.transform)
+    np.testing.assert_array_equal(loaded.psi, plda.psi)
+
+
+def test_kaldi_text_roundtrip(tmp_path):
+    plda = _trained()
+    path = str(tmp_path / "plda.txt")
+    plda.save(path, format="kaldi_text")
+    text = open(path).read()
+    assert text.startswith("<Plda> ") and text.rstrip().endswith("</Plda>")
+    loaded = Plda.load(path)
+    # %.17g round-trips IEEE doubles exactly
+    np.testing.assert_array_equal(loaded.mean, plda.mean)
+    np.testing.assert_array_equal(loaded.transform, plda.transform)
+    np.testing.assert_array_equal(loaded.psi, plda.psi)
+
+
+def test_scoring_parity_through_all_formats(tmp_path):
+    plda = _trained()
+    rng = np.random.RandomState(3)
+    x, labels = synth_data(rng, n_spk=12, per=6, dim=8)
+    ref_scores, _ = trial_scores(plda, x, labels, np.random.RandomState(4))
+    for fmt, name in (("npz", "a.npz"), ("kaldi", "b"),
+                      ("kaldi_text", "c.txt")):
+        plda.save(str(tmp_path / name), format=fmt)
+        loaded = Plda.load(str(tmp_path / name))
+        got, _ = trial_scores(loaded, x, labels, np.random.RandomState(4))
+        np.testing.assert_allclose(got, ref_scores, rtol=0, atol=1e-12,
+                                   err_msg=fmt)
+
+
+def test_copy_plda_cli_chain(tmp_path):
+    from tf_kaldi_speaker_tpu.cli.copy_plda import main as copy_main
+
+    plda = _trained()
+    npz = str(tmp_path / "plda.npz")
+    plda.save(npz)
+    kb = str(tmp_path / "plda.kaldi")
+    kt = str(tmp_path / "plda.kaldi.txt")
+    back = str(tmp_path / "back.npz")
+    # npz -> kaldi binary -> kaldi text -> npz survives untouched
+    assert copy_main([npz, kb]) == 0
+    assert copy_main(["--format", "kaldi_text", kb, kt]) == 0
+    assert copy_main(["--format", "npz", kt, back]) == 0
+    final = Plda.load(back)
+    np.testing.assert_array_equal(final.transform, plda.transform)
+    # --smoothing matches the library call
+    sm = str(tmp_path / "plda.smooth")
+    assert copy_main(["--smoothing", "0.3", kb, sm]) == 0
+    np.testing.assert_allclose(
+        Plda.load(sm).psi, plda.smooth_within_class_covariance(0.3).psi,
+        rtol=1e-12)
+
+
+def test_load_rejects_garbage(tmp_path):
+    bad = str(tmp_path / "bad")
+    with open(bad, "w") as f:
+        f.write("not a plda at all")
+    with pytest.raises(ValueError):
+        Plda.load(bad)

@@ -291,3 +291,74 @@ def test_score_cli_cosine_lda_with_cohort(tmp_path, capsys):
     out = capsys.readouterr().out
     eer = float(out.split("EER: ")[1].split("%")[0])
     assert eer < 20.0
+
+
+def test_score_cli_plda_in_out_kaldi_format(tmp_path, capsys):
+    """--plda-out then --plda-in (Kaldi <Plda> file) reproduces the scores
+    byte-for-byte; --mean-vec/--lda-mat rebuild the Kaldi preprocessing
+    pipeline (subtract-global-mean | transform-vec | normalize-length)."""
+    from tf_kaldi_speaker_tpu.kio import write_mat
+
+    rng = np.random.RandomState(2)
+    train, train_u2s = make_embeddings(rng, n_spk=20, per=8)
+    evalset, eval_u2s = make_embeddings(np.random.RandomState(3), n_spk=8, per=6)
+    enroll = {k: v for k, v in evalset.items() if int(k[-1]) < 3}
+    test = {k: v for k, v in evalset.items() if int(k[-1]) >= 3}
+    train_scp = write_xvectors(str(tmp_path / "train"), train)
+    enroll_scp = write_xvectors(str(tmp_path / "enroll"), enroll)
+    test_scp = write_xvectors(str(tmp_path / "test"), test)
+    with open(str(tmp_path / "train_u2s"), "w") as f:
+        for k, s in train_u2s.items():
+            f.write("%s %s\n" % (k, s))
+    trials_path = str(tmp_path / "trials")
+    with open(trials_path, "w") as f:
+        for e in sorted(enroll):
+            for t in sorted(test):
+                f.write("%s %s %s\n" % (
+                    e, t, "target" if eval_u2s[t] == eval_u2s[e] else "nontarget"))
+
+    common = ["--backend", "plda", "--enroll-scp", enroll_scp,
+              "--test-scp", test_scp, "--trials", trials_path]
+    plda_file = str(tmp_path / "plda")
+    rc = score_cli.main(common + [
+        "--train-scp", train_scp, "--train-utt2spk", str(tmp_path / "train_u2s"),
+        "--plda-out", plda_file, "--plda-format", "kaldi",
+        "--scores", str(tmp_path / "trained.scores"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert open(plda_file, "rb").read(2) == b"\0B"
+
+    # Kaldi-style artifacts: mean.vec (the train global mean the CLI
+    # subtracts) as a Kaldi double vector.
+    # match the CLI's view of the data: the ark stores float32
+    mean = np.stack([v.astype(np.float32) for v in train.values()]) \
+        .astype(np.float64).mean(0)
+    mean_vec = str(tmp_path / "mean.vec")
+    write_vec_flt(mean_vec, mean)
+
+    rc = score_cli.main(common + [
+        "--plda-in", plda_file, "--mean-vec", mean_vec,
+        "--scores", str(tmp_path / "loaded.scores"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert (open(str(tmp_path / "loaded.scores")).read()
+            == open(str(tmp_path / "trained.scores")).read())
+
+    # --lda-mat: identity [D,D] and zero-offset affine [D,D+1] both leave
+    # the pipeline unchanged.
+    dim = mean.shape[0]
+    for name, m in (("eye.mat", np.eye(dim)),
+                    ("affine.mat", np.hstack([np.eye(dim), np.zeros((dim, 1))]))):
+        path = str(tmp_path / name)
+        write_mat(path, m)
+        rc = score_cli.main(common + [
+            "--plda-in", plda_file, "--mean-vec", mean_vec,
+            "--lda-mat", path,
+            "--scores", str(tmp_path / "lda.scores"),
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        assert (open(str(tmp_path / "lda.scores")).read()
+                == open(str(tmp_path / "trained.scores")).read()), name

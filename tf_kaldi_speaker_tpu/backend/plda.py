@@ -13,12 +13,70 @@ Kaldi's Plda::LogLikelihoodRatio closed form.
 
 from __future__ import annotations
 
+import os
+import struct
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
+from ..kio.ark import _read_mat_binary, _read_vec_flt_binary
+
 M_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+# ----------------------------------------------------------------------
+# Kaldi <Plda> object codec primitives (src/ivector/plda.cc layout:
+# WriteToken "<Plda>", Vector<double> mean, Matrix<double> transform,
+# Vector<double> psi, WriteToken "</Plda>").
+# ----------------------------------------------------------------------
+
+def _expect_plda_token(fd, token: str) -> None:
+    chars = []
+    b = fd.read(1)
+    while b in (b" ", b"\t", b"\n", b"\r"):
+        b = fd.read(1)
+    while b not in (b"", b" ", b"\t", b"\n", b"\r"):
+        chars.append(b)
+        b = fd.read(1)
+    got = b"".join(chars).decode()
+    if got != token:
+        raise ValueError("bad Kaldi PLDA file: expected %r, got %r"
+                         % (token, got))
+
+
+def _write_kaldi_vec_double(fd, v: np.ndarray) -> None:
+    fd.write(b"DV \04" + struct.pack("<i", v.shape[0]))
+    fd.write(np.ascontiguousarray(v, "<f8").tobytes())
+
+
+def _write_kaldi_mat_double(fd, m: np.ndarray) -> None:
+    fd.write(b"DM \04" + struct.pack("<i", m.shape[0])
+             + b"\04" + struct.pack("<i", m.shape[1]))
+    fd.write(np.ascontiguousarray(m, "<f8").tobytes())
+
+
+def _write_kaldi_vec_text(fd, v: np.ndarray) -> None:
+    fd.write(" [ " + " ".join("%.17g" % x for x in v) + " ]\n")
+
+
+def _write_kaldi_mat_text(fd, m: np.ndarray) -> None:
+    fd.write(" [")
+    for row in m:
+        fd.write("\n  " + " ".join("%.17g" % x for x in row))
+    fd.write(" ]\n")
+
+
+def _text_brackets(body: str, n: int) -> List[str]:
+    """The ``n`` top-level ``[ ... ]`` blocks of a Kaldi text object body."""
+    blocks = []
+    pos = 0
+    for _ in range(n):
+        start = body.index("[", pos)
+        end = body.index("]", start)
+        blocks.append(body[start + 1:end])
+        pos = end + 1
+    return blocks
 
 
 @dataclass
@@ -214,13 +272,72 @@ class Plda:
         return Plda(mean=new_mean, transform=new_transform, psi=new_psi)
 
     # ------------------------------------------------------------------
-    def save(self, path: str) -> None:
-        np.savez(path, mean=self.mean, transform=self.transform, psi=self.psi)
+    # Serialization.  Three interchangeable formats:
+    #   npz         — numpy archive (this framework's native format)
+    #   kaldi       — Kaldi binary object file: b"\0B" then the "<Plda>"
+    #                 token stream (Kaldi src/ivector/plda.cc Plda::Write —
+    #                 mean Vector<double>, transform Matrix<double>, psi
+    #                 Vector<double>), byte-compatible with
+    #                 ivector-copy-plda / ivector-plda-scoring inputs
+    #                 (reference egs/voxceleb/v1/run.sh:383-401).
+    #   kaldi_text  — the same object in Kaldi text mode (no \0B preamble),
+    #                 what `ivector-copy-plda --binary=false` emits.
+    # ``load`` sniffs the format from the file's first bytes.
+    def save(self, path: str, format: str = "npz") -> None:
+        if format == "npz":
+            np.savez(path, mean=self.mean, transform=self.transform,
+                     psi=self.psi)
+        elif format == "kaldi":
+            with open(path, "wb") as f:
+                f.write(b"\0B<Plda> ")
+                _write_kaldi_vec_double(f, self.mean)
+                _write_kaldi_mat_double(f, self.transform)
+                _write_kaldi_vec_double(f, self.psi)
+                f.write(b"</Plda> ")
+        elif format == "kaldi_text":
+            with open(path, "w") as f:
+                f.write("<Plda> ")
+                _write_kaldi_vec_text(f, self.mean)
+                _write_kaldi_mat_text(f, self.transform)
+                _write_kaldi_vec_text(f, self.psi)
+                f.write("</Plda> ")
+        else:
+            raise ValueError("unknown PLDA format %r" % format)
 
     @classmethod
     def load(cls, path: str) -> "Plda":
-        z = np.load(path if path.endswith(".npz") else path + ".npz")
-        return cls(mean=z["mean"], transform=z["transform"], psi=z["psi"])
+        if not path.endswith(".npz") and not os.path.exists(path) \
+                and os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        with open(path, "rb") as f:
+            magic = f.read(2)
+            if magic == b"PK":               # npz is a zip archive
+                z = np.load(path)
+                return cls(mean=z["mean"], transform=z["transform"],
+                           psi=z["psi"])
+            if magic == b"\0B":              # Kaldi binary object file
+                _expect_plda_token(f, "<Plda>")
+                mean = _read_vec_flt_binary(f).astype(np.float64)
+                transform = _read_mat_binary(f).astype(np.float64)
+                psi = _read_vec_flt_binary(f).astype(np.float64)
+                _expect_plda_token(f, "</Plda>")
+                return cls(mean=mean, transform=transform, psi=psi)
+        return cls._load_kaldi_text(path)
+
+    @classmethod
+    def _load_kaldi_text(cls, path: str) -> "Plda":
+        with open(path) as f:
+            text = f.read()
+        if "<Plda>" not in text:
+            raise ValueError("%s: not an npz / Kaldi-binary / Kaldi-text "
+                             "<Plda> file" % path)
+        body = text.split("<Plda>", 1)[1].split("</Plda>", 1)[0]
+        blocks = _text_brackets(body, 3)
+        mean = np.array(blocks[0].split(), np.float64)
+        rows = [r for r in blocks[1].splitlines() if r.strip()]
+        transform = np.array([r.split() for r in rows], np.float64)
+        psi = np.array(blocks[2].split(), np.float64)
+        return cls(mean=mean, transform=transform, psi=psi)
 
 
 def train_plda(

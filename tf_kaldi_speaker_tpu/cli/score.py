@@ -64,6 +64,25 @@ def main(argv=None) -> int:
     parser.add_argument("--train-utt2spk", default=None)
     parser.add_argument("--lda-dim", type=int, default=0, help="apply LDA before PLDA")
     parser.add_argument("--plda-smoothing", type=float, default=0.0)
+    parser.add_argument("--plda-in", default=None,
+                        help="load a trained PLDA backend instead of "
+                             "training one (npz / Kaldi binary / Kaldi text "
+                             "<Plda> file, auto-sniffed — reuse an existing "
+                             "Kaldi backend directly)")
+    parser.add_argument("--plda-out", default=None,
+                        help="save the PLDA backend used for scoring "
+                             "(after smoothing/adaptation)")
+    parser.add_argument("--plda-format", choices=["kaldi", "kaldi_text",
+                                                  "npz"], default="kaldi",
+                        help="--plda-out format")
+    parser.add_argument("--mean-vec", default=None,
+                        help="with --plda-in: global-mean vector file "
+                             "(Kaldi mean.vec via ivector-mean, or npy) "
+                             "applied before LDA/length-norm")
+    parser.add_argument("--lda-mat", default=None,
+                        help="with --plda-in: Kaldi LDA transform.mat "
+                             "([dim,D] linear or [dim,D+1] affine), applied "
+                             "after --mean-vec subtraction")
     parser.add_argument("--adapt-scp", default=None, help="unsupervised PLDA adaptation vectors")
     parser.add_argument("--adapt-within-scale", type=float, default=0.3,
                         help="ivector-adapt-plda --within-covar-scale "
@@ -152,8 +171,42 @@ def main(argv=None) -> int:
                 dict(zip(e_keys, zip(e_mu, e_sd))),
                 dict(zip(t_keys, zip(t_mu, t_sd))),
             )
+    elif args.plda_in:
+        # Pre-trained backend (ours or an existing Kaldi one): rebuild the
+        # Kaldi scoring pipeline ivector-subtract-global-mean [mean.vec] |
+        # transform-vec [transform.mat] | ivector-normalize-length
+        # (reference egs/voxceleb/v1/run.sh:399-401) from the recipe's own
+        # artifact files, then score with the loaded <Plda>.
+        from ..backend.plda import Plda
+        from ..kio import read_mat, read_vec_flt
+
+        plda = Plda.load(args.plda_in)
+        if args.plda_smoothing > 0:
+            plda = plda.smooth_within_class_covariance(args.plda_smoothing)
+        mean = None
+        if args.mean_vec:
+            mean = (np.load(args.mean_vec)
+                    if args.mean_vec.endswith((".npy", ".npz"))
+                    else np.asarray(read_vec_flt(args.mean_vec), np.float64))
+        lda_mat = None
+        if args.lda_mat:
+            lda_mat = np.asarray(read_mat(args.lda_mat), np.float64)
+
+        def prep(d):
+            out = {}
+            for k, v in d.items():
+                if mean is not None:
+                    v = v - mean
+                if lda_mat is not None:
+                    if lda_mat.shape[1] == v.shape[0] + 1:  # affine column
+                        v = lda_mat[:, :-1] @ v + lda_mat[:, -1]
+                    else:
+                        v = lda_mat @ v
+                out[k] = length_norm(v[None])[0]
+            return out
     else:
-        assert args.train_scp and args.train_utt2spk, "PLDA needs labeled training vectors"
+        assert args.train_scp and args.train_utt2spk, \
+            "PLDA needs --train-scp/--train-utt2spk or --plda-in"
         train = _load_scp(args.train_scp)
         utt2spk = _load_utt2spk(args.train_utt2spk)
         keys = sorted(train)
@@ -180,6 +233,7 @@ def main(argv=None) -> int:
                 out[k] = length_norm(v[None])[0]
             return out
 
+    if args.backend == "plda":
         enroll_p, test_p = prep(enroll), prep(test)
         if args.adapt_scp:
             adapt = prep(_load_scp(args.adapt_scp))
@@ -189,6 +243,11 @@ def main(argv=None) -> int:
                 within_covar_scale=args.adapt_within_scale,
                 between_covar_scale=args.adapt_between_scale,
             )
+        if args.plda_out:
+            # The backend actually used for scoring (post-smoothing,
+            # post-adaptation) — feed it back to Kaldi tooling or reload
+            # with --plda-in.
+            plda.save(args.plda_out, format=args.plda_format)
         scores = plda.score_trials(
             enroll_p, enroll_counts, test_p, trials,
             simple_length_norm=args.simple_length_norm,
