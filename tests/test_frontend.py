@@ -122,3 +122,63 @@ def test_prep_pipeline_cli(tmp_path):
         # silence removed: fewer frames than the raw features
     raw = dict(read_mat_scp(os.path.join(feat_dir, "feats.scp")))
     assert all(feats[u].shape[0] < raw[u].shape[0] for u in feats)
+
+
+# ----------------------------------------------------------------------
+# Pinned golden fixtures (VERDICT r4 item 4).  tests/golden/frontend.npz
+# pins MFCC / energy-VAD / sliding-CMVN outputs on fixed waveforms
+# (scripts/make_frontend_golden.py) so any numerics drift in the frontend
+# fails CI instead of silently moving EER for models imported from the
+# reference ecosystem (which were trained on Kaldi-prepared features,
+# run.sh:59-62).  Tolerances: MFCC/VAD math is float64 — 1e-9 admits FFT
+# library jitter while any semantic change (window, mel edges, lifter,
+# energy floor) is orders of magnitude larger; CMVN output is float32.
+# ----------------------------------------------------------------------
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "frontend.npz")
+
+
+def _golden_specs():
+    from tf_kaldi_speaker_tpu.ops.mfcc import MfccConfig as C
+    return {
+        "vox16k": C(dither=0.0),
+        "sre8k": C(sample_rate=8000, high_freq=3700.0, num_mel_bins=23,
+                   num_ceps=23, dither=0.0),
+        "vox16k_dither": C(dither=1.0),
+    }
+
+
+@pytest.mark.parametrize("name", ["vox16k", "sre8k", "vox16k_dither"])
+def test_frontend_golden(name):
+    from tf_kaldi_speaker_tpu.ops.cmvn import sliding_cmvn
+    from tf_kaldi_speaker_tpu.ops.vad import compute_vad_energy
+
+    z = np.load(_GOLDEN)
+    cfg = _golden_specs()[name]
+    wav = z[name + "_wav"]
+    feats = mfcc(wav, cfg, seed=123)
+    np.testing.assert_allclose(feats, z[name + "_mfcc"], rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_array_equal(
+        compute_vad_energy(feats, 5.5, 0.5), z[name + "_vad"])
+    np.testing.assert_array_equal(
+        compute_vad_energy(feats, 5.5, 0.5, frames_context=2,
+                           proportion_threshold=0.6), z[name + "_vad_ctx"])
+    np.testing.assert_allclose(
+        sliding_cmvn(feats, window=300, center=True),
+        z[name + "_cmvn"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        sliding_cmvn(feats, window=50, center=False),
+        z[name + "_cmvn_nocenter"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        sliding_cmvn(feats, window=120, center=True, norm_vars=True),
+        z[name + "_cmvn_vars"], rtol=1e-4, atol=1e-4)
+
+
+def test_frontend_golden_vad_has_both_classes():
+    """The fixture waveforms genuinely exercise VAD: silence rejected,
+    speech kept (guards against a degenerate all-1/all-0 pin)."""
+    z = np.load(_GOLDEN)
+    for name in ("vox16k", "sre8k"):
+        vad = z[name + "_vad"]
+        assert 0.1 < vad.mean() < 0.95, (name, vad.mean())
