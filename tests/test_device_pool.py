@@ -431,7 +431,7 @@ def test_trainer_device_pool_epoch(pool_env):
 def test_sharded_pool_gather_matches_host_decode(pool_env):
     """ShardedDevicePool + shard_map gather == host partial-read decode."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from tf_kaldi_speaker_tpu.data.device_pool import ShardedDevicePool
