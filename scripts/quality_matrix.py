@@ -62,6 +62,13 @@ PATHS = {
     "pool_rot_c3": dict(device_decode=False, device_pool=True,
                         pool_budget_mb=8, pool_rotation_unit="speakers",
                         pool_rotation_cycles=3),
+    # VERDICT r4 item 1: the EXACT flagship arm bench.py measures —
+    # bfloat16 activations (__graft_entry__.FLAGSHIP compute_dtype) on the
+    # pool path. Quality-validates the program whose throughput is the
+    # headline: bf16 BN statistics + loss logits must not move EER outside
+    # the f32 multi-seed band.
+    "pool_bf16": dict(device_decode=False, device_pool=True,
+                      compute_dtype="bfloat16"),
 }
 
 LOSSES = {
@@ -117,8 +124,10 @@ def fmt_mean_sd(vals):
     return "%.2f%% ± %.2f%%" % (a.mean() * 100, a.std(ddof=1) * 100)
 
 
-def run_paths(root, train_d, test_d, seeds, results):
+def run_paths(root, train_d, test_d, seeds, results, only=None):
     for name, over in PATHS.items():
+        if only and name not in only:
+            continue
         results.setdefault("paths", {})[name] = [
             train_and_eer(root, train_d, test_d, "path_" + name, s, over)
             for s in seeds
@@ -221,6 +230,9 @@ def main():
                    help="seeds for --paths (the loss table uses --seeds-losses)")
     p.add_argument("--seeds-losses", type=int, default=5)
     p.add_argument("--root", default=None)
+    p.add_argument("--only", default=None,
+                   help="comma-separated PATHS subset for --paths "
+                        "(e.g. pool,pool_bf16)")
     p.add_argument("--write-doc", action="store_true")
     args = p.parse_args()
     if not (args.paths or args.losses or args.gap):
@@ -236,7 +248,8 @@ def main():
 
     results = {}
     if args.paths:
-        run_paths(root, train_d, test_d, list(range(args.seeds)), results)
+        run_paths(root, train_d, test_d, list(range(args.seeds)), results,
+                  only=set(args.only.split(",")) if args.only else None)
     if args.losses:
         run_losses(root, train_d, test_d, list(range(args.seeds_losses)),
                    results)
