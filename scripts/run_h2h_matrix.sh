@@ -20,9 +20,9 @@ run() {
   echo "=== $(date +%H:%M:%S) $* ===" >&2
   # The dev tunnel to the TPU has transient multi-minute outages: bound
   # each run and retry once before giving up on it.
-  timeout 2700 python scripts/reference_convergence.py run --root "$root" "$@" >&2 \
+  timeout 3900 python scripts/reference_convergence.py run --root "$root" "$@" >&2 \
     || { echo "=== retry $* ===" >&2;
-         timeout 2700 python scripts/reference_convergence.py run --root "$root" "$@" >&2; }
+         timeout 3900 python scripts/reference_convergence.py run --root "$root" "$@" >&2; }
 }
 
 if [ "$mode" = ref ]; then
