@@ -154,6 +154,62 @@ LOSSES = {
 }
 
 
+# ---- Multitask head-to-head (VERDICT r4 item 2 stretch): the UNMODIFIED
+# reference BaseMT (model/multitask_v1/base_v1.py) vs our TrainerMultiTask
+# on a corpus whose phone alignments are LEARNABLE (per-phone feature
+# offsets, utils/testdata.py phone_signal) so the phone head's gradients
+# into the shared trunk carry real signal in both arms.
+MT_NUM_PHONES = 32
+MT_PHONE_SIGNAL = 0.5
+
+MT_CFG = dict(
+    seed=0,
+    spk_loss_type="softmax",
+    phn_loss_type="softmax",
+    spk_loss_weight=1.0,
+    phn_loss_weight=0.3,
+    embedding_node="zs_mu_dense",
+    pooling_type="statistics_pooling",
+    num_nodes_pooling_layer=512,
+    num_shared_layers=2,
+    # Shared trunk conv5/conv5 then phone tower conv7(d1)/dense/conv3(d4):
+    # contexts 7 (speaker) / 11 (phone) — multitask_v1/tdnn.py:35-130,:240.
+    phone_kernel_size=[5, 5, 7, 1, 3],
+    # First num_shared entries re-enter the 512-wide speaker trunk with
+    # scope reuse (multitask_v1/tdnn.py:244-278) — they MUST match it.
+    phone_layer_size=[512, 512, 128, 128, 128],
+    phone_dilation_size=[1, 1, 1, 1, 4],
+    phone_left_context=11,
+    phone_right_context=11,
+    speaker_left_context=7,
+    speaker_right_context=7,
+    speaker_dim=512,
+    phone_dim=128,
+    num_frames_per_utt=8,
+    learning_rate=EPOCH_LRS[0],
+    optimizer="momentum",
+    momentum=0.9,
+    use_nesterov=False,
+    clip_gradient=True,
+    clip_gradient_norm=3.0,
+    weight_l2_regularizer=1e-4,
+    batchnorm_momentum=0.99,
+    num_epochs=len(EPOCH_LRS),
+    num_steps_per_epoch=400,
+    show_training_progress=100,
+    keep_checkpoint_max=2,
+    save_summary_steps=100000,
+    save_checkpoints_steps=100000,
+    valid_max_iterations=20,
+    num_parallel_datasets=1,
+    max_queue_size=6,
+    num_speakers_per_batch=24,
+    num_segments_per_speaker=1,
+    min_segment_len=100,
+    max_segment_len=200,
+)
+
+
 def _split_valid(train_dir: str, valid_dir: str, per_spk: int = 2) -> None:
     """Hold out the last ``per_spk`` utts of every speaker into a valid
     data dir (scp-level split; both dirs reference the same ark)."""
@@ -169,7 +225,7 @@ def _split_valid(train_dir: str, valid_dir: str, per_spk: int = 2) -> None:
     for s, utts in by_spk.items():
         heldout.update(utts[-per_spk:])
 
-    for fname in ("feats.scp", "utt2spk", "utt2num_frames"):
+    for fname in ("feats.scp", "utt2spk", "utt2num_frames", "vad.scp"):
         src = os.path.join(train_dir, fname)
         if not os.path.exists(src):
             continue
@@ -203,6 +259,149 @@ def make_data(root: str) -> None:
         utts_per_speaker=10, dim=DIM, min_len=250, max_len=450, seed=777,
         spk_offset=5000, spk_scale=1.0, chan_scale=CHAN)
     print("corpus at", root, "spklist", train_d["spklist"], flush=True)
+
+
+def make_data_mt(root: str) -> None:
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    train_d = make_fake_data_dir(
+        os.path.join(root, "mt_train"), num_speakers=NSPK,
+        utts_per_speaker=UTTS, dim=DIM, min_len=250, max_len=450, seed=0,
+        spk_scale=1.0, chan_scale=CHAN, with_vad_ali=True,
+        num_phones=MT_NUM_PHONES, phone_signal=MT_PHONE_SIGNAL)
+    _split_valid(os.path.join(root, "mt_train"), os.path.join(root, "mt_valid"))
+    make_fake_data_dir(
+        os.path.join(root, "mt_test"), num_speakers=TEST_NSPK,
+        utts_per_speaker=10, dim=DIM, min_len=250, max_len=450, seed=777,
+        spk_offset=5000, spk_scale=1.0, chan_scale=CHAN, with_vad_ali=True,
+        num_phones=MT_NUM_PHONES, phone_signal=MT_PHONE_SIGNAL)
+    # tree-info stub for the reference loader's shell-out
+    # (data_loader_v2.py:228): answers num-pdfs from the ali dir's
+    # num_pdfs file (no Kaldi build exists in this environment).
+    bindir = os.path.join(root, "bin")
+    os.makedirs(bindir, exist_ok=True)
+    stub = os.path.join(bindir, "tree-info")
+    with open(stub, "w") as f:
+        f.write('#!/bin/sh\nd=$(dirname "$1")\n'
+                'echo "num-pdfs $(cat "$d/num_pdfs")"\n')
+    os.chmod(stub, 0o755)
+    print("mt corpus at", root, "spklist", train_d["spklist"], flush=True)
+
+
+def _mt_paths(root: str):
+    train = os.path.join(root, "mt_train")
+    return (train,
+            os.path.join(root, "mt_valid"),
+            os.path.join(root, "mt_test"),
+            os.path.join(train, "spklist"),
+            os.path.join(train, "ali"))
+
+
+def run_ref_mt(root: str, steps_per_epoch: int, out: str, rep: int = 0) -> None:
+    """The reference's own BaseMT trainer, byte-for-byte unmodified
+    (model/multitask_v1/base_v1.py:31-721), through the TF shim + the
+    multitask loader py2 patches."""
+    import tf1_ref_shim
+
+    os.environ["PATH"] = (os.path.join(root, "bin") + os.pathsep +
+                          os.environ.get("PATH", ""))
+    tf1_ref_shim.install()
+    from misc.utils import Params  # reference code (shimmed TF)
+    from model.multitask_v1.base_v1 import BaseMT  # reference code
+
+    tf1_ref_shim.patch_py2_data_loader()
+    tf1_ref_shim.patch_py2_mt_loader()
+
+    train_dir, valid_dir, test_dir, spklist, ali_dir = _mt_paths(root)
+    cfg = dict(MT_CFG, num_steps_per_epoch=steps_per_epoch)
+    exp = os.path.join(root, "exp_ref_mt_softmax_r%d" % rep)
+    os.makedirs(os.path.join(exp, "nnet"), exist_ok=True)
+    conf = os.path.join(exp, "config.json")
+    with open(conf, "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    params = Params(conf)
+    trainer = BaseMT(params, exp, DIM, num_speakers=NSPK,
+                     num_phones=MT_NUM_PHONES)
+    trainer.build("train")
+    trainer.build("valid")
+
+    valid_losses, t0 = [], time.time()
+    for epoch, lr in enumerate(EPOCH_LRS):
+        trainer.train(train_dir, ali_dir, spklist, lr)
+        loss_v, _, _ = trainer.valid(valid_dir, ali_dir, spklist)
+        valid_losses.append(float(loss_v))
+        print("[ref mt] epoch %d lr %g valid loss %.4f (%.0fs)"
+              % (epoch, lr, loss_v, time.time() - t0), flush=True)
+    wall = time.time() - t0
+
+    trainer.build("predict")
+
+    def embed(feats):
+        ali = np.zeros((feats.shape[0],), np.int32)
+        return trainer.predict_speaker(
+            MT_CFG["embedding_node"], feats, ali,
+            np.array([feats.shape[0]], np.int32))
+
+    eer = _test_eer(embed, test_dir)
+    trainer.close()
+    result = dict(arm="ref", loss="mt_softmax", seed=None, rep=rep,
+                  steps_per_epoch=steps_per_epoch, valid_loss=valid_losses,
+                  eer=eer, wall_s=round(wall, 1))
+    print("[ref mt r%d] final EER %.2f%%" % (rep, eer * 100), flush=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+
+
+def run_tpu_mt(root: str, seed: int, steps_per_epoch: int, out: str,
+               compute_dtype: str = "") -> None:
+    from tf_kaldi_speaker_tpu.multitask import TrainerMultiTask
+    from tf_kaldi_speaker_tpu.utils.params import ParamsPlain
+
+    train_dir, valid_dir, test_dir, spklist, ali_dir = _mt_paths(root)
+    cfg = dict(MT_CFG, num_steps_per_epoch=steps_per_epoch, seed=seed)
+    tag = ""
+    if compute_dtype:
+        cfg["compute_dtype"] = compute_dtype
+        tag = "_" + compute_dtype
+    exp = os.path.join(root, "exp_tpu_mt_softmax_s%d%s" % (seed, tag))
+    nnet = os.path.join(exp, "nnet")
+    os.makedirs(nnet, exist_ok=True)
+    with open(os.path.join(nnet, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    with open(os.path.join(nnet, "feature_dim"), "w") as f:
+        f.write("%d\n" % DIM)
+
+    params = ParamsPlain(**cfg)
+    trainer = TrainerMultiTask(params, nnet, dim=DIM, num_speakers=NSPK,
+                               num_phones=MT_NUM_PHONES)
+    trainer.build("train", DIM, num_speakers=NSPK,
+                  num_phones=MT_NUM_PHONES)
+    trainer.build("valid", DIM)
+
+    valid_losses, t0 = [], time.time()
+    for epoch, lr in enumerate(EPOCH_LRS):
+        trainer.train(train_dir, ali_dir, spklist, lr)
+        spk_v, phn_v, _, _ = trainer.valid(valid_dir, ali_dir, spklist)
+        loss_v = (cfg["spk_loss_weight"] * spk_v
+                  + cfg["phn_loss_weight"] * phn_v)
+        valid_losses.append(float(loss_v))
+        print("[tpu mt s%d] epoch %d lr %g valid loss %.4f "
+              "(spk %.4f phn %.4f) (%.0fs)"
+              % (seed, epoch, lr, loss_v, spk_v, phn_v, time.time() - t0),
+              flush=True)
+    wall = time.time() - t0
+
+    trainer.build("predict", DIM)
+    eer = _test_eer(lambda feats: trainer.predict_speaker(feats), test_dir)
+    result = dict(arm="tpu", loss="mt_softmax", seed=seed,
+                  dtype=compute_dtype or "float32",
+                  steps_per_epoch=steps_per_epoch, valid_loss=valid_losses,
+                  eer=float(eer), wall_s=round(wall, 1))
+    print("[tpu mt s%d%s] final EER %.2f%%" % (seed, tag, eer * 100),
+          flush=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
 
 
 def _paths(root: str):
@@ -346,7 +545,7 @@ def report(root: str, write_doc: bool) -> int:
         "|---|---|---|---|---|",
     ]
     ok = True
-    for loss in LOSSES:
+    for loss in list(LOSSES) + ["mt_softmax"]:
         ref = [r for r in results if r["arm"] == "ref" and r["loss"] == loss]
         tpu_all = [r for r in results
                    if r["arm"] == "tpu" and r["loss"] == loss]
@@ -400,10 +599,11 @@ def report(root: str, write_doc: bool) -> int:
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["make-data", "run", "report"])
+    p.add_argument("mode", choices=["make-data", "make-data-mt", "run",
+                                    "report"])
     p.add_argument("--root", required=True)
     p.add_argument("--arm", choices=["ref", "tpu"])
-    p.add_argument("--loss", choices=sorted(LOSSES))
+    p.add_argument("--loss", choices=sorted(LOSSES) + ["mt_softmax"])
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rep", type=int, default=0,
                    help="ref-arm repeat index (os.urandom loader seeds make "
@@ -418,6 +618,9 @@ def main() -> int:
     if args.mode == "make-data":
         make_data(args.root)
         return 0
+    if args.mode == "make-data-mt":
+        make_data_mt(args.root)
+        return 0
     if args.mode == "report":
         return report(args.root, args.write_doc)
 
@@ -426,14 +629,21 @@ def main() -> int:
     if args.arm == "ref":
         out = os.path.join(args.root, "results",
                            "ref_%s_r%d.json" % (args.loss, args.rep))
-        run_ref(args.root, args.loss, args.steps_per_epoch, out,
-                rep=args.rep)
+        if args.loss == "mt_softmax":
+            run_ref_mt(args.root, args.steps_per_epoch, out, rep=args.rep)
+        else:
+            run_ref(args.root, args.loss, args.steps_per_epoch, out,
+                    rep=args.rep)
     else:
         tag = "_" + args.compute_dtype if args.compute_dtype else ""
         out = os.path.join(args.root, "results",
                            "tpu_%s_s%d%s.json" % (args.loss, args.seed, tag))
-        run_tpu(args.root, args.loss, args.seed, args.steps_per_epoch, out,
-                compute_dtype=args.compute_dtype)
+        if args.loss == "mt_softmax":
+            run_tpu_mt(args.root, args.seed, args.steps_per_epoch, out,
+                       compute_dtype=args.compute_dtype)
+        else:
+            run_tpu(args.root, args.loss, args.seed, args.steps_per_epoch,
+                    out, compute_dtype=args.compute_dtype)
     return 0
 
 

@@ -61,12 +61,15 @@ def _build_layers(tf1):
 
     def conv2d(inputs, filters, kernel_size, strides=(1, 1),
                padding="valid", activation=None, use_bias=True,
+               dilation_rate=(1, 1),
                kernel_initializer=None, bias_initializer=None,
                kernel_regularizer=None, name=None, reuse=None, **kw):
         if isinstance(kernel_size, int):
             kernel_size = (kernel_size, kernel_size)
         if isinstance(strides, int):
             strides = (strides, strides)
+        if isinstance(dilation_rate, int):
+            dilation_rate = (dilation_rate, dilation_rate)
         with tf1.variable_scope(name, default_name="conv2d", reuse=reuse):
             cin = int(inputs.shape[-1])
             kernel = tf1.get_variable(
@@ -78,6 +81,7 @@ def _build_layers(tf1):
             out = tf1.nn.conv2d(
                 inputs, kernel, strides=[1, strides[0], strides[1], 1],
                 padding=padding.upper(),
+                dilations=[1, dilation_rate[0], dilation_rate[1], 1],
             )
             if use_bias:
                 bias = tf1.get_variable(
@@ -226,6 +230,24 @@ class _Py2Int(int):
         return other / int(self)
 
 
+class _Py2List(list):
+    """Python-2 compat: the multitask loader asserts
+    ``spk2features[spk] > num_segments`` (data_loader_v2.py:115) — a
+    list-vs-int comparison that py2 resolves by type name ("list" > "int"
+    is always True) and py3 rejects with TypeError. Restore the py2
+    outcome for int comparands only."""
+
+    def __gt__(self, other):
+        if isinstance(other, int):
+            return True
+        return NotImplemented
+
+    def __lt__(self, other):
+        if isinstance(other, int):
+            return False
+        return NotImplemented
+
+
 def patch_py2_data_loader():
     """Shadow ``open`` / ``random`` / ``len`` inside dataset.data_loader so
     text-mode lines carry a no-op .decode() (binary modes pass through
@@ -249,6 +271,50 @@ def patch_py2_data_loader():
     dl.random = rand_mod
     dl.len = lambda x: _Py2Int(builtins.len(x))
     return dl
+
+
+def patch_py2_mt_loader():
+    """Same runtime-injection treatment for the multitask loader
+    (dataset/multitask/data_loader_v2.py): py2 ``Random.jumpahead``, py2
+    floor-dividing ``len()`` slices, ``np.sum`` over dict views (py2
+    ``.values()`` returned a list), and the always-true list>int assert
+    (see _Py2List). The reference file itself is never modified; the
+    patches are inherited by the loader's fork()ed worker processes."""
+    import builtins
+    import random as _random
+    import types as _types
+
+    import numpy as _np
+
+    import dataset.multitask.data_loader_v2 as dlv2
+
+    rand_mod = _types.ModuleType("random")
+    rand_mod.__dict__.update(_random.__dict__)
+    rand_mod.Random = _Py2Random
+    dlv2.random = rand_mod
+    dlv2.len = lambda x: _Py2Int(builtins.len(x))
+
+    np_mod = _types.ModuleType("numpy")
+    np_mod.__dict__.update(_np.__dict__)
+
+    def py2_sum(a, *args, **kw):
+        if isinstance(a, (type({}.values()), type({}.keys()))):
+            a = list(a)
+        return _np.sum(a, *args, **kw)
+
+    np_mod.sum = py2_sum
+    dlv2.np = np_mod
+
+    orig_start = dlv2.KaldiDataRandomQueueV2.start
+
+    def start_with_py2_lists(self):
+        self.spk2features = {
+            k: _Py2List(v) for k, v in self.spk2features.items()
+        }
+        return orig_start(self)
+
+    dlv2.KaldiDataRandomQueueV2.start = start_with_py2_lists
+    return dlv2
 
 
 def install():
