@@ -281,6 +281,33 @@ def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
             put = [jax.device_put(a, trainer.gsh) for a in host_group]
         jax.block_until_ready(put)
         h2d_rate = batch * K * groups / (time.perf_counter() - t0)
+        # Variant probes separating per-CALL from per-BUFFER tunnel
+        # overhead: (a) one device_put call with 3 leaves (what
+        # device_prefetch actually issues), (b) the same bytes packed
+        # into ONE uint8 buffer. If (b) >> (a) the fixable gap is
+        # per-buffer transfer setup and a packed pipeline is worth
+        # wiring into the trainer; if (a) == (b) == h2d_only the
+        # residual is pure bandwidth/RTT and not code.
+        for _ in range(2):
+            put = jax.device_put(tuple(host_group), trainer.gsh)
+        jax.block_until_ready(put)
+        t0 = time.perf_counter()
+        for _ in range(groups):
+            put = jax.device_put(tuple(host_group), trainer.gsh)
+        jax.block_until_ready(put)
+        h2d_tuple_rate = batch * K * groups / (time.perf_counter() - t0)
+        packed = np.concatenate([np.ascontiguousarray(a).view(np.uint8).ravel()
+                                 for a in host_group])
+        rep_sh = jax.sharding.NamedSharding(
+            trainer.mesh, jax.sharding.PartitionSpec())
+        for _ in range(2):
+            put = jax.device_put(packed, rep_sh)
+        jax.block_until_ready(put)
+        t0 = time.perf_counter()
+        for _ in range(groups):
+            put = jax.device_put(packed, rep_sh)
+        jax.block_until_ready(put)
+        h2d_packed_rate = batch * K * groups / (time.perf_counter() - t0)
     finally:
         loader.stop()
     n = len(jax.devices())
@@ -289,6 +316,8 @@ def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
         "device_only": round(dev_rate / n, 1),
         "host_assembly_only": round(asm_rate / n, 1),
         "h2d_only": round(h2d_rate / n, 1),
+        "h2d_tuple": round(h2d_tuple_rate / n, 1),
+        "h2d_packed": round(h2d_packed_rate / n, 1),
         "predicted_pipelined": round(
             min(dev_rate, asm_rate, h2d_rate) / n, 1),
     }
