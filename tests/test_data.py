@@ -158,3 +158,45 @@ def test_device_prefetch_threaded_matches_inline():
     it = device_prefetch(iter(batches), threaded=True, depth=1)
     next(it)
     it.close()
+
+
+def test_phone_signal_learnable_and_byte_stable(tmp_path):
+    """utils/testdata phone_signal: alignments become learnable (frames
+    carry per-phone offsets) while phone_signal=0 keeps every generated
+    byte identical to the pre-option generator (fixture stability)."""
+    import os
+
+    from tf_kaldi_speaker_tpu.kio import read_mat_scp, read_vec_int_ark
+    from tf_kaldi_speaker_tpu.utils.testdata import make_fake_data_dir
+
+    base = make_fake_data_dir(
+        str(tmp_path / "base"), num_speakers=3, utts_per_speaker=2,
+        dim=8, with_vad_ali=True, num_phones=6, seed=5)
+    sig = make_fake_data_dir(
+        str(tmp_path / "sig"), num_speakers=3, utts_per_speaker=2,
+        dim=8, with_vad_ali=True, num_phones=6, seed=5, phone_signal=2.0)
+
+    base_feats = dict(read_mat_scp(base["feats_scp"]))
+    sig_feats = dict(read_mat_scp(sig["feats_scp"]))
+    base_ali = dict(read_vec_int_ark(
+        os.path.join(base["ali_dir"], "pdf.ark")))
+    sig_ali = dict(read_vec_int_ark(
+        os.path.join(sig["ali_dir"], "pdf.ark")))
+    assert sorted(base_feats) == sorted(sig_feats)
+
+    phn_means = np.random.RandomState(5 + 424242).randn(6, 8) * 2.0
+    for utt in base_feats:
+        # identical alignments; features differ by exactly the per-phone
+        # offsets (up to CM compression quantization)
+        np.testing.assert_array_equal(base_ali[utt], sig_ali[utt])
+        delta = sig_feats[utt] - base_feats[utt]
+        expect = phn_means[sig_ali[utt]]
+        assert np.abs(delta - expect).max() < 0.15  # CM quantization
+    # per-phone frame groups separate in feature space when signal is on
+    f = np.concatenate(list(sig_feats.values()))
+    a = np.concatenate(list(sig_ali.values()))
+    centroid = np.stack([f[a == p].mean(0) for p in range(6)])
+    d_centroid = np.linalg.norm(centroid - phn_means, axis=1)
+    # centroids land near the injected phone means (speaker/channel noise
+    # averages out across utterances)
+    assert d_centroid.mean() < np.linalg.norm(phn_means, axis=1).mean()
