@@ -230,7 +230,9 @@ def bench_e2e_stream(cfg, dim, num_speakers, groups=10):
                 state, codes, headers, labels, lr)
         _ = float(m["loss"])
 
-        it = device_prefetch(iter(loader), trainer.gsh, depth=2)
+        it = device_prefetch(iter(loader), trainer.gsh,
+                             depth=int(os.environ.get(
+                                 "TFKS_BENCH_STREAM_DEPTH", "2")))
         for _ in range(3):  # queue/prefetch warmup on real batches
             codes, headers, labels = next(it)
             state, m = trainer._train_step_raw_multi(
