@@ -113,6 +113,20 @@ LOSSES = {
         asoftmax_lambda_gamma=0.01,
         asoftmax_lambda_power=4,
     ),
+    # a-softmax m=1 null probe: loss.py:112-117 returns plain softmax over
+    # column-normalized weights (no bias, no phi). Isolates the
+    # normalized-logit base of the a-softmax family from the m=4 margin —
+    # if the small m=4 offset (see docs/ROUND5.md findings) reproduces
+    # here, it lives in the base/normalization; if not, in phi dynamics.
+    "asoftmax_m1": dict(
+        loss_func="asoftmax",
+        last_layer_linear=True,
+        asoftmax_m=1,
+        asoftmax_lambda_min=10,
+        asoftmax_lambda_base=1000,
+        asoftmax_lambda_gamma=0.01,
+        asoftmax_lambda_power=4,
+    ),
     # arc-softmax m=0.25 (reference loss.py:260-355, cos(theta+m) with the
     # theta+m>pi fallback branch); margins/anneal from
     # nnet_conf/tdnn_arcsoftmax_m0.25_linear_bn_1e-2.json, anneal re-timed
