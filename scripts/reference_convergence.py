@@ -535,6 +535,28 @@ def run_tpu(root: str, loss: str, seed: int, steps_per_epoch: int,
         json.dump(result, f, indent=1)
 
 
+def _exact_rank_p(ref_vals, tpu_vals) -> float:
+    """Two-sided exact Mann-Whitney p for tiny samples (enumerate all
+    C(n+m, n) group assignments of the pooled values)."""
+    import itertools
+
+    pooled = list(ref_vals) + list(tpu_vals)
+    n = len(ref_vals)
+    idx = range(len(pooled))
+    rank = {i: r for r, i in enumerate(
+        sorted(idx, key=lambda i: pooled[i]))}
+
+    def stat(group):
+        return sum(rank[i] for i in group)
+
+    observed = stat(range(n))
+    stats = [stat(c) for c in itertools.combinations(idx, n)]
+    mean = sum(stats) / len(stats)
+    extreme = sum(1 for s in stats
+                  if abs(s - mean) >= abs(observed - mean) - 1e-12)
+    return extreme / len(stats)
+
+
 def report(root: str, write_doc: bool) -> int:
     results = [json.load(open(p))
                for p in sorted(glob.glob(os.path.join(root, "results",
@@ -597,6 +619,16 @@ def report(root: str, write_doc: bool) -> int:
                     "%.2f%%±%.2f%% (3σ band ±%.2f%%) | %s |" % (
                         loss, r["seed"], r["eer"] * 100, mu * 100, sd * 100,
                         band * 100, "PASS" if inside else "FAIL"))
+            if len(ref) >= 2:
+                # Exact two-sample rank test (band checks gate; this line
+                # surfaces sub-band systematic offsets honestly)
+                p = _exact_rank_p([r["eer"] for r in ref], list(eers))
+                lines.append(
+                    "| rank | %s | %dv%d | ref mean %.2f%% vs tpu mean "
+                    "%.2f%%, exact two-sided p=%.3f | %s |" % (
+                        loss, len(ref), len(tpu),
+                        np.mean([r["eer"] for r in ref]) * 100, mu * 100,
+                        p, "offset flagged" if p < 0.05 else "no offset"))
         else:
             ok = False
             lines.append("| check | %s | | only %d f32 tpu seeds (<3): no "
